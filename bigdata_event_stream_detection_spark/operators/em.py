@@ -1,0 +1,134 @@
+"""Per-window EM theme extraction (M1-M4 of the operator inventory).
+
+Spark shape: ``groupBy(window_start, run).applyInPandas(em_fit_udf)``.
+The whole 25-iteration EM loop runs inside one task per (window, run)
+group — the reference fuses iterations into a single map task for the
+same no-per-iteration-shuffle reason (``EmAlgo.java:188-219``,
+report/themeExtraction.tex:78). Multi-run replication (J1) is a cheap
+``crossJoin(spark.range(R))`` instead of the reference's RDD cartesian;
+best-run selection (A6) is ``max_by`` via a window function.
+
+Background probabilities enter the kernel through a SparkContext
+broadcast of two aligned numpy arrays (word_id -> p), not a per-row
+join: the model is vocab-sized (MBs even at 1M words), and every group
+needs random access to it.
+
+Determinism: the kernel seed is ``stable_seed(window_start, source
+scope, run)`` — identical output at any parallelism, restart, or
+partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernels import em_fit, stable_seed
+
+THEMES_SCHEMA = (
+    "window_start timestamp, run int, theme_id int, loglik double, "
+    "score double, n_docs int, word_ids array<int>, probs array<double>"
+)
+
+
+def _bg_arrays(background_pdf: pd.DataFrame):
+    """Background model as (sorted word_id array, aligned p array)."""
+    b = background_pdf.sort_values("word_id")
+    return (
+        b["word_id"].to_numpy(dtype=np.int64),
+        b["p"].to_numpy(dtype=np.float64),
+    )
+
+
+def em_themes(
+    windowed: DataFrame,
+    background: DataFrame,
+    k: int = 5,
+    iterations: int = 25,
+    lambda_b: float = 0.95,
+    runs: int = 1,
+    min_distinct_words: int = 0,
+) -> DataFrame:
+    """Extract k themes per window; one output row per (window, run, theme).
+
+    ``windowed`` must carry (window_start, doc_id, tokens). Docs are
+    restricted to background-model words (the reference's broadcast
+    semi-join P4) inside the kernel via a sorted-array membership test.
+    """
+    spark = windowed.sparkSession
+    bg_ids, bg_p = _bg_arrays(background.select("word_id", "p").toPandas())
+    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        window_start, run = key
+        ids, p_all = bcast.value
+        # deterministic doc order inside the group
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["tokens"].to_list()
+        if not docs:
+            return pd.DataFrame(columns=[
+                "window_start", "run", "theme_id", "loglik", "score",
+                "n_docs", "word_ids", "probs"])
+        # window vocabulary = kept (in-background) words present here
+        all_tok = np.concatenate([np.asarray(t, dtype=np.int64) for t in docs])
+        keep_mask = np.isin(all_tok, ids, assume_unique=False)
+        vocab = np.unique(all_tok[keep_mask])
+        rows = []
+        if vocab.size:
+            col_of = {int(w): i for i, w in enumerate(vocab)}
+            D = len(docs)
+            counts = np.zeros((D, vocab.size))
+            keep_doc = np.ones(D, dtype=bool)
+            for d, t in enumerate(docs):
+                t = np.asarray(t, dtype=np.int64)
+                t = t[np.isin(t, vocab)]
+                if min_distinct_words and np.unique(t).size <= min_distinct_words:
+                    keep_doc[d] = False
+                    continue
+                w, c = np.unique(t, return_counts=True)
+                counts[d, [col_of[int(x)] for x in w]] = c
+            counts = counts[keep_doc]
+            if counts.shape[0]:
+                # align background to window vocab, renormalized
+                pos = np.searchsorted(ids, vocab)
+                p_bg = p_all[pos]
+                p_bg = p_bg / p_bg.sum()
+                seed = stable_seed("em", window_start, int(run))
+                theta, pi, loglik = em_fit(
+                    counts, p_bg, k, iterations=iterations,
+                    lambda_b=lambda_b, seed=seed)
+                scores = pi.mean(axis=0)  # avg pi per theme (A7/M3)
+                for j in range(k):
+                    rows.append((
+                        window_start, int(run), j, float(loglik),
+                        float(scores[j]), int(counts.shape[0]),
+                        vocab.astype(np.int32), theta[j],
+                    ))
+        return pd.DataFrame(rows, columns=[
+            "window_start", "run", "theme_id", "loglik", "score",
+            "n_docs", "word_ids", "probs"])
+
+    replicated = windowed.select("window_start", "doc_id", "tokens")
+    if runs > 1:
+        # J1: replicate each window's docs once per run id
+        run_ids = spark.range(runs).select(F.col("id").cast("int").alias("run"))
+        replicated = replicated.crossJoin(F.broadcast(run_ids))
+    else:
+        replicated = replicated.withColumn("run", F.lit(0))
+    return replicated.groupBy("window_start", "run").applyInPandas(
+        fit, schema=THEMES_SCHEMA)
+
+
+def best_run_themes(themes: DataFrame) -> DataFrame:
+    """A6/M2: keep the max-log-likelihood run per window (max_by)."""
+    best = themes.groupBy("window_start").agg(
+        F.max_by("run", "loglik").alias("run"))
+    return themes.join(F.broadcast(best), ["window_start", "run"], "inner")
+
+
+def filter_themes(themes: DataFrame, k: int, floor_factor: float = 0.9) -> DataFrame:
+    """M3: keep themes with avg doc weight above floor_factor / k
+    (reference ``EmInput.java:268-277``)."""
+    return themes.filter(F.col("score") > floor_factor / k)

@@ -1,0 +1,177 @@
+"""Per-window HMM life-cycle: assemble -> Baum-Welch -> Viterbi -> events.
+
+The reference trains one HMM over the *whole corpus-wide* token sequence
+with a driver-sequential blocked scan (``Hmm2.java:164-294, 643-1301``)
+— a scalability cliff it mitigated with 64Ki-token blocks and per-
+iteration driver collects. The rebuild bounds sequences per window
+instead (SURVEY.md §7.3 hard-part 1): each (window) group holds all of
+its sources' token streams, and the entire train+decode runs inside one
+``applyInPandas`` task via cogrouped pandas (sequences on one side,
+that window's themes on the other). No driver round-trips, no cross-
+group shuffles beyond the one hash shuffle on window_start.
+
+Output is the detected-event rows of the north rule: per (window,
+source, theme) strength counts (``LifeCycleAnalyserSpark.java:196-266``),
+with the non-background filter (P8) applied in-kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .kernels import baum_welch, hmm_assemble, viterbi
+
+EVENTS_SCHEMA = (
+    "window_start timestamp, source string, theme_id int, strength bigint"
+)
+
+DECODED_SCHEMA = (
+    "window_start timestamp, source string, doc_id string, "
+    "tokens array<int>, states array<int>"
+)
+
+
+def _window_model(theme_pdf: pd.DataFrame, bg_ids: np.ndarray, bg_p: np.ndarray):
+    """Build (pi, A, B, vocab) for one window from its theme rows.
+
+    States = {0: background} ∪ themes (ordered by theme_id). The window
+    vocabulary is the union of theme supports; background probs are
+    aligned to it and renormalized (LifeCycleAnalyserSpark.java:66-126).
+    """
+    theme_pdf = theme_pdf.sort_values("theme_id")
+    supports = [np.asarray(w, dtype=np.int64) for w in theme_pdf["word_ids"]]
+    vocab = np.unique(np.concatenate(supports)) if supports else np.empty(0, np.int64)
+    if vocab.size == 0:
+        return None
+    k = len(theme_pdf)
+    themes = np.zeros((k, vocab.size))
+    for j, (w, p) in enumerate(zip(theme_pdf["word_ids"], theme_pdf["probs"])):
+        pos = np.searchsorted(vocab, np.asarray(w, dtype=np.int64))
+        themes[j, pos] = np.asarray(p, dtype=np.float64)
+    pos = np.searchsorted(bg_ids, vocab)
+    pos = np.clip(pos, 0, len(bg_ids) - 1)
+    p_bg = np.where(bg_ids[pos] == vocab, bg_p[pos], 0.0)
+    if p_bg.sum() <= 0:
+        p_bg = np.full(vocab.size, 1.0 / vocab.size)
+    else:
+        p_bg = p_bg / p_bg.sum()
+    pi, a, b = hmm_assemble(p_bg, themes)
+    theme_ids = theme_pdf["theme_id"].to_numpy()
+    return pi, a, b, vocab, theme_ids
+
+
+def _decode_window(seq_pdf: pd.DataFrame, theme_pdf: pd.DataFrame,
+                   bg_ids, bg_p, max_iterations, pi_thr, a_thr):
+    """Train + decode one window; yields (source, doc_id, tokens, states)."""
+    model = _window_model(theme_pdf, bg_ids, bg_p)
+    if model is None or seq_pdf.empty:
+        return
+    pi0, a0, b, vocab, _ = model
+    # deterministic total order (the reference's same-date order is
+    # nondeterministic — we add doc_id as tiebreak, SURVEY §7.0)
+    seq_pdf = seq_pdf.sort_values(["source", "event_time", "doc_id"])
+    for src, sub in seq_pdf.groupby("source", sort=True):
+        toks = [np.asarray(t, dtype=np.int64) for t in sub["tokens"]]
+        lens = np.array([t.size for t in toks])
+        flat = np.concatenate(toks) if toks else np.empty(0, np.int64)
+        # map to window-vocab indices; OOV tokens decode as background
+        pos = np.searchsorted(vocab, flat)
+        pos = np.clip(pos, 0, max(vocab.size - 1, 0))
+        in_vocab = vocab.size > 0
+        known = in_vocab & (vocab[pos] == flat) if flat.size else np.zeros(0, bool)
+        obs = np.where(known, pos, 0)  # index 0 reused; unknowns masked after
+        if flat.size == 0:
+            continue
+        pi, a, _, _ = baum_welch(
+            obs, pi0, a0, b, max_iterations=max_iterations,
+            pi_threshold=pi_thr, a_threshold=a_thr)
+        states = viterbi(obs, pi, a, b).astype(np.int32)
+        states[~known] = 0  # unknown words are background (P8 treats 0 as bg)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        for i, (doc_id, t) in enumerate(zip(sub["doc_id"], toks)):
+            yield src, doc_id, t.astype(np.int32), states[offs[i]:offs[i + 1]]
+
+
+def _broadcast_background(sequences: DataFrame, background: DataFrame):
+    """Background model as a SparkContext broadcast of aligned arrays."""
+    b = background.select("word_id", "p").toPandas().sort_values("word_id")
+    return sequences.sparkSession.sparkContext.broadcast(
+        (b["word_id"].to_numpy(np.int64), b["p"].to_numpy(np.float64)))
+
+
+def _cogrouped(sequences: DataFrame, themes: DataFrame, fn, schema):
+    """Shuffle both sides once on window_start; all compute in one task
+    per window (cogrouped applyInPandas)."""
+    left = sequences.select(
+        "window_start", "source", "doc_id", "event_time", "tokens"
+    ).groupBy("window_start")
+    right = themes.select(
+        "window_start", "theme_id", "word_ids", "probs").groupBy("window_start")
+    return left.cogroup(right).applyInPandas(fn, schema=schema)
+
+
+def decode_tokens(
+    sequences: DataFrame,
+    themes: DataFrame,
+    background: DataFrame,
+    max_iterations: int = 50,
+    pi_threshold: float = 0.01,
+    a_threshold: float = 0.01,
+) -> DataFrame:
+    """Per-doc decoded state arrays (test/inspection surface; also proves
+    the token-array byte-equality invariant: `tokens` passes through)."""
+    bcast = _broadcast_background(sequences, background)
+
+    def run(key, seq_pdf, theme_pdf):
+        (window_start,) = key
+        bg_ids, bg_p = bcast.value
+        rows = [
+            (window_start, src, doc, toks, states)
+            for src, doc, toks, states in _decode_window(
+                seq_pdf, theme_pdf, bg_ids, bg_p,
+                max_iterations, pi_threshold, a_threshold)
+        ]
+        return pd.DataFrame(rows, columns=[
+            "window_start", "source", "doc_id", "tokens", "states"])
+
+    return _cogrouped(sequences, themes, run, DECODED_SCHEMA)
+
+
+def detect_events(
+    sequences: DataFrame,
+    themes: DataFrame,
+    background: DataFrame,
+    max_iterations: int = 50,
+    pi_threshold: float = 0.01,
+    a_threshold: float = 0.01,
+) -> DataFrame:
+    """The flagship event rows: (window_start, source, theme_id, strength).
+
+    strength = count of tokens Viterbi-decoded to that (non-background)
+    theme in the window — aggregated *inside* the kernel (np.bincount),
+    so the UDF emits k rows per (window, source), not per token.
+    """
+    bcast = _broadcast_background(sequences, background)
+
+    def run(key, seq_pdf, theme_pdf):
+        (window_start,) = key
+        bg_ids, bg_p = bcast.value
+        by_src: dict[str, list] = {}
+        for src, _doc, _toks, states in _decode_window(
+                seq_pdf, theme_pdf, bg_ids, bg_p,
+                max_iterations, pi_threshold, a_threshold):
+            by_src.setdefault(src, []).append(states)
+        out = []
+        for src in sorted(by_src):
+            allst = np.concatenate(by_src[src])
+            counts = np.bincount(allst)
+            for theme in range(1, counts.size):   # P8: drop state 0
+                if counts[theme] > 0:
+                    out.append((window_start, src, int(theme),
+                                int(counts[theme])))
+        return pd.DataFrame(out, columns=[
+            "window_start", "source", "theme_id", "strength"])
+
+    return _cogrouped(sequences, themes, run, EVENTS_SCHEMA)

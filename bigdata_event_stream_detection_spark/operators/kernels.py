@@ -1,0 +1,269 @@
+"""Pure-numpy model kernels (no Spark imports).
+
+These are the numeric payloads executed inside ``applyInPandas`` groups:
+PLSA-style EM with a fixed background component, scaled forward-backward
+Baum-Welch (pi/A updated, B fixed), and log-space Viterbi. Semantics
+follow the reference engine:
+
+* EM formulas: reference ``em/Document.java:92-168``,
+  ``em/EmInput.java:114-165``, report/themeExtraction.tex:19-67.
+* Baum-Welch scaling + sparse transition structure (only 0->j, i->0,
+  i->i are nonzero): reference ``hmm/Hmm2.java:352-531``,
+  ``LifeCycleAnalyserSpark.java:100-123``.
+* Viterbi in log space: reference ``hmm/Hmm2.java:164-294``.
+
+Everything is deterministic given an explicit integer seed; seeds are
+derived from natural keys (window_start, source, run) by the callers so
+results are identical at any parallelism and across restarts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+__all__ = [
+    "stable_seed",
+    "em_fit",
+    "hmm_assemble",
+    "baum_welch",
+    "viterbi",
+    "sample_hmm_sequence",
+    "kl_divergence",
+    "tv_distance",
+]
+
+
+def stable_seed(*keys) -> int:
+    """Deterministic 63-bit seed from natural keys (never row order).
+
+    Python's builtin ``hash`` is process-salted, so we go through md5.
+    """
+    h = hashlib.md5("\x1f".join(str(k) for k in keys).encode()).digest()
+    return int.from_bytes(h[:8], "little") & 0x7FFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# EM: PLSA mixture with fixed background component
+# ---------------------------------------------------------------------------
+
+def em_fit(
+    counts: np.ndarray,          # (D, W) float64 doc-word counts (window vocab)
+    p_background: np.ndarray,    # (W,) background distribution over window vocab
+    k: int,
+    iterations: int = 25,
+    lambda_b: float = 0.95,
+    seed: int = 0,
+    track_loglik: bool = False,
+):
+    """Fit k theme distributions + doc mixing weights on one window.
+
+    Returns ``(theta, pi, loglik)`` where theta is (k, W) rows P(w|theme),
+    pi is (D, k) doc-theme weights, loglik the final data log-likelihood.
+    With ``track_loglik`` the third element is the per-iteration array
+    (used to assert monotonicity in tests).
+
+    The whole iteration loop runs here, inside one task per (window, run)
+    group — the reference fuses all EM iterations into a single map task
+    for the same reason (no per-iteration shuffle).
+    """
+    rng = np.random.default_rng(seed)
+    D, W = counts.shape
+    # init: uniform pi, random theta rows (reference inits likewise,
+    # but with an unseeded RNG — we must be reproducible).
+    pi = np.full((D, k), 1.0 / k)
+    theta = rng.random((k, W)) + 1e-3
+    theta /= theta.sum(axis=1, keepdims=True)
+
+    eps = 1e-300
+    lb = lambda_b
+    logliks = np.empty(iterations)
+    for it in range(iterations):
+        # E-step. mix[d,w] = sum_j pi[d,j] * theta[j,w]
+        mix = pi @ theta                                    # (D, W)
+        denom_bg = lb * p_background[None, :] + (1.0 - lb) * mix + eps
+        z_not_bg = (1.0 - lb) * mix / denom_bg              # P(word not from bg)
+        eff = counts * z_not_bg                             # effective theme-counts
+        # responsibilities per theme computed without a (D,W,k) tensor:
+        # r_j[d,w] = pi[d,j] theta[j,w] / mix[d,w]
+        inv_mix = 1.0 / (mix + eps)
+        new_pi = np.empty_like(pi)
+        new_theta = np.empty_like(theta)
+        for j in range(k):
+            r_j = (pi[:, j][:, None] * theta[j][None, :]) * inv_mix
+            w_j = eff * r_j                                 # (D, W) weighted counts
+            new_pi[:, j] = w_j.sum(axis=1)
+            new_theta[j] = w_j.sum(axis=0)
+        # M-step normalization
+        pi_tot = new_pi.sum(axis=1, keepdims=True)
+        pi = np.where(pi_tot > 0, new_pi / np.maximum(pi_tot, eps), 1.0 / k)
+        th_tot = new_theta.sum(axis=1, keepdims=True)
+        theta = np.where(th_tot > 0, new_theta / np.maximum(th_tot, eps), 1.0 / W)
+        logliks[it] = float((counts * np.log(denom_bg)).sum())
+
+    loglik = logliks if track_loglik else float(logliks[-1])
+    return theta, pi, loglik
+
+
+# ---------------------------------------------------------------------------
+# HMM: assembly, Baum-Welch (scaled), Viterbi (log space)
+# ---------------------------------------------------------------------------
+
+def hmm_assemble(p_background: np.ndarray, themes: np.ndarray):
+    """Build (pi, A, B) for states {0: background, 1..k: themes}.
+
+    Structured prior as in the reference (LifeCycleAnalyserSpark.java:93-126):
+    uniform pi; A allows only 0->j (uniform over all N), i->0 (0.5),
+    i->i (0.5); B row 0 = background, rows 1..k = theme distributions.
+    """
+    k, W = themes.shape
+    n = k + 1
+    pi = np.full(n, 1.0 / n)
+    a = np.zeros((n, n))
+    a[0, :] = 1.0 / n
+    for i in range(1, n):
+        a[i, 0] = 0.5
+        a[i, i] = 0.5
+    b = np.vstack([p_background[None, :], themes])
+    # guard: emissions must have no zero column sum for observed symbols
+    b = b + 1e-12
+    b /= b.sum(axis=1, keepdims=True)
+    return pi, a, b
+
+
+def _forward_backward(obs, pi, a, b):
+    """Scaled forward-backward. Returns (alpha_hat, beta_hat, c, loglik).
+
+    Scaling per Rabiner / report/hiddenMarkovModel.tex:87-106: c[t] is the
+    normalizer of alpha at t, loglik = -sum(log c).
+    """
+    T = obs.shape[0]
+    n = pi.shape[0]
+    b_obs = b[:, obs].T                      # (T, n) emission prob per step
+    alpha = np.empty((T, n))
+    c = np.empty(T)
+    alpha[0] = pi * b_obs[0]
+    c[0] = 1.0 / max(alpha[0].sum(), 1e-300)
+    alpha[0] *= c[0]
+    for t in range(1, T):
+        alpha[t] = (alpha[t - 1] @ a) * b_obs[t]
+        c[t] = 1.0 / max(alpha[t].sum(), 1e-300)
+        alpha[t] *= c[t]
+    beta = np.empty((T, n))
+    beta[T - 1] = c[T - 1]
+    for t in range(T - 2, -1, -1):
+        beta[t] = (a @ (b_obs[t + 1] * beta[t + 1])) * c[t]
+    loglik = -float(np.log(c).sum())
+    return alpha, beta, c, loglik
+
+
+def baum_welch(
+    obs: np.ndarray,
+    pi0: np.ndarray,
+    a0: np.ndarray,
+    b: np.ndarray,
+    max_iterations: int = 50,
+    pi_threshold: float = 0.01,
+    a_threshold: float = 0.01,
+):
+    """Train pi and A with B held fixed (the reference trains the same
+    subset: Hmm2.java:352-531). Convergence on L1 diffs of pi and A.
+
+    Exploits the sparse transition structure only implicitly: updates of
+    structurally-zero transitions stay zero because khi is zero there.
+    Returns (pi, a, loglik, n_iter).
+    """
+    obs = np.asarray(obs, dtype=np.int64)
+    pi, a = pi0.copy(), a0.copy()
+    loglik = -np.inf
+    it = 0
+    T = obs.shape[0]
+    if T < 2:
+        return pi, a, 0.0, 0
+    for it in range(1, max_iterations + 1):
+        alpha, beta, c, loglik = _forward_backward(obs, pi, a, b)
+        b_obs = b[:, obs].T
+        # gamma[t,i] ∝ alpha[t,i] * beta[t,i] / c[t]
+        gamma = alpha * beta / c[:, None]
+        gamma /= np.maximum(gamma.sum(axis=1, keepdims=True), 1e-300)
+        # khi[i,j] = sum_t alpha[t,i] a[i,j] b[j,obs[t+1]] beta[t+1,j]
+        khi = a * (alpha[:-1].T @ (b_obs[1:] * beta[1:]))
+        denom = np.maximum(khi.sum(axis=1, keepdims=True), 1e-300)
+        new_a = khi / denom
+        new_pi = gamma[0]
+        d_pi = float(np.abs(new_pi - pi).sum())
+        d_a = float(np.abs(new_a - a).sum())
+        pi, a = new_pi, new_a
+        if d_pi < pi_threshold and d_a < a_threshold:
+            break
+    return pi, a, loglik, it
+
+
+def viterbi(obs: np.ndarray, pi: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Log-space Viterbi decode; returns the most likely state path (T,).
+
+    Vectorized over states; the T loop is inherent to the DP. Ties break
+    toward the lower state index (np.argmax), deterministically.
+    """
+    obs = np.asarray(obs, dtype=np.int64)
+    T = obs.shape[0]
+    n = pi.shape[0]
+    if T == 0:
+        return np.empty(0, dtype=np.int32)
+    with np.errstate(divide="ignore"):
+        log_a = np.log(a)
+        log_b = np.log(b)
+        log_pi = np.log(pi)
+    back = np.empty((T, n), dtype=np.int32)
+    delta = log_pi + log_b[:, obs[0]]
+    for t in range(1, T):
+        cand = delta[:, None] + log_a            # (from, to)
+        back[t] = np.argmax(cand, axis=0)
+        delta = cand[back[t], np.arange(n)] + log_b[:, obs[t]]
+    path = np.empty(T, dtype=np.int32)
+    path[T - 1] = int(np.argmax(delta))
+    for t in range(T - 2, -1, -1):
+        path[t] = back[t + 1][path[t + 1]]
+    return path
+
+
+def sample_hmm_sequence(pi, a, b, length: int, seed: int):
+    """Sample (states, observations) from a known HMM — fixture generator
+    (mirrors the reference's generative test, Hmm.java:1208-1261)."""
+    rng = np.random.default_rng(seed)
+    n, W = b.shape
+    states = np.empty(length, dtype=np.int32)
+    obs = np.empty(length, dtype=np.int32)
+    s = rng.choice(n, p=pi)
+    for t in range(length):
+        states[t] = s
+        obs[t] = rng.choice(W, p=b[s])
+        s = rng.choice(n, p=a[s])
+    return states, obs
+
+
+# ---------------------------------------------------------------------------
+# Divergences (theme-transition kernel)
+# ---------------------------------------------------------------------------
+
+def _smooth_log_ratio(p2, p1, log_max: float):
+    """clamped log(p2/p1) with NaN -> log_max (KLDivergence.java:160-167)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.log(p2 / p1)
+    r = np.nan_to_num(r, nan=log_max, posinf=log_max, neginf=-log_max)
+    return np.clip(r, -log_max, log_max)
+
+
+def kl_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-12,
+                  log_max: float = 27.0) -> float:
+    """KL(p || q) with epsilon smoothing of absent entries and clamped
+    logs, matching KLDivergence.java:104-124."""
+    p = np.maximum(p, eps)
+    q = np.maximum(q, eps)
+    return float((p * _smooth_log_ratio(p, q, log_max)).sum())
+
+
+def tv_distance(p: np.ndarray, q: np.ndarray) -> float:
+    """Total-variation distance (KLDivergence.java:136-151)."""
+    return 0.5 * float(np.abs(p - q).sum())

@@ -1,0 +1,116 @@
+"""Theme evolution graph: range-constrained theta self-join + KL kernel.
+
+The reference computes an O(n²) RDD cartesian of all themes and filters
+by (time-order, KL < threshold) — ``KLDivergence.java:40-72`` — and its
+own report documents the quadratic wall (510 s at 500 themes,
+report/evolutionGraph.tex:37-56). The rebuild replaces the cartesian
+with an *equi-join on candidate window starts*: for a bounded gap of G
+windows, each theme row explodes into G candidate successor
+window_starts and hash-joins on equality — O(n·G) pairs, shuffle-
+partitioned, AQE-balanced. The KL kernel runs as a vectorized pandas
+UDF over the aligned probability arrays of each surviving pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernels import kl_divergence, tv_distance
+
+
+def _pair_divergence_udf(kind: str, eps: float, log_max: float):
+    @F.pandas_udf(T.DoubleType())
+    def div(w1: pd.Series, p1: pd.Series, w2: pd.Series, p2: pd.Series) -> pd.Series:
+        out = np.empty(len(w1))
+        for i in range(len(w1)):
+            ids1 = np.asarray(w1.iloc[i], dtype=np.int64)
+            pr1 = np.asarray(p1.iloc[i], dtype=np.float64)
+            ids2 = np.asarray(w2.iloc[i], dtype=np.int64)
+            pr2 = np.asarray(p2.iloc[i], dtype=np.float64)
+            # align on the union support; absent entries get eps smoothing
+            union = np.union1d(ids1, ids2)
+            a = np.full(union.size, eps)
+            b = np.full(union.size, eps)
+            a[np.searchsorted(union, ids1)] = pr1
+            b[np.searchsorted(union, ids2)] = pr2
+            if kind == "tv":
+                out[i] = tv_distance(a, b)
+            else:
+                # direction per reference: D(next ‖ prev)
+                out[i] = kl_divergence(a, b, eps=eps, log_max=log_max)
+        return pd.Series(out)
+
+    return div
+
+
+def theme_transitions(
+    themes: DataFrame,
+    window_length_seconds: int,
+    max_gap_windows: int = 1,
+    threshold: float = 8.0,
+    divergence: str = "kl",
+    eps: float = 1e-12,
+    log_max: float = 27.0,
+) -> DataFrame:
+    """Edges (window1, theme1, window2, theme2, divergence) where window2
+    starts within max_gap_windows after window1 ends and D < threshold.
+
+    Equi-join on exploded candidate successor starts — never a cartesian.
+    """
+    t1 = themes.select(
+        F.col("window_start").alias("window1"),
+        F.col("theme_id").alias("theme1"),
+        F.col("word_ids").alias("w1"),
+        F.col("probs").alias("p1"),
+    ).withColumn(
+        "window2",
+        F.explode(
+            F.sequence(
+                F.col("window1") + F.expr(f"INTERVAL {window_length_seconds} SECONDS"),
+                F.col("window1")
+                + F.expr(f"INTERVAL {max_gap_windows * window_length_seconds} SECONDS"),
+                F.expr(f"INTERVAL {window_length_seconds} SECONDS"),
+            )
+        ),
+    )
+    t2 = themes.select(
+        F.col("window_start").alias("window2"),
+        F.col("theme_id").alias("theme2"),
+        F.col("word_ids").alias("w2"),
+        F.col("probs").alias("p2"),
+    )
+    div = _pair_divergence_udf(divergence, eps, log_max)
+    return (
+        t1.join(t2, "window2", "inner")
+        .withColumn("divergence", div("w1", "p1", "w2", "p2"))
+        .filter(F.col("divergence") < threshold)
+        .select("window1", "theme1", "window2", "theme2", "divergence")
+    )
+
+
+def top_theme_words(themes: DataFrame, lexicon: DataFrame | None, k: int = 10,
+                    min_word_length: int = 4) -> DataFrame:
+    """O3: top-k words per theme by probability (row_number window),
+    optionally resolved through a lexicon with the reference's
+    min-length filter (Theme.java:85-102)."""
+    from pyspark.sql import Window
+
+    exploded = themes.select(
+        "window_start", "theme_id",
+        F.explode(F.arrays_zip("word_ids", "probs")).alias("wp"),
+    ).select(
+        "window_start", "theme_id",
+        F.col("wp.word_ids").alias("word_id"),
+        F.col("wp.probs").alias("p"),
+    )
+    if lexicon is not None:
+        exploded = exploded.join(F.broadcast(lexicon), "word_id", "inner").filter(
+            F.length("word") >= min_word_length)
+    w = Window.partitionBy("window_start", "theme_id").orderBy(
+        F.col("p").desc(), F.col("word_id").asc())
+    return exploded.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)

@@ -1,0 +1,102 @@
+"""Batch composition of the full event-detection pipeline.
+
+One declarative flow, equivalent to the reference's
+``ThemesStrengthOverTime`` entry point (its lifecycle is traced in
+SURVEY.md §3.2) but with zero mid-query driver collects:
+
+    sequences -> quality filters -> (background model) -> window assign
+              -> per-window EM themes -> best-run/theme filters
+              -> per-window HMM train+decode -> event strength rows
+
+Every stage is DataFrame -> DataFrame, so the streaming shell reuses the
+same operators under readStream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+
+from ..operators import background as bg
+from ..operators import em as em_ops
+from ..operators import hmm as hmm_ops
+from ..operators import windows as win
+from ..params import DEFAULTS, Params
+
+
+def _window_seconds(spec: str) -> int:
+    qty, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(qty) * mult
+
+
+def detect_event_stream(
+    sequences: DataFrame,
+    params: Params = DEFAULTS,
+    with_watermark_filter: bool = False,
+) -> DataFrame:
+    """sequences (input-hint shape) -> event rows
+    (window_start, source, theme_id, strength)."""
+    seqs = win.filter_docs(sequences, min_tokens=params.min_doc_tokens)
+    if with_watermark_filter:
+        seqs = win.drop_late(seqs, watermark_delay=params.watermark_delay)
+    # background model over the *unwindowed* corpus: overlapping windows
+    # must not double-count words (ArticleProcessorTest semantics).
+    model = bg.background_model(seqs, min_count=params.min_word_corpus_count)
+    windowed = win.with_time_window(
+        seqs, length=params.window_length, slide=params.window_slide)
+    themes = em_ops.em_themes(
+        windowed, model,
+        k=params.num_themes,
+        iterations=params.em_iterations,
+        lambda_b=params.lambda_background,
+        runs=params.em_runs,
+    )
+    themes = em_ops.best_run_themes(themes)
+    themes = em_ops.filter_themes(
+        themes, params.num_themes, params.theme_score_floor_factor)
+    return hmm_ops.detect_events(
+        windowed, themes, model,
+        max_iterations=params.bw_max_iterations,
+        pi_threshold=params.bw_pi_threshold,
+        a_threshold=params.bw_a_threshold,
+    )
+
+
+def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFrame:
+    """The evolution-graph query (reference EvolutionGraphTest §3.1):
+    themes per window + KL-linked transitions."""
+    from ..operators.transitions import theme_transitions
+
+    seqs = win.filter_docs(sequences, min_tokens=params.min_doc_tokens)
+    model = bg.background_model(seqs, min_count=params.min_word_corpus_count)
+    windowed = win.with_time_window(
+        seqs, length=params.window_length, slide=params.window_slide)
+    themes = em_ops.filter_themes(
+        em_ops.best_run_themes(
+            em_ops.em_themes(
+                windowed, model, k=params.num_themes,
+                iterations=params.em_iterations,
+                lambda_b=params.lambda_background, runs=params.em_runs)),
+        params.num_themes, params.theme_score_floor_factor)
+    return theme_transitions(
+        themes,
+        window_length_seconds=_window_seconds(params.window_length),
+        threshold=params.kl_threshold,
+        divergence=params.divergence,
+        eps=params.kl_epsilon,
+        log_max=params.kl_log_max,
+    )
+
+
+def small_params(**overrides) -> Params:
+    """Parameter preset sized for the sf0.001/sf0.01 test tables."""
+    base = dict(
+        min_doc_tokens=5, min_word_corpus_count=2, num_themes=3,
+        em_iterations=10, em_runs=1, window_length="1 hour",
+        bw_max_iterations=10,
+    )
+    base.update(overrides)
+    return replace(DEFAULTS, **base)
