@@ -1,38 +1,688 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship event-detection query on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data operators) over the driver testdata; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for everything SQL-expressible. Doubles
+are rounded to 6dp on BOTH sides before hashing; timestamps are emitted
+as epoch BIGINTs to sidestep tz-representation differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _documents_as_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences,
+    )
+
+    return documents_to_sequences(_t(spark, sf_dir, "documents"))
+
+
+def _small_params():
+    from bigdata_event_stream_detection_spark.plans.pipeline import small_params
+
+    return small_params(
+        num_themes=3, window_length="1 hour", em_iterations=5,
+        min_doc_tokens=5, min_word_corpus_count=2, bw_max_iterations=5,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize documents -> windowed EM themes -> HMM decode
+    -> detected-event strength rows, on sf0.001."""
+    from bigdata_event_stream_detection_spark.plans.pipeline import (
+        detect_event_stream,
+    )
+
+    seqs = _documents_as_sequences(spark, "/root/testdata/sf0.001")
+    return detect_event_stream(seqs, _small_params())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_word_count(spark, sf_dir):
+    # A1/P1/P3: tokenize + hash agg + min-count filter
+    from bigdata_event_stream_detection_spark.functions.textfns import ascii_words
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ascii_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+def _q_word_count_histogram(spark, sf_dir):
+    # A10: count -> #words histogram
+    from bigdata_event_stream_detection_spark.functions.textfns import ascii_words
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(ascii_words(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    return wc.groupBy(F.col("cnt").alias("occurrences")).agg(
+        F.count("*").alias("n_words"))
+
+
+def _q_background_model(spark, sf_dir):
+    # A1-A3: normalized word distribution over kept words
+    from bigdata_event_stream_detection_spark.functions.textfns import ascii_words
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(ascii_words(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "word", "cnt", F.round(F.col("cnt") / F.col("_total"), 6).alias("p"))
+
+
+def _q_windowed_event_counts(spark, sf_dir):
+    # A8/A4: tumbling 1h event-time window counts
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("ws_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+
+
+def _q_sliding_window_counts(spark, sf_dir):
+    # sliding 1h/30m windows — native window() duplication semantics
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("w", F.window("ts", "1 hour", "30 minutes"))
+        .groupBy(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_session_windows(spark, sf_dir):
+    # batch sessionization, 10 min gap per user
+    ev = _t(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    new_sess = (epoch - F.lag(epoch).over(byu) > 600).cast("int")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(F.coalesce(new_sess, F.lit(0))).over(
+            byu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_timestamp(F.col("ts"))).alias("session_start_epoch"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_topk_event_types_per_user(spark, sf_dir):
+    # O3: top-3 event types per user by count
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3)
+
+
+def _q_argmax_event_type(spark, sf_dir):
+    # A6: per-user argmax event_type by total value (row_number == max_by
+    # with deterministic tiebreak)
+    ev = _t(spark, sf_dir, "events")
+    sums = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 6).alias("total"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("total").desc(), F.col("event_type").asc())
+    return (
+        sums.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "total")
+    )
+
+
+def _q_semi_join_filter(spark, sf_dir):
+    # P4: left-semi join — lineitems restricted to large parts
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        li.join(part.select(F.col("p_partkey").alias("l_partkey")),
+                "l_partkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+    )
+
+
+def _q_revenue_per_nation(spark, sf_dir):
+    # J5: broadcast dims, exact decimal sum
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+def _q_order_priority_histogram(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def _q_moving_avg_counts(spark, sf_dir):
+    # §2.8 frame-spec smoothing: ±2-row moving average of hourly counts
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("ws_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type").orderBy("ws_epoch")
+        .rowsBetween(-2, 2)
+    )
+    return hourly.select(
+        "ws_epoch", "event_type", "n",
+        F.round(F.avg("n").over(w), 6).alias("smoothed"),
+    )
+
+
+def _q_ntile_split(spark, sf_dir):
+    # M4: ntile(4) chunking per event_type by (value, event_id)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiles = ev.withColumn("tile", F.ntile(4).over(w))
+    return tiles.groupBy("event_type", "tile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def _q_union_high_value(spark, sf_dir):
+    # U1: union of two filtered subsets, then agg
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("value") > 50))
+    b = ev.filter(F.col("event_type") == "error")
+    return a.unionByName(b).groupBy("user_id").agg(F.count("*").alias("n"))
+
+
+def _q_distinct_users(spark, sf_dir):
+    # A13
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"))
+
+
+def _q_top_users_by_value(spark, sf_dir):
+    # O5: global top-10 with deterministic tiebreak
+    ev = _t(spark, sf_dir, "events")
+    sums = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    return sums.orderBy(F.col("total").desc(), F.col("user_id").asc()).limit(10)
+
+
+def _q_rollup_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(F.count("*").alias("n"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, rows_per_band=2)
+
+
+def _q_simhash_fingerprints(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.3)
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4)
+
+
+def _q_language_id(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_scores(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_detect_events(spark, sf_dir):
+    # model-kernel pipeline — not SQL-expressible (rows-only check)
+    from bigdata_event_stream_detection_spark.plans.pipeline import (
+        detect_event_stream,
+    )
+
+    seqs = _documents_as_sequences(spark, sf_dir)
+    ev = detect_event_stream(seqs, _small_params())
+    return ev.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        "source", "theme_id", "strength")
+
+
+def _q_evolution_edges(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.plans.pipeline import evolution_graph
+
+    seqs = _documents_as_sequences(spark, sf_dir)
+    g = evolution_graph(seqs, _small_params())
+    return g.select(
+        F.unix_timestamp("window1").alias("w1_epoch"), "theme1",
+        F.unix_timestamp("window2").alias("w2_epoch"), "theme2",
+        F.round("divergence", 6).alias("divergence"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "word_count": _q_word_count,
+        "word_count_histogram": _q_word_count_histogram,
+        "background_model": _q_background_model,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "session_windows": _q_session_windows,
+        "topk_event_types_per_user": _q_topk_event_types_per_user,
+        "argmax_event_type": _q_argmax_event_type,
+        "semi_join_filter": _q_semi_join_filter,
+        "revenue_per_nation": _q_revenue_per_nation,
+        "order_priority_histogram": _q_order_priority_histogram,
+        "moving_avg_counts": _q_moving_avg_counts,
+        "ntile_split": _q_ntile_split,
+        "union_high_value": _q_union_high_value,
+        "distinct_users": _q_distinct_users,
+        "top_users_by_value": _q_top_users_by_value,
+        "rollup_counts": _q_rollup_counts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "language_id": _q_language_id,
+        "quality_scores": _q_quality_scores,
+        "token_counts": _q_token_counts,
+        "fingerprints": _q_fingerprints,
+        "detect_events": _q_detect_events,
+        "evolution_edges": _q_evolution_edges,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_CTE = (
+    "WITH words AS (SELECT doc_id, unnest(list_filter("
+    "string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')) AS word "
+    "FROM documents)"
+)
+
+_SHINGLES_CTE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+         ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS shingle
+  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h60 = "CAST(concat('0x', substr(md5({0}), 1, 15)) AS BIGINT)"
+    return {
+        "word_count": _WORDS_CTE + """
+            SELECT word, count(*) AS cnt FROM words
+            GROUP BY word HAVING count(*) >= 5
+        """,
+        "word_count_histogram": _WORDS_CTE + """
+            , wc AS (SELECT word, count(*) AS cnt FROM words GROUP BY word)
+            SELECT cnt AS occurrences, count(*) AS n_words FROM wc GROUP BY cnt
+        """,
+        "background_model": _WORDS_CTE + """
+            , wc AS (SELECT word, count(*) AS cnt FROM words
+                     GROUP BY word HAVING count(*) >= 5)
+            SELECT word, cnt, round(cnt / (SELECT sum(cnt) FROM wc), 6) AS p
+            FROM wc
+        """,
+        "windowed_event_counts": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws_epoch,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window_counts": """
+            SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS ws_epoch,
+                   event_type, count(*) AS n
+            FROM events, UNNEST([0, 1]) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH g AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                               > 600 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, e,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, min(e) AS session_start_epoch,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "topk_event_types_per_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT * FROM (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type ASC) AS rank
+              FROM c) WHERE rank <= 3
+        """,
+        "argmax_event_type": """
+            WITH s AS (SELECT user_id, event_type,
+                              round(sum(value), 6) AS total
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, event_type, total FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY total DESC, event_type ASC) AS rn FROM s)
+            WHERE rn = 1
+        """,
+        "semi_join_filter": """
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+            GROUP BY l_returnflag
+        """,
+        "revenue_per_nation": """
+            SELECT n_name AS nation, count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "order_priority_histogram": """
+            SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+        """,
+        "moving_avg_counts": """
+            WITH h AS (
+              SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws_epoch,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT ws_epoch, event_type, n,
+                   round(avg(n) OVER (PARTITION BY event_type ORDER BY ws_epoch
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+                   AS smoothed
+            FROM h
+        """,
+        "ntile_split": """
+            WITH t AS (
+              SELECT event_type, value,
+                     ntile(4) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS tile
+              FROM events)
+            SELECT event_type, tile, count(*) AS n,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM t GROUP BY 1, 2
+        """,
+        "union_high_value": """
+            SELECT user_id, count(*) AS n FROM (
+              SELECT user_id FROM events
+              WHERE event_type = 'click' AND value > 50
+              UNION ALL
+              SELECT user_id FROM events WHERE event_type = 'error')
+            GROUP BY user_id
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "top_users_by_value": """
+            SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS total
+            FROM events GROUP BY user_id
+            ORDER BY total DESC, user_id ASC LIMIT 10
+        """,
+        "rollup_counts": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY ROLLUP(event_type)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_lsh": _SHINGLES_CTE + f"""
+            , seeded AS (
+              SELECT doc_id, seed,
+                     min({h60.format("seed || ':' || shingle")}) AS minhash
+              FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+              GROUP BY doc_id, seed
+            ), bands AS (
+              SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ','
+                                ORDER BY seed) AS band_sig
+              FROM seeded GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        """,
+        "simhash_fingerprints": _WORDS_CTE + f"""
+            , wc AS (SELECT doc_id, word, count(*) AS cnt,
+                            {h60.format("word")} AS h
+                     FROM words GROUP BY doc_id, word),
+            votes AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt
+                              ELSE -cnt END) AS v
+              FROM wc, UNNEST(range(0, 16)) AS b(bit)
+              GROUP BY doc_id, bit)
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                            ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "dedup_ngram_jaccard": _SHINGLES_CTE + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc1, doc2,
+                   round(common / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+            FROM common
+            JOIN sizes s1 ON s1.doc_id = doc1
+            JOIN sizes s2 ON s2.doc_id = doc2
+            WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.3
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id1, id2, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(qv, c.v)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM q JOIN e c ON c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "language_id": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> x IN ('the','a','and','of','to','in',
+                    'is','on','for','with'))) / greatest(len(ws), 1) AS en,
+                len(list_filter(ws, x -> x IN ('le','la','et','de','un','une',
+                    'dans','est','pour','sur'))) / greatest(len(ws), 1) AS fr
+              FROM w)
+            SELECT doc_id, round(en, 6) AS en_ratio, round(fr, 6) AS fr_ratio,
+                   CASE WHEN en >= fr THEN 'en' ELSE 'fr' END AS pred_lang
+            FROM r
+        """,
+        "quality_scores": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                len(ws) AS n_words,
+                CASE WHEN len(ws) > 0 THEN
+                  list_sum(list_transform(ws, x -> len(x)))::DOUBLE / len(ws)
+                ELSE 0.0 END AS awl,
+                (length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                  / greatest(length(text), 1) AS pr,
+                len(list_filter(ws, x -> x IN ('the','a','and','of','to','in',
+                    'is','on','for','with')))::DOUBLE
+                  / greatest(len(ws), 1) AS sr
+              FROM w)
+            SELECT doc_id, n_words, round(awl, 6) AS avg_word_len,
+                   round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+                   round(least(n_words / 100.0, 1.0) * 0.4
+                         + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+                         + least(sr * 5.0, 1.0) * 0.3, 6) AS quality_score
+            FROM f
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprints": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents)
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(ws)), ' '))
+                   AS fingerprint
+            FROM w
+        """,
+        # detect_events / evolution_edges / ann_lsh_topk: model kernels &
+        # engine-specific LSH — not SQL-expressible; rows-only checks.
+    }

@@ -1,0 +1,209 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+* exact        — md5-of-text hash groupBy (one shuffle on a 32-char key)
+* minhash+LSH  — shingle -> md5 minhash signature -> band -> bucket
+                 equi-join; candidate pairs only ever meet inside a
+                 band bucket, never a cartesian
+* simhash      — 16-bit sign-of-weighted-bits fingerprint; near-dups
+                 collide on the exact fingerprint (cheap first pass)
+* n-gram Jaccard — shared-shingle equi-join + count ratio; the join key
+                 is the shingle so only docs sharing content meet
+
+All are pure Column-expression / relational plans (no Python UDFs), so
+at 100 TB they run entirely in Tungsten codegen, and every one has an
+exactly-equivalent DuckDB oracle via the portable md5-based hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import ascii_words, hash60, shingles
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Group identical texts; emit (keep_doc_id, n_dups, text_hash).
+
+    keep_doc_id is min(doc_id) — the deterministic survivor.
+    """
+    return (
+        documents.select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct — the base relation for minhash/jaccard."""
+    return documents.select(
+        "doc_id",
+        F.explode(shingles(ascii_words(F.col("text")), k)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of h(seed || shingle).
+
+    The seed dimension comes from a tiny exploded sequence (J1-style
+    replication); the min is a hash aggregate with map-side partials.
+    """
+    sh = doc_shingles(documents, shingle_k)
+    seeded = sh.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    return (
+        seeded.withColumn(
+            "h",
+            hash60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidates: docs agreeing on all minhashes of some band.
+
+    band signature = concat of the band's minhashes; a self-equi-join on
+    (band, signature) produces candidates — the classic LSH bucket join.
+    """
+    sig = minhash_signatures(documents, num_hashes, shingle_k).withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    # collect_list order is nondeterministic — sort by seed before joining
+    bands = sig.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_sig")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc1"), "band", "band_sig")
+    right = bands.select(
+        F.col("doc_id").alias("doc2"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated bit fingerprint.
+
+    words x bit-positions via a tiny exploded sequence; per (doc, bit)
+    the weighted vote is sum(±count); the fingerprint folds bits back
+    with sum(bit << pos). Two shuffles on (doc_id[, bit]) — both hash
+    aggs with partial aggregation.
+    """
+    words = (
+        documents.select(
+            "doc_id", F.explode(ascii_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", hash60(F.col("word")))
+    )
+    votes = (
+        words.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("(h >> bit) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_groups(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical simhash fingerprint (near-dup buckets)."""
+    s = simhash(documents, bits)
+    return (
+        s.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, shingle_k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """(doc1, doc2, jaccard) for pairs above threshold.
+
+    Docs only meet through a shared shingle (equi-join on the shingle),
+    so complexity is bounded by real content overlap, not n². Shingle
+    sizes come from one pre-agg; jaccard = common / (n1 + n2 - common).
+    """
+    sh = doc_shingles(documents, shingle_k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "doc1").join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force all-pairs).
+
+    The scale path is LSH bucketing (similarity.lsh_bucket_topk); this
+    exact variant is the oracle-checkable baseline.
+    """
+    from .similarity import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = embeddings.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", cosine_expr(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+    )
+
+
+def dedup_keep_first(documents: DataFrame, pair_df: DataFrame) -> DataFrame:
+    """Resolve candidate pairs into a kept-set: drop every doc that has a
+    smaller-id duplicate partner (deterministic survivor rule)."""
+    losers = pair_df.select(F.col("doc2").alias("doc_id")).distinct()
+    return documents.join(losers, "doc_id", "left_anti")
