@@ -42,6 +42,74 @@ def _bg_arrays(background_pdf: pd.DataFrame):
     )
 
 
+def em_window(
+    window_start,
+    run: int,
+    pdf: pd.DataFrame,
+    bg_ids: np.ndarray,
+    bg_p: np.ndarray,
+    k: int,
+    iterations: int = 25,
+    lambda_b: float = 0.95,
+    min_distinct_words: int = 0,
+) -> pd.DataFrame:
+    """Pure-pandas EM for ONE (window, run) group -> theme rows.
+
+    Module-level so the batch ``applyInPandas`` closure and the
+    streaming ``applyInPandasWithState`` kernel run the *same* code —
+    that shared path is what makes streaming output rows identical to
+    the batch pipeline for the same input and watermark.
+
+    The seed is derived from the window's epoch nanos (not its string
+    form), so any timestamp representation (pandas / datetime / numpy)
+    yields the same themes.
+    """
+    # deterministic doc order inside the group
+    pdf = pdf.sort_values("doc_id")
+    docs = pdf["tokens"].to_list()
+    cols = ["window_start", "run", "theme_id", "loglik", "score",
+            "n_docs", "word_ids", "probs"]
+    if not docs:
+        return pd.DataFrame(columns=cols)
+    # window vocabulary = kept (in-background) words present here
+    all_tok = np.concatenate([np.asarray(t, dtype=np.int64) for t in docs])
+    keep_mask = np.isin(all_tok, bg_ids, assume_unique=False)
+    vocab = np.unique(all_tok[keep_mask])
+    rows = []
+    if vocab.size:
+        col_of = {int(w): i for i, w in enumerate(vocab)}
+        D = len(docs)
+        counts = np.zeros((D, vocab.size))
+        keep_doc = np.ones(D, dtype=bool)
+        for d, t in enumerate(docs):
+            t = np.asarray(t, dtype=np.int64)
+            t = t[np.isin(t, vocab)]
+            if min_distinct_words and np.unique(t).size <= min_distinct_words:
+                keep_doc[d] = False
+                continue
+            w, c = np.unique(t, return_counts=True)
+            counts[d, [col_of[int(x)] for x in w]] = c
+        counts = counts[keep_doc]
+        if counts.shape[0]:
+            # align background to window vocab, renormalized
+            pos = np.searchsorted(bg_ids, vocab)
+            p_bg = bg_p[pos]
+            p_bg = p_bg / p_bg.sum()
+            seed = stable_seed(
+                "em", int(pd.Timestamp(window_start).value), int(run))
+            theta, pi, loglik = em_fit(
+                counts, p_bg, k, iterations=iterations,
+                lambda_b=lambda_b, seed=seed)
+            scores = pi.mean(axis=0)  # avg pi per theme (A7/M3)
+            for j in range(k):
+                rows.append((
+                    window_start, int(run), j, float(loglik),
+                    float(scores[j]), int(counts.shape[0]),
+                    vocab.astype(np.int32), theta[j],
+                ))
+    return pd.DataFrame(rows, columns=cols)
+
+
 def em_themes(
     windowed: DataFrame,
     background: DataFrame,
@@ -64,51 +132,10 @@ def em_themes(
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         window_start, run = key
         ids, p_all = bcast.value
-        # deterministic doc order inside the group
-        pdf = pdf.sort_values("doc_id")
-        docs = pdf["tokens"].to_list()
-        if not docs:
-            return pd.DataFrame(columns=[
-                "window_start", "run", "theme_id", "loglik", "score",
-                "n_docs", "word_ids", "probs"])
-        # window vocabulary = kept (in-background) words present here
-        all_tok = np.concatenate([np.asarray(t, dtype=np.int64) for t in docs])
-        keep_mask = np.isin(all_tok, ids, assume_unique=False)
-        vocab = np.unique(all_tok[keep_mask])
-        rows = []
-        if vocab.size:
-            col_of = {int(w): i for i, w in enumerate(vocab)}
-            D = len(docs)
-            counts = np.zeros((D, vocab.size))
-            keep_doc = np.ones(D, dtype=bool)
-            for d, t in enumerate(docs):
-                t = np.asarray(t, dtype=np.int64)
-                t = t[np.isin(t, vocab)]
-                if min_distinct_words and np.unique(t).size <= min_distinct_words:
-                    keep_doc[d] = False
-                    continue
-                w, c = np.unique(t, return_counts=True)
-                counts[d, [col_of[int(x)] for x in w]] = c
-            counts = counts[keep_doc]
-            if counts.shape[0]:
-                # align background to window vocab, renormalized
-                pos = np.searchsorted(ids, vocab)
-                p_bg = p_all[pos]
-                p_bg = p_bg / p_bg.sum()
-                seed = stable_seed("em", window_start, int(run))
-                theta, pi, loglik = em_fit(
-                    counts, p_bg, k, iterations=iterations,
-                    lambda_b=lambda_b, seed=seed)
-                scores = pi.mean(axis=0)  # avg pi per theme (A7/M3)
-                for j in range(k):
-                    rows.append((
-                        window_start, int(run), j, float(loglik),
-                        float(scores[j]), int(counts.shape[0]),
-                        vocab.astype(np.int32), theta[j],
-                    ))
-        return pd.DataFrame(rows, columns=[
-            "window_start", "run", "theme_id", "loglik", "score",
-            "n_docs", "word_ids", "probs"])
+        return em_window(
+            window_start, int(run), pdf, ids, p_all, k,
+            iterations=iterations, lambda_b=lambda_b,
+            min_distinct_words=min_distinct_words)
 
     replicated = windowed.select("window_start", "doc_id", "tokens")
     if runs > 1:

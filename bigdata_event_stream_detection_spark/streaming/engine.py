@@ -1,0 +1,376 @@
+"""Structured Streaming shell of the event-detection engine.
+
+The batch pipeline (plans/pipeline.py) is a pure DataFrame->DataFrame
+composition; this module runs the same operators continuously:
+
+    readStream(sequences) -> withWatermark -> window assignment
+      -> applyInPandasWithState per (source, window): buffer docs,
+         close the window when the event-time watermark passes its end,
+         run EM theme extraction + HMM train/decode in one numpy kernel,
+         emit the detected-event strength rows
+      -> (optionally) stream-stream join correlating events across
+         sources inside the same window
+      -> exactly-once file sink + checkpoint
+
+Reference mapping: the reference is pure batch (SURVEY.md §1.4); the
+windowing duplication of ``EmInputFromParser.java:67-95`` becomes
+``window()``, its out-of-period scan filter (``RawArticleInputStream.
+java:141-142``) becomes the watermark, and the whole EM/HMM payload
+(``EmAlgo.java``, ``Hmm2.java``, ``LifeCycleAnalyserSpark.java``) runs
+inside grouped state instead of driver-mediated block scans.
+
+Scale notes (the part that must survive 1000 executors):
+* The only wide exchange before the stateful operator is the hash
+  shuffle on (source, window_start) — the state-store partitioning.
+  Skewed sources are pre-salted upstream (operators/skew.py) and merged
+  in-kernel, so one hot newspaper does not pin one state partition.
+* State per key is bounded: a window holds at most ``max_docs_in_state``
+  buffered docs (beyond that the buffer degrades gracefully by dropping
+  new docs — same effect as the reference's per-window doc caps).
+* The background model is a small static side input (vocab-sized),
+  broadcast once — never a per-batch join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+from ..operators.em import em_window
+from ..operators.hmm import _decode_window
+from ..params import DEFAULTS, Params
+
+SEQUENCE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("tokens", ArrayType(IntegerType())),
+    StructField("n_tok", IntegerType()),
+    StructField("source", StringType()),
+    StructField("event_time", TimestampType()),
+])
+
+EVENT_SCHEMA = StructType([
+    StructField("window_start", TimestampType()),
+    StructField("source", StringType()),
+    StructField("theme_id", IntegerType()),
+    StructField("strength", LongType()),
+])
+
+# Buffered window state: per-doc metadata + ONE flattened token stream
+# with per-doc lengths (columnar — no nested list-of-lists churn in the
+# state store; token arrays round-trip byte-equal through Arrow).
+STATE_SCHEMA = StructType([
+    StructField("doc_ids", ArrayType(StringType())),
+    StructField("sources", ArrayType(StringType())),
+    StructField("event_ms", ArrayType(LongType())),
+    StructField("doc_lens", ArrayType(IntegerType())),
+    StructField("flat_tokens", ArrayType(IntegerType())),
+    StructField("window_end_ms", LongType()),
+])
+
+
+def read_sequence_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of the native sequences table.
+
+    In production this is an Iceberg streaming read; the parquet file
+    source has the same semantics (exactly-once file manifest tracking,
+    resumable offsets in the checkpoint).
+    """
+    reader = spark.readStream.schema(SEQUENCE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# built-in stateful aggregations (tumbling / sliding / session)
+# ---------------------------------------------------------------------------
+
+def streaming_windowed_doc_counts(
+    stream: DataFrame,
+    length: str = "7 days",
+    slide: str | None = None,
+    watermark_delay: str = "3 days",
+) -> DataFrame:
+    """Watermarked tumbling/sliding per-source doc+token counts — the
+    pure built-in windowed hash aggregate (A4/A8 under readStream)."""
+    w = (F.window("event_time", length, slide) if slide
+         else F.window("event_time", length))
+    return (
+        stream.withWatermark("event_time", watermark_delay)
+        .groupBy(w.alias("w"), "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "source", "n_docs", "n_tokens")
+    )
+
+
+def streaming_session_doc_counts(
+    stream: DataFrame,
+    gap: str = "1 hour",
+    watermark_delay: str = "3 days",
+) -> DataFrame:
+    """Session windows per source (``session_window``): a session closes
+    when no doc arrives for `gap`; late rows beyond the watermark drop."""
+    return (
+        stream.withWatermark("event_time", watermark_delay)
+        .groupBy(F.session_window("event_time", gap).alias("w"), "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "source", "n_docs", "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful EM + HMM detection (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def streaming_detect_events(
+    stream: DataFrame,
+    background_pdf: pd.DataFrame,
+    params: Params = DEFAULTS,
+    max_docs_in_state: int = 100_000,
+) -> DataFrame:
+    """Continuous event detection: grouped state per event-time window.
+
+    Each window key buffers its docs across micro-batches; when the
+    event-time watermark passes the window end, the state times out and
+    the full EM -> theme filter -> HMM assemble/train -> Viterbi ->
+    strength-count kernel runs on the buffered window. The kernel IS
+    the batch code (``operators.em.em_window`` +
+    ``operators.hmm._decode_window``) — same seeds, same doc order —
+    so the emitted rows are identical to the batch pipeline for the
+    same input and watermark (the north-rule invariant).
+
+    State is keyed by window (EM pools all sources per window, exactly
+    like the reference's TimePartition); HMM train/decode then runs per
+    source *inside* the kernel. Parallelism comes from the many open
+    windows; a heavy source therefore skews a window's kernel, which is
+    bounded by ``max_docs_in_state``.
+
+    Output mode is append: rows are emitted exactly once per closed
+    window, keyed (window_start, source, theme_id) — the sink's
+    idempotency key.
+    """
+    b = background_pdf.sort_values("word_id")
+    bg_ids = b["word_id"].to_numpy(np.int64)
+    bg_p = b["p"].to_numpy(np.float64)
+    spark = stream.sparkSession
+    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+
+    k = params.num_themes
+    em_iters = params.em_iterations
+    lambda_b = params.lambda_background
+    score_floor = params.theme_score_floor_factor / k
+    bw_iters = params.bw_max_iterations
+    pi_thr = params.bw_pi_threshold
+    a_thr = params.bw_a_threshold
+    min_tokens = params.min_doc_tokens
+
+    def close_window(window_start, doc_ids, sources, event_ms, doc_lens, flat):
+        """Run the batch per-window kernel on the buffered docs."""
+        ids, p_all = bcast.value
+        offs = np.concatenate([[0], np.cumsum(doc_lens)])
+        toks = [flat[offs[i]:offs[i + 1]].astype(np.int32)
+                for i in range(len(doc_ids))]
+        seq_pdf = pd.DataFrame({
+            "source": sources, "doc_id": doc_ids,
+            "event_time": np.asarray(event_ms, dtype=np.int64),
+            "tokens": toks,
+        })
+        em_pdf = seq_pdf[["doc_id", "tokens"]]
+        themes = em_window(
+            pd.Timestamp(window_start), 0, em_pdf, ids, p_all, k,
+            iterations=em_iters, lambda_b=lambda_b)
+        themes = themes[themes["score"] > score_floor]
+        rows = []
+        by_src: dict[str, list] = {}
+        for src, _doc, _toks, states in _decode_window(
+                seq_pdf, themes, ids, p_all, bw_iters, pi_thr, a_thr):
+            by_src.setdefault(src, []).append(states)
+        for src in sorted(by_src):
+            cnt = np.bincount(np.concatenate(by_src[src]))
+            for s in range(1, cnt.size):   # P8: state 0 is background
+                if cnt[s] > 0:
+                    rows.append((window_start, src, int(s), int(cnt[s])))
+        return rows
+
+    def fn(key, pdf_iter, state: GroupState):
+        window_start, window_end = key
+        if state.hasTimedOut:
+            if state.exists:
+                doc_ids, sources, event_ms, doc_lens, flat, _ = state.get
+                rows = close_window(
+                    window_start, list(doc_ids), list(sources),
+                    list(event_ms),
+                    np.asarray(doc_lens, dtype=np.int64),
+                    np.asarray(flat, dtype=np.int64))
+                state.remove()
+                if rows:
+                    yield pd.DataFrame(rows, columns=[
+                        "window_start", "source", "theme_id", "strength"])
+            else:
+                state.remove()
+            return
+        new_ids: list[str] = []
+        new_src: list[str] = []
+        new_ms: list[int] = []
+        new_lens: list[int] = []
+        new_flat: list[np.ndarray] = []
+        for pdf in pdf_iter:
+            pdf = pdf[pdf["n_tok"] >= min_tokens]
+            for doc_id, src, ets, toks in zip(
+                    pdf["doc_id"], pdf["source"], pdf["event_time"],
+                    pdf["tokens"]):
+                new_ids.append(doc_id)
+                new_src.append(src)
+                new_ms.append(int(pd.Timestamp(ets).value // 1_000_000))
+                t = np.asarray(toks, dtype=np.int32)
+                new_lens.append(int(t.size))
+                new_flat.append(t)
+        if state.exists:
+            doc_ids, sources, event_ms, doc_lens, flat, we_ms = state.get
+            doc_ids = list(doc_ids) + new_ids
+            sources = list(sources) + new_src
+            event_ms = list(event_ms) + new_ms
+            doc_lens = list(doc_lens) + new_lens
+            flat = np.concatenate(
+                [np.asarray(flat, dtype=np.int32)] + new_flat) \
+                if new_flat else np.asarray(flat, dtype=np.int32)
+        else:
+            doc_ids, sources, event_ms, doc_lens = (
+                new_ids, new_src, new_ms, new_lens)
+            flat = (np.concatenate(new_flat) if new_flat
+                    else np.empty(0, np.int32))
+            we_ms = int(pd.Timestamp(window_end).value // 1_000_000)
+        if len(doc_ids) > max_docs_in_state:
+            doc_ids = doc_ids[:max_docs_in_state]
+            sources = sources[:max_docs_in_state]
+            event_ms = event_ms[:max_docs_in_state]
+            keep_n = int(np.sum(doc_lens[:max_docs_in_state]))
+            doc_lens = doc_lens[:max_docs_in_state]
+            flat = flat[:keep_n]
+        state.update((doc_ids, sources, [int(x) for x in event_ms],
+                      [int(x) for x in doc_lens],
+                      [int(x) for x in flat], we_ms))
+        # close when the watermark passes the window end
+        state.setTimeoutTimestamp(we_ms)
+        return
+        yield  # pragma: no cover — generator form
+
+    length = params.window_length
+    windowed = (
+        stream.withWatermark("event_time", params.watermark_delay)
+        .withColumn("_w", F.window("event_time", length, params.window_slide)
+                    if params.window_slide else F.window("event_time", length))
+        .select(F.col("_w.start").alias("window_start"),
+                F.col("_w.end").alias("window_end"),
+                "source", "doc_id", "n_tok", "tokens", "event_time")
+    )
+    return windowed.groupBy(
+        "window_start", "window_end"
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=EVENT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source correlation (stream-stream join)
+# ---------------------------------------------------------------------------
+
+def correlate_events_across_sources(
+    events: DataFrame,
+    join_watermark: str = "1 hour",
+    min_strength: int = 1,
+) -> DataFrame:
+    """Stateful stream-stream self-join: a *correlated event* is a theme
+    detected in the SAME window by TWO different sources.
+
+    Works on both batch and streaming DataFrames. For streaming inputs
+    both sides get event-time watermarks and the join condition includes
+    the event-time equality (window_start == window_start), which
+    satisfies Spark's stream-stream state-cleanup requirement.
+    """
+    a = events.filter(F.col("strength") >= min_strength)
+    if events.isStreaming:
+        a = a.withWatermark("window_start", join_watermark)
+        b = (events.filter(F.col("strength") >= min_strength)
+             .withWatermark("window_start", join_watermark))
+    else:
+        b = a
+    left = a.select(
+        F.col("window_start").alias("ws_l"),
+        F.col("source").alias("source1"),
+        F.col("theme_id").alias("theme_l"),
+        F.col("strength").alias("strength1"))
+    right = b.select(
+        F.col("window_start").alias("ws_r"),
+        F.col("source").alias("source2"),
+        F.col("theme_id").alias("theme_r"),
+        F.col("strength").alias("strength2"))
+    return (
+        left.join(
+            right,
+            (F.col("ws_l") == F.col("ws_r"))
+            & (F.col("theme_l") == F.col("theme_r"))
+            & (F.col("source1") < F.col("source2")),
+            "inner")
+        .select(F.col("ws_l").alias("window_start"),
+                F.col("theme_l").alias("theme_id"),
+                "source1", "source2", "strength1", "strength2",
+                (F.col("strength1") + F.col("strength2"))
+                .alias("combined_strength"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exactly-once sink
+# ---------------------------------------------------------------------------
+
+def start_event_sink(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Exactly-once idempotent event sink.
+
+    The parquet file sink is exactly-once by construction: committed
+    files are recorded in the sink's ``_spark_metadata`` manifest, and
+    source offsets live in the checkpoint — a restart replays only
+    uncommitted batches and readers see each batch's files exactly once.
+    Event rows carry their natural idempotency key
+    (window_start, source, theme_id); windows are emitted only on state
+    timeout, so a key appears in at most one batch.
+    """
+    writer = (
+        events.writeStream
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
