@@ -329,6 +329,99 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_intersect_users(spark, sf_dir):
+    # §2.6: INTERSECT — users with both click and error events
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+def _q_except_quality_docs(spark, sf_dir):
+    # §2.6: EXCEPT — documents minus the short-text set
+    docs = _t(spark, sf_dir, "documents")
+    short = docs.filter(F.col("n_chars") < 200)
+    return docs.select("doc_id").exceptAll(short.select("doc_id"))
+
+
+def _q_cube_counts(spark, sf_dir):
+    # §2.3: CUBE over (event_type, lang-bucket) with grouping ids
+    ev = _t(spark, sf_dir, "events")
+    bucketed = ev.withColumn("vbucket", (F.col("value") / 25).cast("int"))
+    return (
+        bucketed.cube("event_type", "vbucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("vbucket"), F.lit(-1)).alias("vbucket"),
+            "n",
+        )
+    )
+
+
+def _q_salted_source_counts(spark, sf_dir):
+    # skew-mitigated two-phase aggregation; result == plain groupBy
+    from bigdata_event_stream_detection_spark.operators.skew import (
+        salted_token_counts,
+    )
+
+    seqs = _documents_as_sequences(spark, sf_dir)
+    return salted_token_counts(seqs, buckets=16)
+
+
+def _q_media_features(spark, sf_dir):
+    # multimodal plumbing: documents' text bytes as opaque payloads ->
+    # Arrow-batched (stub-)decode -> fixed-dim features. Not
+    # SQL-expressible (hash-seeded decode); rows-only check.
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.expr(
+            "named_struct('width', 64, 'height', 64, 'sample_rate', "
+            "cast(null as int), 'n_frames', cast(null as int), "
+            "'codec', 'png')").alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("feature_sum"))
+
+
+def _q_theme_top_words(spark, sf_dir):
+    # O3/O7: top-k words per extracted theme (model-dependent; rows-only)
+    from bigdata_event_stream_detection_spark.operators import (
+        background as bg_ops,
+    )
+    from bigdata_event_stream_detection_spark.operators import em as em_ops
+    from bigdata_event_stream_detection_spark.operators import windows as win
+    from bigdata_event_stream_detection_spark.operators.transitions import (
+        top_theme_words,
+    )
+
+    p = _small_params()
+    seqs = _documents_as_sequences(spark, sf_dir)
+    seqs = win.filter_docs(seqs, min_tokens=p.min_doc_tokens).persist()
+    model = bg_ops.background_model(seqs, min_count=p.min_word_corpus_count)
+    windowed = win.with_time_window(seqs, length=p.window_length)
+    themes = em_ops.filter_themes(
+        em_ops.best_run_themes(
+            em_ops.em_themes(windowed, model, k=p.num_themes,
+                             iterations=p.em_iterations,
+                             lambda_b=p.lambda_background)),
+        p.num_themes, p.theme_score_floor_factor)
+    tw = top_theme_words(themes, lexicon=None, k=5)
+    return tw.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        "theme_id", "word_id", "rank")
+
+
 def _q_detect_events(spark, sf_dir):
     # model-kernel pipeline — not SQL-expressible (rows-only check)
     from bigdata_event_stream_detection_spark.plans.pipeline import (
@@ -383,6 +476,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprints,
+        "intersect_users": _q_intersect_users,
+        "except_quality_docs": _q_except_quality_docs,
+        "cube_counts": _q_cube_counts,
+        "salted_source_counts": _q_salted_source_counts,
+        "media_features": _q_media_features,
+        "theme_top_words": _q_theme_top_words,
         "detect_events": _q_detect_events,
         "evolution_edges": _q_evolution_edges,
     }
@@ -545,10 +644,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_minhash_lsh": _SHINGLES_CTE + f"""
-            , seeded AS (
+            , hashed AS (
+              SELECT doc_id,
+                     {h60.format("shingle")} % 35184372088832 AS h
+              FROM sh
+            ), seeded AS (
               SELECT doc_id, seed,
-                     min({h60.format("seed || ':' || shingle")}) AS minhash
-              FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+                     min((h * ((seed * 2 + 1) * 12347) + seed * 7919)
+                         % 35184372088832) AS minhash
+              FROM hashed, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
               GROUP BY doc_id, seed
             ), bands AS (
               SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
@@ -683,6 +787,42 @@ def oracle_sql() -> dict[str, str]:
                    AS fingerprint
             FROM w
         """,
-        # detect_events / evolution_edges / ann_lsh_topk: model kernels &
-        # engine-specific LSH — not SQL-expressible; rows-only checks.
+        "intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "except_quality_docs": """
+            SELECT doc_id FROM documents
+            EXCEPT ALL
+            SELECT doc_id FROM documents WHERE n_chars < 200
+        """,
+        "cube_counts": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(vbucket, -1) AS vbucket, count(*) AS n
+            FROM (SELECT event_type,
+                         CAST(trunc(value / 25) AS INT) AS vbucket
+                  FROM events)  -- trunc: Spark's int cast truncates,
+                                -- DuckDB's rounds
+            GROUP BY CUBE(event_type, vbucket)
+        """,
+        # salted_source_counts: the salt is internal; the oracle is the
+        # plain per-source aggregate the salted two-phase plan must equal.
+        "salted_source_counts": _WORDS_CTE.replace(
+            "WITH words AS", "WITH words AS") + """
+            , lex AS (SELECT word FROM words GROUP BY word),
+            kept AS (
+              SELECT d.doc_id, d.source, count(*) AS n_tok
+              FROM (SELECT doc_id, source,
+                           unnest(list_filter(string_split_regex(
+                               lower(text), '[^a-z]+'), w -> w <> '')) AS word
+                    FROM documents) d
+              JOIN lex USING (word)
+              GROUP BY d.doc_id, d.source)
+            SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+            FROM kept GROUP BY source
+        """,
+        # detect_events / evolution_edges / ann_lsh_topk / media_features
+        # / theme_top_words: model kernels & engine-specific transforms —
+        # not SQL-expressible; rows-only checks.
     }

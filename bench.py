@@ -24,11 +24,9 @@ import sys
 import time
 
 
+# Relational core first (warms the JVM/JIT for everyone), then the
+# training-data operators, then the model pipelines (the heavy tail).
 HEADLINE = [
-    # flagship model pipeline (EM themes -> HMM decode -> event rows)
-    "detect_events",
-    # evolution graph (EM + range-bounded KL self-join)
-    "evolution_edges",
     # relational core
     "word_count",
     "background_model",
@@ -39,11 +37,15 @@ HEADLINE = [
     "semi_join_filter",
     "revenue_per_nation",
     # training-data operators
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "quality_scores",
     "token_counts",
+    "quality_scores",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    # evolution graph (EM + range-bounded KL self-join)
+    "evolution_edges",
+    # flagship model pipeline (EM themes -> HMM decode -> event rows)
+    "detect_events",
 ]
 
 

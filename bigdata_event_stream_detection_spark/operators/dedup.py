@@ -47,25 +47,38 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     ).distinct()
 
 
+MINHASH_BASE_MOD = 1 << 45  # keep seed-mixed values inside BIGINT
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of h(seed || shingle).
+    """(doc_id, seed, minhash): min over shingles of a seed-mixed hash.
 
-    The seed dimension comes from a tiny exploded sequence (J1-style
-    replication); the min is a hash aggregate with map-side partials.
+    ONE md5 per (doc, shingle); the per-seed family is derived by a
+    multiply-mod permutation ``(h * a_seed + b_seed) mod 2^45`` with
+    odd multipliers — the md5 is the expensive part (at 100 TB it
+    dominates the stage), so hashing once and permuting k times is
+    ~k-fold cheaper than hashing k times. The mod wrap makes each
+    seed's ordering independent (a monotone transform would collapse
+    every seed's argmin onto the same shingle and degenerate the LSH
+    family). Intermediates stay < 2^62: BIGINT-safe in both engines
+    (DuckDB errors on signed overflow, so headroom matters for oracle
+    parity). The min is a hash agg with map-side partials.
     """
-    sh = doc_shingles(documents, shingle_k)
+    sh = doc_shingles(documents, shingle_k).withColumn(
+        "h", hash60(F.col("shingle")) % F.lit(MINHASH_BASE_MOD))
     seeded = sh.withColumn(
         "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
     )
+    # a_seed = (2*seed+1)*12347 (odd, < 2^18) -> h*a < 2^62; b = 7919*seed
     return (
         seeded.withColumn(
-            "h",
-            hash60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
-        )
+            "hs",
+            (F.col("h") * ((F.col("seed") * 2 + 1) * 12347)
+             + F.col("seed") * 7919) % F.lit(MINHASH_BASE_MOD))
         .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("hs").alias("minhash"))
     )
 
 
@@ -184,22 +197,17 @@ def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force all-pairs).
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).
 
-    The scale path is LSH bucketing (similarity.lsh_bucket_topk); this
-    exact variant is the oracle-checkable baseline.
+    Delegates to the blocked-GEMM scorer (similarity.embedding_all_
+    pairs): each batch × full-matrix multiply, threshold applied in the
+    kernel, only qualifying (id1 < id2) pairs materialize. The scale
+    path replaces the broadcast side with LSH buckets
+    (similarity.lsh_bucket_topk).
     """
-    from .similarity import cosine_expr
+    from .similarity import embedding_all_pairs
 
-    a = embeddings.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = embeddings.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", cosine_expr(F.col("v1"), F.col("v2")))
-        .filter(F.col("cos") >= threshold)
-        .select("id1", "id2", F.round("cos", 6).alias("cos"))
-    )
+    return embedding_all_pairs(embeddings, threshold, id_col, vec_col)
 
 
 def dedup_keep_first(documents: DataFrame, pair_df: DataFrame) -> DataFrame:

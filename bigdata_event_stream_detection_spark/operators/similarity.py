@@ -1,23 +1,31 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: brute-force cosine top-k — a crossJoin against a *broadcast*
-query set (queries are few; the big side streams through codegen, no
-shuffle of the corpus). Scale path: LSH sign-bucketing — corpus and
-queries are both hashed to a bucket key, the join is an equi-join on
-the bucket, and only same-bucket pairs are scored.
+Baseline: brute-force cosine top-k. The scoring loop is a vectorized
+Arrow ``mapInPandas`` kernel: the (small) query set is collected once,
+L2-normalized into a numpy matrix, and each corpus batch is scored with
+one BLAS GEMM (C_norm @ Q_norm.T) — thousands of dot products per
+matrix multiply, zero per-row Python. Each batch emits only its local
+top-k candidates per query (map-side partial top-k, the same trick as
+partial aggregation), so the final exact top-k window touches
+``#batches x q x k`` rows, not ``n x q``.
 
-The dot product / norms are built-in higher-order functions
-(``zip_with`` + ``aggregate``) — JVM-side, no Python. For genuinely
-huge k·d, a pandas UDF over Arrow would batch better; at d≈128 the
-codegen expressions win by skipping Python entirely.
+Scale path: LSH sign-bucketing — corpus and queries are hashed to a
+bucket key, the join is an equi-join on the bucket, and only
+same-bucket pairs are scored. This is the shape that survives a
+10^9-vector corpus; the brute-force GEMM is the per-bucket inner loop.
+
+Plain Column-expression dot/norm helpers are kept for small/ad-hoc use
+and for oracle-equivalent SQL forms, but the hot paths all go through
+the GEMM kernel: interpreted higher-order-function lambdas cost ~100x
+a BLAS inner product at d=64+.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-from ..functions.textfns import hash60
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -40,6 +48,55 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect + L2-normalize the query side (assumed small: it is the
+    probe set, not the corpus)."""
+    pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = pdf[id_col].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    return q_ids, Qn
+
+
+def _topk_candidates(corpus: DataFrame, q_ids, Qn, k: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """mapInPandas GEMM scorer emitting per-batch top-k per query."""
+    spark = corpus.sparkSession
+    bcast = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def score(batches):
+        ids, Qm = bcast.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = Cn @ Qm.T                      # (batch, q) all cosines
+            n_ids = pdf[id_col].to_numpy()
+            # self-match exclusion by id
+            for qi, qid in enumerate(ids):
+                col = S[:, qi]
+                mask = n_ids != qid
+                cand_idx = np.flatnonzero(mask)
+                if cand_idx.size == 0:
+                    continue
+                take = min(k, cand_idx.size)
+                # partial top-k inside the batch (argpartition = O(n))
+                part = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qid, take),
+                    "neighbor_id": n_ids[part],
+                    "cos_raw": col[part],
+                })
+
+    id_type = dict(corpus.dtypes)[id_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cos_raw double")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,55 +104,75 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query: broadcast queries × corpus scan.
+    """Exact top-k neighbors per query.
 
     Output: (query_id, neighbor_id, rank, cos). Self-matches excluded.
-    One shuffle (the top-k window partitioned by query).
+    Plan: corpus scan -> GEMM batch scorer (map-side partial top-k) ->
+    one small shuffle on query_id -> final exact top-k window. The only
+    shuffled data is #batches x q x k candidate rows.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
-    )
+    q_ids, Qn = _query_matrix(queries, id_col, vec_col)
+    cands = _topk_candidates(corpus, q_ids, Qn, k, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc())
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos_raw", 6).alias("cos"))
     )
 
 
-def _sign_bucket(vec: Column, planes: int) -> Column:
-    """LSH bucket id: sign bits against `planes` pseudo-random
-    hyperplanes. Plane p's coefficient for dimension i is a deterministic
-    ±1 from the md5-based hash — portable to the SQL oracle and free of
-    stored codebooks."""
-    def bit(p: int) -> Column:
-        # sum_i coef(p, i) * v_i  with coef = ±1 from hash60(p:i)
-        signed = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, i: F.when(
-                    hash60(F.concat_ws(":", F.lit(str(p)), i.cast("string")))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    v.cast("double"),
-                ).otherwise(-v.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(signed > 0, F.lit(1 << p)).otherwise(F.lit(0))
+def embedding_all_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked GEMM: each corpus batch
+    is scored against the full (broadcast) matrix; only above-threshold
+    (id1 < id2) pairs are emitted. Exact — the oracle-checkable
+    baseline; at 10^9 vectors the LSH bucket join replaces the
+    broadcast side."""
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    all_ids = pdf[id_col].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bcast = spark.sparkContext.broadcast((all_ids, Mn))
 
-    out = F.lit(0)
-    for p in range(planes):
-        out = out + bit(p)
-    return out
+    def score(batches):
+        ids_all, Mm = bcast.value
+        for b in batches:
+            if b.empty:
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = Cn @ Mm.T
+            b_ids = b[id_col].to_numpy()
+            rows_i, cols_j = np.nonzero(
+                (S >= threshold) & (b_ids[:, None] < ids_all[None, :]))
+            if rows_i.size:
+                yield pd.DataFrame({
+                    "id1": b_ids[rows_i],
+                    "id2": ids_all[cols_j],
+                    "cos_raw": S[rows_i, cols_j],
+                })
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    out = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"id1 {id_type}, id2 {id_type}, cos_raw double")
+    return out.select("id1", "id2", F.round("cos_raw", 6).alias("cos"))
+
+
+def _plane_matrix(planes: int, dim: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (planes x dim), seeded from the
+    plane index — no stored codebook, identical on every executor."""
+    from .kernels import stable_seed
+
+    rows = [np.random.default_rng(stable_seed("lsh-plane", p))
+            .standard_normal(dim) for p in range(planes)]
+    return np.stack(rows)
 
 
 def lsh_bucket_topk(
@@ -106,21 +183,69 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: equi-join on the sign-LSH bucket, then exact
+    """Approximate top-k: equi-join on a sign-LSH bucket, then exact
     cosine within bucket. 2^planes buckets; recall trades off with
     planes. The join is a plain hash join on the bucket key — this is
     the shape that survives a 10^9-vector corpus (bucket + shuffle),
-    unlike the brute-force crossJoin."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", _sign_bucket(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", _sign_bucket(F.col("qv"), planes))
+    unlike a brute-force crossJoin.
+
+    Bucket bits and cosines are both numpy kernels: sign(C @ P.T) packs
+    into an int bucket per batch (one GEMM), and the per-bucket scoring
+    is a vectorized pandas UDF over the joined pairs. Zero interpreted
+    per-element expressions.
+    """
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    dim = len(q_pdf[vec_col].iloc[0])
+    P = _plane_matrix(planes, dim)
+    weights = 1 << np.arange(planes)
+
+    def bucket_of(M: np.ndarray) -> np.ndarray:
+        return ((M @ P.T) > 0).astype(np.int64) @ weights
+
+    spark = corpus.sparkSession
+    bc_planes = spark.sparkContext.broadcast(P)
+
+    def add_bucket(batches):
+        Pm = bc_planes.value
+        w = 1 << np.arange(Pm.shape[0])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = ((M @ Pm.T) > 0).astype(np.int64) @ w
+            yield out
+
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        add_bucket,
+        schema=f"{id_col} {id_type}, {vec_col} {vec_type}, bucket long"
+    ).select(F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).alias("cv"), "bucket")
+
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    q_buckets = bucket_of(Q)
+    q = spark.createDataFrame(
+        pd.DataFrame({
+            "query_id": q_pdf[id_col],
+            "qv": [list(map(float, v)) for v in q_pdf[vec_col]],
+            "bucket": q_buckets,
+        }))
+
+    @F.pandas_udf("double")
+    def pair_cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cos", pair_cos(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())

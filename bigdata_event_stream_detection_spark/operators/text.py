@@ -45,10 +45,11 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     words = ascii_words(F.col("text"))
     n_words = F.size(words)
     n_chars = F.length(F.col("text"))
-    avg_word_len = F.when(n_words > 0,
-                          F.aggregate(words, F.lit(0),
-                                      lambda a, w: a + F.length(w))
-                          / n_words).otherwise(F.lit(0.0))
+    # sum of word lengths == length of the concatenation — pure codegen
+    # string op instead of an interpreted per-element aggregate lambda
+    avg_word_len = F.when(
+        n_words > 0,
+        F.length(F.array_join(words, "")) / n_words).otherwise(F.lit(0.0))
     punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9\s]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop = stopword_ratio(words, EN_STOPWORDS)

@@ -38,8 +38,17 @@ def detect_event_stream(
     with_watermark_filter: bool = False,
 ) -> DataFrame:
     """sequences (input-hint shape) -> event rows
-    (window_start, source, theme_id, strength)."""
-    seqs = win.filter_docs(sequences, min_tokens=params.min_doc_tokens)
+    (window_start, source, theme_id, strength).
+
+    The filtered corpus and the theme table are persisted: the corpus
+    lineage is read by the background model, the EM stage, and the HMM
+    cogroup (3 consumers), and `best_run_themes` + the HMM side read
+    themes twice — without a persist the whole upstream scan/tokenize
+    recomputes per consumer (the reference persists at the same points:
+    InputParser.java:108, EmAlgo.java:231).
+    """
+    seqs = win.filter_docs(
+        sequences, min_tokens=params.min_doc_tokens).persist()
     if with_watermark_filter:
         seqs = win.drop_late(seqs, watermark_delay=params.watermark_delay)
     # background model over the *unwindowed* corpus: overlapping windows
@@ -53,7 +62,7 @@ def detect_event_stream(
         iterations=params.em_iterations,
         lambda_b=params.lambda_background,
         runs=params.em_runs,
-    )
+    ).persist()
     themes = em_ops.best_run_themes(themes)
     themes = em_ops.filter_themes(
         themes, params.num_themes, params.theme_score_floor_factor)
@@ -70,7 +79,8 @@ def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFram
     themes per window + KL-linked transitions."""
     from ..operators.transitions import theme_transitions
 
-    seqs = win.filter_docs(sequences, min_tokens=params.min_doc_tokens)
+    seqs = win.filter_docs(
+        sequences, min_tokens=params.min_doc_tokens).persist()
     model = bg.background_model(seqs, min_count=params.min_word_corpus_count)
     windowed = win.with_time_window(
         seqs, length=params.window_length, slide=params.window_slide)
@@ -79,7 +89,8 @@ def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFram
             em_ops.em_themes(
                 windowed, model, k=params.num_themes,
                 iterations=params.em_iterations,
-                lambda_b=params.lambda_background, runs=params.em_runs)),
+                lambda_b=params.lambda_background,
+                runs=params.em_runs).persist()),
         params.num_themes, params.theme_score_floor_factor)
     return theme_transitions(
         themes,

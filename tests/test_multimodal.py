@@ -1,0 +1,75 @@
+"""Multimodal plumbing tests: schema, batch shapes, determinism, and
+the stubbed decode boundary (real codecs are absent by design)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_event_stream_detection_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synth_media(spark, 60, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_media_schema_and_kinds(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features_shape_and_determinism(media):
+    f1 = extract_features(media).collect()
+    assert len(f1) == 60
+    assert all(len(r["feature"]) == 16 for r in f1)
+    # deterministic: same payload -> same feature, at any partitioning
+    f2 = {r["doc_id"]: r["feature"]
+          for r in extract_features(media.repartition(7)).collect()}
+    for r in f1:
+        assert f2[r["doc_id"]] == r["feature"]
+
+
+def test_extract_features_prunes_payload(media):
+    plan = extract_features(media)._jdf.queryExecution().optimizedPlan().toString()
+    # the output schema must not carry the binary column downstream
+    assert "payload" not in extract_features(media).columns
+
+
+def test_real_decoder_is_stubbed(media):
+    with pytest.raises(Exception) as exc:
+        extract_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError)
+
+
+def test_resize_images_only_images(media):
+    out = resize_images(media, 32, 32).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    assert all(r["width"] == 32 and len(r["payload"]) == 32 * 32 * 3
+               for r in out)
+
+
+def test_sample_frames_fanout(media):
+    frames = sample_frames(media, every_n=10)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(per_doc) == n_videos
+    assert all(r["count"] >= 3 for r in per_doc)  # >=30 frames / 10
+
+
+def test_media_stats(media):
+    rows = {r["kind"]: r for r in media_stats(media).collect()}
+    assert rows["image"]["avg_width"] is not None
+    assert rows["video"]["avg_frames"] is not None
+    assert rows["audio"]["total_bytes"] > 0

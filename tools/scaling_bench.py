@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule.
+
+The rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so we run the SAME
+job on the SAME input at two local parallelism levels (local[N] vs
+local[4N], fresh JVM each) and report throughput at both plus the
+efficiency ratio:
+
+    efficiency = (throughput_4N / throughput_N) / 4
+
+Two workloads are measured:
+  * stream  — the flagship streaming job: readStream over a pre-written
+    sequences dir -> stateful windowed EM/HMM detection -> parquet sink
+    (events/sec and docs/sec).
+  * batch   — the batch detect_event_stream on the same input.
+
+Each worker runs in a subprocess (its own JVM/SparkSession); this
+script orchestrates and writes the table appended to BENCH.md.
+
+Usage: python tools/scaling_bench.py [--n 8] [--docs 20000] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+mode, cores, in_dir, out_root = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+from bigdata_event_stream_detection_spark.session import get_spark
+from bigdata_event_stream_detection_spark.plans.pipeline import (
+    detect_event_stream, small_params)
+from bigdata_event_stream_detection_spark.operators import background as bg
+from pyspark.sql import functions as F
+
+spark = get_spark("scale-%s-%d" % (mode, cores), cores=cores,
+                  shuffle_partitions=cores)
+params = small_params(num_themes=3, window_length="1 hour",
+                      em_iterations=5, min_doc_tokens=5,
+                      min_word_corpus_count=2, bw_max_iterations=5,
+                      watermark_delay="10 minutes")
+seqs = spark.read.parquet(in_dir)
+n_docs = seqs.count()
+n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+
+if mode == "batch":
+    t0 = time.perf_counter()
+    n_events = detect_event_stream(seqs, params).count()
+    wall = time.perf_counter() - t0
+else:
+    from bigdata_event_stream_detection_spark.streaming.engine import (
+        read_sequence_stream, streaming_detect_events, start_event_sink)
+    model = bg.background_model(
+        seqs.filter(F.col("n_tok") >= params.min_doc_tokens),
+        min_count=params.min_word_corpus_count).toPandas()
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger=None)
+    events = streaming_detect_events(stream, model, params)
+    out = out_root + "/out_%s_%d" % (mode, cores)
+    ckpt = out_root + "/ckpt_%s_%d" % (mode, cores)
+    t0 = time.perf_counter()
+    q = start_event_sink(events, out, ckpt, available_now=True)
+    q.awaitTermination(1800)
+    wall = time.perf_counter() - t0
+    n_events = spark.read.parquet(out).count()
+
+print("RESULT " + json.dumps({
+    "mode": mode, "cores": cores, "wall_sec": round(wall, 2),
+    "n_docs": n_docs, "n_tokens": int(n_tokens), "n_events": n_events,
+    "docs_per_sec": round(n_docs / wall, 2),
+    "tokens_per_sec": round(n_tokens / wall, 2),
+    "events_per_sec": round(n_events / wall, 3),
+}))
+"""
+
+
+def run_worker(mode: str, cores: int, in_dir: str, out_root: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, "-c", WORKER, mode, str(cores), in_dir, out_root],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker {mode}@{cores} produced no RESULT:\n{p.stdout[-2000:]}\n"
+        f"{p.stderr[-2000:]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="baseline core count N")
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument("--files", type=int, default=16,
+                    help="number of input files (streaming micro-batches)")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="scale_bench_")
+    in_dir = os.path.join(work, "sequences")
+    # generate once, shared by every run (identical input, identical seed)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    gen = f"""
+import sys
+from bigdata_event_stream_detection_spark.session import get_spark
+from bigdata_event_stream_detection_spark.sources.synthetic import generate_sequences
+spark = get_spark("gen", cores=32)
+df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.files})
+df.orderBy("event_time").coalesce({args.files}).write.mode("overwrite").parquet({in_dir!r})
+"""
+    subprocess.run([sys.executable, "-c", gen], check=True, env=env,
+                   cwd=REPO, capture_output=True, timeout=1200)
+
+    results = []
+    for mode in ("stream", "batch"):
+        for cores in (args.n, 4 * args.n):
+            r = run_worker(mode, cores, in_dir, work)
+            results.append(r)
+            print(json.dumps(r))
+
+    lines = [
+        "",
+        "## Scaling efficiency (N vs 4N parallelism, same input, same seed)",
+        "",
+        f"Input: {args.docs} synthetic docs "
+        f"({results[0]['n_tokens']} tokens), planted-HMM fixture; "
+        "1h tumbling windows; identical job + data at both levels "
+        "(fresh JVM per run).",
+        "",
+        "| job | cores | wall (s) | docs/s | tokens/s | events/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['mode']} | {r['cores']} | {r['wall_sec']} | "
+            f"{r['docs_per_sec']} | {r['tokens_per_sec']} | "
+            f"{r['events_per_sec']} |")
+    lines.append("")
+    for mode in ("stream", "batch"):
+        rs = {r["cores"]: r for r in results if r["mode"] == mode}
+        lo, hi = min(rs), max(rs)
+        eff = (rs[hi]["tokens_per_sec"] / rs[lo]["tokens_per_sec"]) / (hi / lo)
+        lines.append(
+            f"- **{mode}**: {rs[lo]['tokens_per_sec']:.0f} tok/s @ local[{lo}] "
+            f"-> {rs[hi]['tokens_per_sec']:.0f} tok/s @ local[{hi}]; "
+            f"scaling efficiency **{eff:.2f}** "
+            f"({'meets' if eff >= 0.8 else 'below'} the >=0.8 criterion)")
+    lines.append("")
+    with open(args.out, "a") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
