@@ -1,18 +1,19 @@
-"""bigdata_event_stream_detection_spark — a PySpark-native event-stream
-detection engine.
+"""PySpark-native event-stream-detection engine.
 
-A from-scratch reimplementation, on the Spark DataFrame / Structured
-Streaming stack, of the query and data-processing capabilities of the
-reference temporal-text-mining pipeline (Mei & Zhai KDD'05 style:
-background model -> per-window EM themes -> HMM life-cycle decode ->
-theme-strength event rows -> KL evolution graph), generalized with the
-operators a large-scale training-data pipeline needs (dedup, similarity
-search, text analysis, multimodal plumbing).
+Public surface (see README.md / SURVEY.md for the full design):
 
-Everything is expressed as DataFrame -> DataFrame pure functions so the
-same logic runs in batch (tests / DuckDB oracles) and under Structured
-Streaming (the CEP engine). Numeric kernels are vectorized numpy inside
-``applyInPandas`` — zero per-row Python in any hot path.
+    session.get_spark              — configured SparkSession factory
+    params.Params                  — pipeline tunables (reference parity)
+    plans.pipeline                 — batch composition (detect_event_stream,
+                                     evolution_graph)
+    streaming.engine               — Structured Streaming shell (stateful
+                                     windowed EM/HMM, exactly-once sink)
+    operators.*                    — individual operators (background, em,
+                                     hmm, blocked_hmm, transitions, windows,
+                                     dedup, similarity, text, multimodal,
+                                     skew)
+    sources.*                      — synthetic fixture, tokenizer, XML scan
+    sinks.reports                  — dot / CSV report sinks
 """
 
 __version__ = "0.1.0"

@@ -21,7 +21,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .blocked_hmm import baum_welch_blocked, viterbi_blocked
 from .kernels import baum_welch, hmm_assemble, viterbi
+
+# Above this sequence length the memory-bounded two-level-scan kernels
+# take over — the cost-based engine selection of the reference
+# (Hmm2.java:315-319 switches on T*N^2; block sizes Parameters.java:61-62).
+BLOCKED_KERNEL_THRESHOLD = 262_144
 
 EVENTS_SCHEMA = (
     "window_start timestamp, source string, theme_id int, strength bigint"
@@ -84,10 +90,16 @@ def _decode_window(seq_pdf: pd.DataFrame, theme_pdf: pd.DataFrame,
         obs = np.where(known, pos, 0)  # index 0 reused; unknowns masked after
         if flat.size == 0:
             continue
-        pi, a, _, _ = baum_welch(
-            obs, pi0, a0, b, max_iterations=max_iterations,
-            pi_threshold=pi_thr, a_threshold=a_thr)
-        states = viterbi(obs, pi, a, b).astype(np.int32)
+        if obs.size > BLOCKED_KERNEL_THRESHOLD:
+            pi, a, _, _ = baum_welch_blocked(
+                obs, pi0, a0, b, max_iterations=max_iterations,
+                pi_threshold=pi_thr, a_threshold=a_thr)
+            states = viterbi_blocked(obs, pi, a, b).astype(np.int32)
+        else:
+            pi, a, _, _ = baum_welch(
+                obs, pi0, a0, b, max_iterations=max_iterations,
+                pi_threshold=pi_thr, a_threshold=a_thr)
+            states = viterbi(obs, pi, a, b).astype(np.int32)
         states[~known] = 0  # unknown words are background (P8 treats 0 as bg)
         offs = np.concatenate([[0], np.cumsum(lens)])
         for i, (doc_id, t) in enumerate(zip(sub["doc_id"], toks)):

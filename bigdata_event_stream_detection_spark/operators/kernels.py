@@ -132,15 +132,79 @@ def hmm_assemble(p_background: np.ndarray, themes: np.ndarray):
     return pi, a, b
 
 
-def _forward_backward(obs, pi, a, b):
+# State counts up to these use the pure-Python recursion: for tiny n the
+# per-step numpy dispatch (~25 us) dwarfs the ~n^2 float ops (~2 us), so
+# plain floats win on the dominant T-loop. Break-even measured on this
+# hardware: forward-backward flips at n=6 (the O(n^2) inner loops grow
+# faster than the numpy constant), Viterbi stays ahead through n=8.
+_SMALL_N_LIMIT = 5
+_VITERBI_SMALL_N_LIMIT = 8
+
+
+def _forward_backward_small(b_obs: np.ndarray, pi: np.ndarray, a: np.ndarray):
+    """Pure-Python scaled forward-backward for small state counts.
+
+    Same recurrences as the numpy path; returns numpy arrays so callers
+    (khi/gamma accumulation) stay vectorized.
+    """
+    T, n = b_obs.shape
+    rng_n = range(n)
+    B = b_obs.tolist()
+    A = a.tolist()
+    AT = [tuple(A[i][j] for i in rng_n) for j in rng_n]  # AT[j][i]=A[i][j]
+    piL = pi.tolist()
+    alpha = [None] * T
+    c = [0.0] * T
+    b0 = B[0]
+    row = [piL[i] * b0[i] for i in rng_n]
+    s = sum(row)
+    ct = 1.0 / (s if s > 1e-300 else 1e-300)
+    alpha[0] = [x * ct for x in row]
+    c[0] = ct
+    for t in range(1, T):
+        ap = alpha[t - 1]
+        bt = B[t]
+        row = []
+        s = 0.0
+        for j in rng_n:
+            atj = AT[j]
+            acc = 0.0
+            for i in rng_n:
+                acc += ap[i] * atj[i]
+            v = acc * bt[j]
+            row.append(v)
+            s += v
+        ct = 1.0 / (s if s > 1e-300 else 1e-300)
+        alpha[t] = [x * ct for x in row]
+        c[t] = ct
+    beta = [None] * T
+    beta[T - 1] = [c[T - 1]] * n
+    for t in range(T - 2, -1, -1):
+        bn = B[t + 1]
+        be = beta[t + 1]
+        ct = c[t]
+        w = [bn[j] * be[j] for j in rng_n]
+        beta[t] = [sum(A[i][j] * w[j] for j in rng_n) * ct for i in rng_n]
+    c_arr = np.asarray(c)
+    loglik = -float(np.log(c_arr).sum())
+    return np.asarray(alpha), np.asarray(beta), c_arr, loglik
+
+
+def _forward_backward(obs, pi, a, b, b_obs=None):
     """Scaled forward-backward. Returns (alpha_hat, beta_hat, c, loglik).
 
     Scaling per Rabiner / report/hiddenMarkovModel.tex:87-106: c[t] is the
     normalizer of alpha at t, loglik = -sum(log c).
+
+    ``b_obs`` (the (T, n) per-step emission matrix) can be passed in to
+    avoid rebuilding the gather every Baum-Welch iteration.
     """
     T = obs.shape[0]
     n = pi.shape[0]
-    b_obs = b[:, obs].T                      # (T, n) emission prob per step
+    if b_obs is None:
+        b_obs = b[:, obs].T                  # (T, n) emission prob per step
+    if n <= _SMALL_N_LIMIT and T > 256:
+        return _forward_backward_small(b_obs, pi, a)
     alpha = np.empty((T, n))
     c = np.empty(T)
     alpha[0] = pi * b_obs[0]
@@ -181,9 +245,9 @@ def baum_welch(
     T = obs.shape[0]
     if T < 2:
         return pi, a, 0.0, 0
+    b_obs = b[:, obs].T   # B is fixed: one gather for all iterations
     for it in range(1, max_iterations + 1):
-        alpha, beta, c, loglik = _forward_backward(obs, pi, a, b)
-        b_obs = b[:, obs].T
+        alpha, beta, c, loglik = _forward_backward(obs, pi, a, b, b_obs)
         # gamma[t,i] ∝ alpha[t,i] * beta[t,i] / c[t]
         gamma = alpha * beta / c[:, None]
         gamma /= np.maximum(gamma.sum(axis=1, keepdims=True), 1e-300)
@@ -198,6 +262,47 @@ def baum_welch(
         if d_pi < pi_threshold and d_a < a_threshold:
             break
     return pi, a, loglik, it
+
+
+def _viterbi_small(obs: np.ndarray, log_pi, log_a, log_b) -> np.ndarray:
+    """Pure-Python DP for small n (same dispatch-cost argument as
+    _forward_backward_small). Tie-break: lowest from-state index."""
+    T = obs.shape[0]
+    n = log_pi.shape[0]
+    rng_n = range(n)
+    LA = log_a.tolist()          # LA[i][j]
+    LBT = log_b.T.tolist()       # LBT[w][i]
+    obs_l = obs.tolist()
+    delta = [log_pi[i] + LBT[obs_l[0]][i] for i in rng_n]
+    back = [None] * T
+    for t in range(1, T):
+        lb = LBT[obs_l[t]]
+        bp = [0] * n
+        nd = [0.0] * n
+        for j in rng_n:
+            best = delta[0] + LA[0][j]
+            arg = 0
+            for i in range(1, n):
+                v = delta[i] + LA[i][j]
+                if v > best:
+                    best = v
+                    arg = i
+            bp[j] = arg
+            nd[j] = best + lb[j]
+        back[t] = bp
+        delta = nd
+    path = np.empty(T, dtype=np.int32)
+    best = delta[0]
+    arg = 0
+    for i in range(1, n):
+        if delta[i] > best:
+            best = delta[i]
+            arg = i
+    path[T - 1] = arg
+    for t in range(T - 2, -1, -1):
+        arg = back[t + 1][arg]
+        path[t] = arg
+    return path
 
 
 def viterbi(obs: np.ndarray, pi: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -215,6 +320,8 @@ def viterbi(obs: np.ndarray, pi: np.ndarray, a: np.ndarray, b: np.ndarray) -> np
         log_a = np.log(a)
         log_b = np.log(b)
         log_pi = np.log(pi)
+    if n <= _VITERBI_SMALL_N_LIMIT and T > 256:
+        return _viterbi_small(obs, log_pi, log_a, log_b)
     back = np.empty((T, n), dtype=np.int32)
     delta = log_pi + log_b[:, obs[0]]
     for t in range(1, T):

@@ -292,6 +292,171 @@ def streaming_detect_events(
     )
 
 
+SESSION_STATE_SCHEMA = StructType([
+    StructField("doc_ids", ArrayType(StringType())),
+    StructField("event_ms", ArrayType(LongType())),
+    StructField("doc_lens", ArrayType(IntegerType())),
+    StructField("flat_tokens", ArrayType(IntegerType())),
+    StructField("session_start_ms", LongType()),
+    StructField("session_end_ms", LongType()),
+])
+
+SESSION_EVENT_SCHEMA = StructType([
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("source", StringType()),
+    StructField("theme_id", IntegerType()),
+    StructField("strength", LongType()),
+])
+
+
+def streaming_detect_events_sessions(
+    stream: DataFrame,
+    background_pdf: pd.DataFrame,
+    params: Params = DEFAULTS,
+    max_docs_in_state: int = 100_000,
+) -> DataFrame:
+    """Session-window variant of the stateful detector.
+
+    ``session_window`` composes with built-in aggregations but not with
+    ``applyInPandasWithState``, so the gap-merge logic lives in state
+    (SURVEY.md §7.3 hard-part 5): keyed by source, the state holds the
+    current open session; a doc within ``session_gap`` of the session
+    end extends it, a later doc closes it (emit + start new), and the
+    event-time timeout closes it when the watermark passes
+    session_end + gap — matching ``session_window(ts, gap)`` semantics.
+
+    Out-of-session-order arrivals *within* the watermark are merged by
+    event time; rows beyond the watermark were already dropped upstream.
+    """
+    b = background_pdf.sort_values("word_id")
+    bg_ids = b["word_id"].to_numpy(np.int64)
+    bg_p = b["p"].to_numpy(np.float64)
+    spark = stream.sparkSession
+    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+
+    gap_ms = _interval_ms(params.session_gap)
+    k = params.num_themes
+    em_iters = params.em_iterations
+    lambda_b = params.lambda_background
+    score_floor = params.theme_score_floor_factor / k
+    bw_iters = params.bw_max_iterations
+    pi_thr = params.bw_pi_threshold
+    a_thr = params.bw_a_threshold
+    min_tokens = params.min_doc_tokens
+
+    def close_session(source, doc_ids, event_ms, doc_lens, flat,
+                      start_ms, end_ms):
+        ids, p_all = bcast.value
+        offs = np.concatenate([[0], np.cumsum(doc_lens)])
+        toks = [flat[offs[i]:offs[i + 1]].astype(np.int32)
+                for i in range(len(doc_ids))]
+        seq_pdf = pd.DataFrame({
+            "source": [source] * len(doc_ids), "doc_id": doc_ids,
+            "event_time": np.asarray(event_ms, dtype=np.int64),
+            "tokens": toks})
+        themes = em_window(
+            pd.Timestamp(start_ms, unit="ms"), 0,
+            seq_pdf[["doc_id", "tokens"]], ids, p_all, k,
+            iterations=em_iters, lambda_b=lambda_b)
+        themes = themes[themes["score"] > score_floor]
+        out = []
+        states_all = []
+        for _src, _doc, _toks, states in _decode_window(
+                seq_pdf, themes, ids, p_all, bw_iters, pi_thr, a_thr):
+            states_all.append(states)
+        if states_all:
+            cnt = np.bincount(np.concatenate(states_all))
+            for s in range(1, cnt.size):
+                if cnt[s] > 0:
+                    out.append((pd.Timestamp(start_ms, unit="ms"),
+                                pd.Timestamp(end_ms + gap_ms, unit="ms"),
+                                source, int(s), int(cnt[s])))
+        return out
+
+    def fn(key, pdf_iter, state: GroupState):
+        (source,) = key
+        rows_out = []
+        new = []
+        for pdf in pdf_iter:
+            pdf = pdf[pdf["n_tok"] >= min_tokens]
+            for doc_id, ets, toks in zip(
+                    pdf["doc_id"], pdf["event_time"], pdf["tokens"]):
+                new.append((int(pd.Timestamp(ets).value // 1_000_000),
+                            doc_id, np.asarray(toks, dtype=np.int32)))
+        new.sort(key=lambda r: (r[0], r[1]))
+
+        if state.hasTimedOut:
+            if state.exists:
+                doc_ids, event_ms, doc_lens, flat, s_ms, e_ms = state.get
+                rows_out += close_session(
+                    source, list(doc_ids), list(event_ms),
+                    np.asarray(doc_lens, np.int64),
+                    np.asarray(flat, np.int64), s_ms, e_ms)
+                state.remove()
+            if rows_out:
+                yield pd.DataFrame(rows_out, columns=[
+                    "session_start", "session_end", "source",
+                    "theme_id", "strength"])
+            return
+
+        if state.exists:
+            doc_ids, event_ms, doc_lens, flat, s_ms, e_ms = state.get
+            doc_ids, event_ms = list(doc_ids), list(event_ms)
+            doc_lens = list(doc_lens)
+            flat = np.asarray(flat, dtype=np.int32)
+        else:
+            doc_ids, event_ms, doc_lens = [], [], []
+            flat = np.empty(0, np.int32)
+            s_ms = e_ms = None
+
+        for ts_ms, doc_id, toks in new:
+            if s_ms is not None and ts_ms - e_ms > gap_ms:
+                # gap exceeded -> close current session, start fresh
+                rows_out += close_session(
+                    source, doc_ids, event_ms,
+                    np.asarray(doc_lens, np.int64),
+                    flat.astype(np.int64), s_ms, e_ms)
+                doc_ids, event_ms, doc_lens = [], [], []
+                flat = np.empty(0, np.int32)
+                s_ms = None
+            if s_ms is None:
+                s_ms = ts_ms
+                e_ms = ts_ms
+            e_ms = max(e_ms, ts_ms)
+            if len(doc_ids) < max_docs_in_state:
+                doc_ids.append(doc_id)
+                event_ms.append(ts_ms)
+                doc_lens.append(int(toks.size))
+                flat = np.concatenate([flat, toks])
+
+        if s_ms is not None:
+            state.update((doc_ids, [int(x) for x in event_ms],
+                          [int(x) for x in doc_lens],
+                          [int(x) for x in flat], int(s_ms), int(e_ms)))
+            state.setTimeoutTimestamp(int(e_ms + gap_ms))
+        if rows_out:
+            yield pd.DataFrame(rows_out, columns=[
+                "session_start", "session_end", "source",
+                "theme_id", "strength"])
+
+    filtered = stream.withWatermark("event_time", params.watermark_delay)
+    return filtered.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_EVENT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_ms(spec: str) -> int:
+    qty, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(qty) * mult * 1000
+
+
 # ---------------------------------------------------------------------------
 # cross-source correlation (stream-stream join)
 # ---------------------------------------------------------------------------
