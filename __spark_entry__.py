@@ -422,6 +422,28 @@ def _q_theme_top_words(spark, sf_dir):
         "theme_id", "word_id", "rank")
 
 
+def _q_top_docs_per_theme(spark, sf_dir):
+    # O4: per-theme top documents by EM mixing weight (model; rows-only)
+    from bigdata_event_stream_detection_spark.operators import (
+        background as bg_ops,
+    )
+    from bigdata_event_stream_detection_spark.operators import em as em_ops
+    from bigdata_event_stream_detection_spark.operators import windows as win
+
+    p = _small_params()
+    seqs = _documents_as_sequences(spark, sf_dir)
+    seqs = win.filter_docs(seqs, min_tokens=p.min_doc_tokens).persist()
+    model = bg_ops.background_model(seqs, min_count=p.min_word_corpus_count)
+    windowed = win.with_time_window(seqs, length=p.window_length)
+    dw = em_ops.em_doc_weights(windowed, model, k=p.num_themes,
+                               iterations=p.em_iterations,
+                               lambda_b=p.lambda_background)
+    top = em_ops.top_docs_per_theme(dw, k=3)
+    return top.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        "theme_id", "doc_id", "rank", F.round("weight", 6).alias("weight"))
+
+
 def _q_detect_events(spark, sf_dir):
     # model-kernel pipeline — not SQL-expressible (rows-only check)
     from bigdata_event_stream_detection_spark.plans.pipeline import (
@@ -482,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_counts": _q_salted_source_counts,
         "media_features": _q_media_features,
         "theme_top_words": _q_theme_top_words,
+        "top_docs_per_theme": _q_top_docs_per_theme,
         "detect_events": _q_detect_events,
         "evolution_edges": _q_evolution_edges,
     }

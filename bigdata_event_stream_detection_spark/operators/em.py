@@ -148,6 +148,73 @@ def em_themes(
         fit, schema=THEMES_SCHEMA)
 
 
+DOC_WEIGHTS_SCHEMA = (
+    "window_start timestamp, doc_id string, theme_id int, weight double"
+)
+
+
+def em_doc_weights(
+    windowed: DataFrame,
+    background: DataFrame,
+    k: int = 5,
+    iterations: int = 25,
+    lambda_b: float = 0.95,
+) -> DataFrame:
+    """Per-document theme mixing weights pi(d, j) for one EM run per
+    window — the doc-level view the reference exposes for its top-docs
+    report (``EmInput.java:221-260``, O4). Same kernel/seeds as
+    ``em_themes``, so weights correspond to that run's themes."""
+    spark = windowed.sparkSession
+    bg_ids, bg_p = _bg_arrays(background.select("word_id", "p").toPandas())
+    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (window_start,) = key
+        ids, p_all = bcast.value
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["tokens"].to_list()
+        cols = ["window_start", "doc_id", "theme_id", "weight"]
+        if not docs:
+            return pd.DataFrame(columns=cols)
+        all_tok = np.concatenate([np.asarray(t, dtype=np.int64) for t in docs])
+        vocab = np.unique(all_tok[np.isin(all_tok, ids)])
+        if vocab.size == 0:
+            return pd.DataFrame(columns=cols)
+        D = len(docs)
+        counts = np.zeros((D, vocab.size))
+        for d, t in enumerate(docs):
+            t = np.asarray(t, dtype=np.int64)
+            t = t[np.isin(t, vocab)]
+            if t.size:
+                w, c = np.unique(t, return_counts=True)
+                counts[d, np.searchsorted(vocab, w)] = c
+        p_bg = p_all[np.searchsorted(ids, vocab)]
+        p_bg = p_bg / p_bg.sum()
+        seed = stable_seed("em", int(pd.Timestamp(window_start).value), 0)
+        _, pi, _ = em_fit(counts, p_bg, k, iterations=iterations,
+                          lambda_b=lambda_b, seed=seed)
+        rows = []
+        for d, doc_id in enumerate(pdf["doc_id"]):
+            for j in range(k):
+                rows.append((window_start, doc_id, j, float(pi[d, j])))
+        return pd.DataFrame(rows, columns=cols)
+
+    return windowed.select("window_start", "doc_id", "tokens").groupBy(
+        "window_start").applyInPandas(fit, schema=DOC_WEIGHTS_SCHEMA)
+
+
+def top_docs_per_theme(doc_weights: DataFrame, k: int = 5) -> DataFrame:
+    """O4: highest-weight documents per (window, theme) — ``row_number``
+    over weight desc with doc_id tiebreak (TreeMap comparator analog,
+    ``EmInput.java:221-260``)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start", "theme_id").orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc())
+    return doc_weights.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
 def best_run_themes(themes: DataFrame) -> DataFrame:
     """A6/M2: keep the max-log-likelihood run per window (max_by)."""
     best = themes.groupBy("window_start").agg(

@@ -264,9 +264,12 @@ def streaming_detect_events(
             keep_n = int(np.sum(doc_lens[:max_docs_in_state]))
             doc_lens = doc_lens[:max_docs_in_state]
             flat = flat[:keep_n]
+        # numpy .tolist() is C-speed; a Python int() comprehension over a
+        # window's full token stream would dominate the micro-batch
+        flat_list = (flat.tolist() if isinstance(flat, np.ndarray)
+                     else [int(x) for x in flat])
         state.update((doc_ids, sources, [int(x) for x in event_ms],
-                      [int(x) for x in doc_lens],
-                      [int(x) for x in flat], we_ms))
+                      [int(x) for x in doc_lens], flat_list, we_ms))
         # close when the watermark passes the window end
         state.setTimeoutTimestamp(we_ms)
         return
@@ -431,9 +434,11 @@ def streaming_detect_events_sessions(
                 flat = np.concatenate([flat, toks])
 
         if s_ms is not None:
+            flat_list = (flat.tolist() if isinstance(flat, np.ndarray)
+                         else [int(x) for x in flat])
             state.update((doc_ids, [int(x) for x in event_ms],
                           [int(x) for x in doc_lens],
-                          [int(x) for x in flat], int(s_ms), int(e_ms)))
+                          flat_list, int(s_ms), int(e_ms)))
             state.setTimeoutTimestamp(int(e_ms + gap_ms))
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[
