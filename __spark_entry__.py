@@ -305,6 +305,17 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantized ANN (engine-specific clustering; rows-only)
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                    n_centroids=8, n_probe=3)
+
+
 def _q_language_id(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import language_id
 
@@ -494,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "token_counts": _q_token_counts,

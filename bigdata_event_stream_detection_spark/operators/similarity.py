@@ -165,6 +165,108 @@ def embedding_all_pairs(
     return out.select("id1", "id2", F.round("cos_raw", 6).alias("cos"))
 
 
+def _kmeans(X: np.ndarray, k: int, iterations: int = 10,
+            seed: int = 0) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample — the IVF coarse
+    quantizer. Sample-sized (not corpus-sized), so driver-local is the
+    right place; the trained centroids broadcast to executors."""
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=min(k, X.shape[0]),
+                        replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(X @ cent.T, axis=1)   # cosine on normalized X
+        for j in range(cent.shape[0]):
+            members = X[assign == j]
+            if members.shape[0]:
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-300)
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into cells; each query probes its ``n_probe``
+    nearest cells and scores only those vectors exactly.
+
+    The scale shape: centroids train on a driver-side sample, the cell
+    assignment is one GEMM per Arrow batch, and the probe is an
+    equi-join on cell_id — the corpus shuffles once by cell (or is
+    written bucketed by cell and never shuffles again). Recall rises
+    with n_probe; n_probe == n_centroids degenerates to brute force.
+    """
+    samp = corpus.select(vec_col).limit(sample_size).toPandas()
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in samp[vec_col]])
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    from .kernels import stable_seed
+    cent = _kmeans(Sn, n_centroids, seed=stable_seed("ivf", n_centroids))
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_cells(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmax(Mn @ C.T, axis=1)
+            yield out
+
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells,
+        schema=f"{id_col} {id_type}, {vec_col} {vec_type}, cell int"
+    ).select(F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).alias("cv"), "cell")
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    probes = np.argsort(-(Qn @ cent.T), axis=1)[:, :n_probe]
+    q = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.repeat(q_pdf[id_col].to_numpy(), n_probe),
+        "qv": [list(map(float, v))
+               for v in np.repeat(q_pdf[vec_col].to_numpy(), n_probe)],
+        "cell": probes.reshape(-1),
+    }))
+
+    @F.pandas_udf("double")
+    def pair_cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", pair_cos(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cos"))
+    )
+
+
 def _plane_matrix(planes: int, dim: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (planes x dim), seeded from the
     plane index — no stored codebook, identical on every executor."""

@@ -370,3 +370,28 @@ def test_metrics_listener_records_progress(spark, stream_fixture, tmp_path):
     assert batches and batches[0]["sources"][0]["end_offset"] is not None
     assert listener.throughput_rows_per_sec() is not None
     assert os.path.getsize(jsonl) > 0
+
+
+def test_streaming_sliding_windows_match_batch(spark, stream_fixture):
+    """Sliding windows duplicate each doc into every containing window
+    (the reference's flatMap duplication, EmInputFromParser.java:89-92);
+    the stateful detector must emit batch-identical rows per window."""
+    from dataclasses import replace
+
+    sliding = replace(PARAMS, window_length="2 hours",
+                      window_slide="1 hour")
+    batch_df = stream_fixture["batch"]
+    model = bg.background_model(
+        batch_df.filter(F.col("n_tok") >= sliding.min_doc_tokens),
+        min_count=sliding.min_word_corpus_count)
+    batch_rows = {
+        (r["window_start"], r["source"], r["theme_id"]): r["strength"]
+        for r in detect_event_stream(batch_df, sliding).collect()}
+    stream = read_sequence_stream(spark, stream_fixture["dir"],
+                                  max_files_per_trigger=2)
+    out = _run_to_memory(
+        spark, streaming_detect_events(stream, model.toPandas(), sliding),
+        "detect_sliding", 300)
+    got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
+           for r in out.collect()}
+    assert got == batch_rows
