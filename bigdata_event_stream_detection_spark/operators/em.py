@@ -148,6 +148,41 @@ def em_themes(
         fit, schema=THEMES_SCHEMA)
 
 
+def em_themes_chunked(
+    windowed: DataFrame,
+    background: DataFrame,
+    n_chunks: int,
+    k: int = 5,
+    iterations: int = 25,
+    lambda_b: float = 0.95,
+) -> DataFrame:
+    """M4 (``ThemeFromLargeTimePeriod.java:50-98``): split each window's
+    docs into ``n_chunks`` equal parts and run EM per (window, chunk) —
+    the way to extract themes from a window too large for one kernel
+    task. ``ntile`` over a deterministic doc order replaces the
+    reference's driver-side list slicing; the chunk id rides the `run`
+    column so best-run selection and theme filtering compose unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy("doc_id")
+    chunked = windowed.select(
+        "window_start", "doc_id", "tokens"
+    ).withColumn("run", (F.ntile(n_chunks).over(w) - 1))
+    spark = windowed.sparkSession
+    bg_ids, bg_p = _bg_arrays(background.select("word_id", "p").toPandas())
+    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        window_start, run = key
+        ids, p_all = bcast.value
+        return em_window(window_start, int(run), pdf, ids, p_all, k,
+                         iterations=iterations, lambda_b=lambda_b)
+
+    return chunked.groupBy("window_start", "run").applyInPandas(
+        fit, schema=THEMES_SCHEMA)
+
+
 DOC_WEIGHTS_SCHEMA = (
     "window_start timestamp, doc_id string, theme_id int, weight double"
 )

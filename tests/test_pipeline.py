@@ -106,3 +106,33 @@ def test_decoded_states_track_planted_themes(tiny_sequences):
             total += sub.size
     assert total > 0
     assert agree / total > 0.6, f"decoded/planted agreement {agree/total:.2f}"
+
+
+def test_em_themes_chunked_covers_all_docs(spark, tiny_sequences):
+    """M4: chunked EM assigns every doc to exactly one (window, chunk)
+    and each chunk yields k themes over its own sub-corpus."""
+    from bigdata_event_stream_detection_spark.operators import (
+        background as bg, em as em_ops, windows as win,
+    )
+
+    seqs = win.filter_docs(tiny_sequences, min_tokens=5)
+    model = bg.background_model(seqs, min_count=2)
+    windowed = win.with_time_window(seqs, length="4 hours")
+    themes = em_ops.em_themes_chunked(windowed, model, n_chunks=3, k=2,
+                                      iterations=3)
+    rows = themes.collect()
+    assert rows
+    # chunk ids land in 0..2 and doc counts per (window, chunk) sum to
+    # the window's doc count
+    runs = {r["run"] for r in rows}
+    assert runs <= {0, 1, 2}
+    per_window_docs = {}
+    for r in rows:
+        if r["theme_id"] == 0:
+            per_window_docs.setdefault(r["window_start"], 0)
+            per_window_docs[r["window_start"]] += r["n_docs"]
+    truth = {r["window_start"]: r["n"] for r in windowed.groupBy(
+        "window_start").agg(__import__("pyspark").sql.functions.count("*")
+                            .alias("n")).collect()}
+    for w, n in per_window_docs.items():
+        assert n == truth[w]

@@ -1,0 +1,115 @@
+"""Property-based kernel tests (hypothesis): invariants that must hold
+for ANY input, not just the planted fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from bigdata_event_stream_detection_spark.operators.kernels import (
+    em_fit,
+    hmm_assemble,
+    kl_divergence,
+    tv_distance,
+    viterbi,
+    _forward_backward,
+)
+
+
+def _distribution(size):
+    return arrays(np.float64, size,
+                  elements=st.floats(1e-6, 1.0)).map(
+        lambda v: v / v.sum())
+
+
+@given(_distribution(12), _distribution(12))
+@settings(max_examples=50, deadline=None)
+def test_kl_nonnegative_and_zero_on_self(p, q):
+    assert kl_divergence(p, p) <= 1e-9
+    assert kl_divergence(p, q) >= -1e-9
+
+
+@given(_distribution(12), _distribution(12))
+@settings(max_examples=50, deadline=None)
+def test_tv_bounds_and_symmetry(p, q):
+    tv = tv_distance(p, q)
+    assert -1e-12 <= tv <= 1.0 + 1e-12
+    assert abs(tv - tv_distance(q, p)) < 1e-12
+
+
+@given(st.integers(2, 4), st.integers(8, 30),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_em_outputs_are_distributions(k, vocab, seed):
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 5, size=(6, vocab)).astype(float)
+    counts[0, 0] += 1  # ensure nonempty
+    p_bg = rng.random(vocab) + 0.1
+    p_bg /= p_bg.sum()
+    theta, pi, ll = em_fit(counts, p_bg, k, iterations=5, seed=seed)
+    assert np.allclose(theta.sum(axis=1), 1.0, atol=1e-8)
+    assert np.allclose(pi.sum(axis=1), 1.0, atol=1e-8)
+    assert np.isfinite(ll)
+
+
+@given(st.integers(1, 3), st.integers(300, 600),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_forward_backward_is_proper_posterior(k, T, seed):
+    """gamma_t = alpha*beta/c must be a distribution at every step, and
+    the small-N pure-Python path must agree with the numpy path."""
+    import bigdata_event_stream_detection_spark.operators.kernels as K
+
+    rng = np.random.default_rng(seed)
+    vocab = 20
+    themes = rng.random((k, vocab)) + 0.05
+    themes /= themes.sum(axis=1, keepdims=True)
+    p_bg = rng.random(vocab) + 0.05
+    p_bg /= p_bg.sum()
+    pi, a, b = hmm_assemble(p_bg, themes)
+    obs = rng.integers(0, vocab, size=T)
+    alpha, beta, c, ll = _forward_backward(obs, pi, a, b)
+    gamma = alpha * beta / c[:, None]
+    gamma /= gamma.sum(axis=1, keepdims=True)
+    assert np.all(np.isfinite(gamma))
+    assert np.allclose(gamma.sum(axis=1), 1.0)
+    # cross-path agreement (n = k+1 <= 4 uses the python path by default)
+    old = K._SMALL_N_LIMIT
+    try:
+        K._SMALL_N_LIMIT = 0
+        a2, b2, c2, ll2 = _forward_backward(obs, pi, a, b)
+    finally:
+        K._SMALL_N_LIMIT = old
+    assert np.allclose(alpha, a2) and abs(ll - ll2) < 1e-8
+
+
+@given(st.integers(1, 3), st.integers(280, 500),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_viterbi_path_is_valid_and_paths_agree(k, T, seed):
+    import bigdata_event_stream_detection_spark.operators.kernels as K
+
+    rng = np.random.default_rng(seed)
+    vocab = 15
+    themes = rng.random((k, vocab)) + 0.05
+    themes /= themes.sum(axis=1, keepdims=True)
+    p_bg = rng.random(vocab) + 0.05
+    p_bg /= p_bg.sum()
+    pi, a, b = hmm_assemble(p_bg, themes)
+    obs = rng.integers(0, vocab, size=T)
+    path = viterbi(obs, pi, a, b)
+    n = k + 1
+    assert path.shape == (T,)
+    assert path.min() >= 0 and path.max() < n
+    # transitions used must be structurally allowed (a > 0)
+    for t in range(1, T):
+        assert a[path[t - 1], path[t]] > 0
+    old = K._VITERBI_SMALL_N_LIMIT
+    try:
+        K._VITERBI_SMALL_N_LIMIT = 0
+        path2 = viterbi(obs, pi, a, b)
+    finally:
+        K._VITERBI_SMALL_N_LIMIT = old
+    assert np.array_equal(path, path2)
