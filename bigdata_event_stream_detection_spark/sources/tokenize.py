@@ -44,6 +44,13 @@ def build_lexicon(documents: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
+# Lexicons up to this size encode via a broadcast map *literal* — a
+# single narrow projection, no explode/join/groupBy round trip. Larger
+# vocabularies fall back to the join path (a map literal that size
+# would bloat the plan).
+_MAP_LITERAL_LIMIT = 20_000
+
+
 def documents_to_sequences(
     documents: DataFrame,
     lexicon: DataFrame | None = None,
@@ -54,21 +61,45 @@ def documents_to_sequences(
 
     event_time is derived deterministically from doc_id (the driver
     `documents` table carries no timestamp): base + doc_id * step.
+
+    Encoding strategy is adaptive: small lexicons become a broadcast
+    ``create_map`` literal applied with ``transform`` (word order kept
+    by construction, OOV words dropped by the null filter — the same
+    semantics as the P4 semi-join); large ones take the
+    posexplode -> broadcast join -> re-assemble path, whose shuffle is
+    bounded by the token count.
     """
     lex = lexicon if lexicon is not None else build_lexicon(documents)
-    tokens = (
-        documents
-        .select("doc_id", "source",
-                F.posexplode(words_column(F.col("text"))).alias("pos", "word"))
-        .join(F.broadcast(lex), "word", "inner")  # drops OOV words, like P4 semi-join
-        .groupBy("doc_id", "source")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word_id"))),
-                lambda s: s["word_id"],
-            ).alias("tokens")
+    lex_rows = lex.collect()
+    if len(lex_rows) <= _MAP_LITERAL_LIMIT:
+        pairs = []
+        for r in lex_rows:
+            pairs.append(F.lit(r["word"]))
+            pairs.append(F.lit(r["word_id"]))
+        lex_map = F.create_map(*pairs) if pairs else F.create_map()
+        encoded = F.filter(
+            F.transform(words_column(F.col("text")),
+                        lambda w: lex_map[w]),
+            lambda x: x.isNotNull(),
         )
-    )
+        tokens = documents.select(
+            "doc_id", "source", encoded.alias("tokens")
+        ).filter(F.size("tokens") > 0)
+    else:
+        tokens = (
+            documents
+            .select("doc_id", "source",
+                    F.posexplode(words_column(F.col("text")))
+                    .alias("pos", "word"))
+            .join(F.broadcast(lex), "word", "inner")  # drops OOV (P4)
+            .groupBy("doc_id", "source")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word_id"))),
+                    lambda s: s["word_id"],
+                ).alias("tokens")
+            )
+        )
     return tokens.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("tokens").cast("array<int>"),
