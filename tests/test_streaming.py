@@ -395,3 +395,52 @@ def test_streaming_sliding_windows_match_batch(spark, stream_fixture):
     got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
            for r in out.collect()}
     assert got == batch_rows
+
+
+def test_stateful_detect_resumes_from_checkpoint(spark, stream_fixture):
+    """Kill the stateful EM/HMM query after part of the input, restart
+    from the same checkpoint with the rest: buffered window state is
+    recovered, windows closed after the restart still emit rows
+    identical to the batch pipeline, and no (window, source, theme) key
+    is emitted twice — the north rule's resume-from-checkpoint
+    requirement on the flagship query."""
+    root = stream_fixture["root"]
+    part_dir = str(root / "detect_resume_in")
+    out_dir = str(root / "detect_resume_out")
+    ckpt = str(root / "detect_resume_ckpt")
+    os.makedirs(part_dir)
+    src_files = sorted(glob.glob(stream_fixture["dir"] + "/*.parquet"))
+    model = bg.background_model(
+        stream_fixture["batch"].filter(
+            F.col("n_tok") >= PARAMS.min_doc_tokens),
+        min_count=PARAMS.min_word_corpus_count).toPandas()
+
+    def copy(files):
+        for f in files:
+            dst = os.path.join(part_dir, os.path.basename(f))
+            open(dst, "wb").write(open(f, "rb").read())
+            os.utime(dst, (os.stat(f).st_mtime, os.stat(f).st_mtime))
+
+    def run_once():
+        stream = read_sequence_stream(spark, part_dir,
+                                      max_files_per_trigger=1)
+        ev = streaming_detect_events(stream, model, PARAMS)
+        q = start_event_sink(ev, out_dir, ckpt, available_now=True)
+        q.awaitTermination(300)
+
+    copy(src_files[:len(src_files) // 2])
+    run_once()                      # phase 1: some windows still open
+    copy(src_files[len(src_files) // 2:])
+    run_once()                      # phase 2: resume, finish the rest
+
+    final = spark.read.parquet(out_dir)
+    dupes = (final.groupBy("window_start", "source", "theme_id").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+    batch_rows = {
+        (r["window_start"], r["source"], r["theme_id"]): r["strength"]
+        for r in detect_event_stream(
+            stream_fixture["batch"], PARAMS).collect()}
+    got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
+           for r in final.collect()}
+    assert got == batch_rows
