@@ -544,3 +544,36 @@ def start_event_sink(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_keyed_idempotent_sink(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key_cols: tuple[str, ...] = ("window_start", "source", "theme_id"),
+    available_now: bool = False,
+):
+    """foreachBatch sink that is idempotent under batch REPLAY, for
+    targets without the file sink's manifest (plain object stores,
+    JDBC-style upserts).
+
+    Each micro-batch's rows are written to a partition directory keyed
+    by batch_id with mode("overwrite"): replaying batch N after a crash
+    rewrites exactly the same directory, so downstream readers never
+    see duplicates. The event rows' natural key (`key_cols`) is also
+    deduplicated within the batch — with grouped-state append output a
+    key appears in at most one batch, making (batch_id overwrite +
+    in-batch dedup) end-to-end exactly-once.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        (batch_df.dropDuplicates(list(key_cols))
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+
+    writer = (events.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

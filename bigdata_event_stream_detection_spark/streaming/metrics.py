@@ -74,3 +74,16 @@ class MetricsListener(StreamingQueryListener):
             rows = sum(r["num_input_rows"] or 0 for r in self.progress)
             ms = sum(r["batch_duration_ms"] or 0 for r in self.progress)
         return (rows / (ms / 1000.0)) if ms else None
+
+    def watermark_to_sink_latency_sec(self) -> list[float]:
+        """Per-batch end-to-end latency: wall time between a batch's
+        trigger (when the advanced watermark could first close windows)
+        and its sink commit ≈ the batch duration of batches that carried
+        a watermark. This is the time a closed window's event rows wait
+        before being queryable — the north-rule latency metric."""
+        with self._lock:
+            return [
+                (r["batch_duration_ms"] or 0) / 1000.0
+                for r in self.progress
+                if r.get("watermark") and (r["batch_duration_ms"] or 0) > 0
+            ]

@@ -444,3 +444,46 @@ def test_stateful_detect_resumes_from_checkpoint(spark, stream_fixture):
     got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
            for r in final.collect()}
     assert got == batch_rows
+
+
+def test_keyed_idempotent_sink(spark, stream_fixture, tmp_path):
+    """foreachBatch keyed sink: batch replay overwrites the same
+    batch_id partition, so output has no duplicate keys and reading the
+    tree gives the same rows as the file-manifest sink."""
+    from bigdata_event_stream_detection_spark.streaming.engine import (
+        start_keyed_idempotent_sink,
+    )
+
+    out = str(tmp_path / "keyed_out")
+    ckpt = str(tmp_path / "keyed_ckpt")
+    stream = read_sequence_stream(spark, stream_fixture["dir"],
+                                  max_files_per_trigger=2)
+    counts = streaming_windowed_doc_counts(
+        stream, length="1 hour", watermark_delay="10 minutes").select(
+        "window_start", "source", "n_docs")
+    q = start_keyed_idempotent_sink(
+        counts, out, ckpt, key_cols=("window_start", "source"),
+        available_now=True)
+    q.awaitTermination(180)
+    final = spark.read.option("basePath", out).parquet(out)
+    assert final.count() > 0
+    dupes = (final.groupBy("window_start", "source").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+
+
+def test_watermark_to_sink_latency_metric(spark, stream_fixture):
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_sequence_stream(spark, stream_fixture["dir"],
+                                      max_files_per_trigger=2)
+        _run_to_memory(spark, streaming_windowed_doc_counts(stream),
+                       "lat_run")
+        deadline = time.time() + 30
+        while not listener.progress and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    lats = listener.watermark_to_sink_latency_sec()
+    assert lats and all(l > 0 for l in lats)
