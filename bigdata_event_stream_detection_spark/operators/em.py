@@ -42,6 +42,16 @@ def _bg_arrays(background_pdf: pd.DataFrame):
     )
 
 
+def collect_background(background) -> pd.DataFrame:
+    """Normalize a background model (Spark DataFrame or already-collected
+    pandas) to pandas ONCE. The pipeline collects a single time and
+    passes the pandas frame to every stage — each stage collecting its
+    own copy costs one full scan+agg job per consumer."""
+    if isinstance(background, pd.DataFrame):
+        return background
+    return background.select("word_id", "p").toPandas()
+
+
 def em_window(
     window_start,
     run: int,
@@ -126,7 +136,7 @@ def em_themes(
     semi-join P4) inside the kernel via a sorted-array membership test.
     """
     spark = windowed.sparkSession
-    bg_ids, bg_p = _bg_arrays(background.select("word_id", "p").toPandas())
+    bg_ids, bg_p = _bg_arrays(collect_background(background))
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -170,7 +180,7 @@ def em_themes_chunked(
         "window_start", "doc_id", "tokens"
     ).withColumn("run", (F.ntile(n_chunks).over(w) - 1))
     spark = windowed.sparkSession
-    bg_ids, bg_p = _bg_arrays(background.select("word_id", "p").toPandas())
+    bg_ids, bg_p = _bg_arrays(collect_background(background))
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -200,7 +210,7 @@ def em_doc_weights(
     report (``EmInput.java:221-260``, O4). Same kernel/seeds as
     ``em_themes``, so weights correspond to that run's themes."""
     spark = windowed.sparkSession
-    bg_ids, bg_p = _bg_arrays(background.select("word_id", "p").toPandas())
+    bg_ids, bg_p = _bg_arrays(collect_background(background))
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
 
     def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:

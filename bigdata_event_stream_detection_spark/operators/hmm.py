@@ -106,9 +106,14 @@ def _decode_window(seq_pdf: pd.DataFrame, theme_pdf: pd.DataFrame,
             yield src, doc_id, t.astype(np.int32), states[offs[i]:offs[i + 1]]
 
 
-def _broadcast_background(sequences: DataFrame, background: DataFrame):
-    """Background model as a SparkContext broadcast of aligned arrays."""
-    b = background.select("word_id", "p").toPandas().sort_values("word_id")
+def _broadcast_background(sequences: DataFrame, background):
+    """Background model as a SparkContext broadcast of aligned arrays.
+
+    ``background`` may be a Spark DataFrame or an already-collected
+    pandas frame (the pipeline collects once and shares it)."""
+    from .em import collect_background
+
+    b = collect_background(background).sort_values("word_id")
     return sequences.sparkSession.sparkContext.broadcast(
         (b["word_id"].to_numpy(np.int64), b["p"].to_numpy(np.float64)))
 

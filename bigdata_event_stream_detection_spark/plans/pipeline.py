@@ -53,7 +53,11 @@ def detect_event_stream(
         seqs = win.drop_late(seqs, watermark_delay=params.watermark_delay)
     # background model over the *unwindowed* corpus: overlapping windows
     # must not double-count words (ArticleProcessorTest semantics).
-    model = bg.background_model(seqs, min_count=params.min_word_corpus_count)
+    # Collected ONCE (vocab-sized) and shared: the EM and HMM stages
+    # each broadcast from this pandas frame instead of running their
+    # own scan+agg+collect job.
+    model = em_ops.collect_background(
+        bg.background_model(seqs, min_count=params.min_word_corpus_count))
     windowed = win.with_time_window(
         seqs, length=params.window_length, slide=params.window_slide)
     themes = em_ops.em_themes(
@@ -81,7 +85,8 @@ def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFram
 
     seqs = win.filter_docs(
         sequences, min_tokens=params.min_doc_tokens).persist()
-    model = bg.background_model(seqs, min_count=params.min_word_corpus_count)
+    model = em_ops.collect_background(
+        bg.background_model(seqs, min_count=params.min_word_corpus_count))
     windowed = win.with_time_window(
         seqs, length=params.window_length, slide=params.window_slide)
     themes = em_ops.filter_themes(
