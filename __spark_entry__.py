@@ -167,7 +167,8 @@ def _q_semi_join_filter(spark, sf_dir):
                 "l_partkey", "left_semi")
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+             F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double"), 6).alias("sum_qty"))
     )
 
 
@@ -182,7 +183,8 @@ def _q_revenue_per_nation(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double"), 6).alias("revenue"),
         )
     )
 
@@ -240,7 +242,8 @@ def _q_top_users_by_value(spark, sf_dir):
     # O5: global top-10 with deterministic tiebreak
     ev = _t(spark, sf_dir, "events")
     sums = ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6)
+        .alias("total"))
     return sums.orderBy(F.col("total").desc(), F.col("user_id").asc()).limit(10)
 
 
@@ -586,8 +589,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT user_id, e,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY e
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
               FROM g
             )
             SELECT user_id, session_id, min(e) AS session_start_epoch,
@@ -614,14 +618,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semi_join_filter": """
             SELECT l_returnflag, count(*) AS n,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS sum_qty
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
             GROUP BY l_returnflag
         """,
         "revenue_per_nation": """
             SELECT n_name AS nation, count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -665,7 +671,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "top_users_by_value": """
-            SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS total
+            SELECT user_id,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total
             FROM events GROUP BY user_id
             ORDER BY total DESC, user_id ASC LIMIT 10
         """,
@@ -711,8 +719,8 @@ def oracle_sql() -> dict[str, str]:
               FROM wc, UNNEST(range(0, 16)) AS b(bit)
               GROUP BY doc_id, bit)
             SELECT doc_id,
-                   sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
-                            ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                            ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE + """
@@ -854,7 +862,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents) d
               JOIN lex USING (word)
               GROUP BY d.doc_id, d.source)
-            SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
             FROM kept GROUP BY source
         """,
         # detect_events / evolution_edges / ann_lsh_topk / media_features

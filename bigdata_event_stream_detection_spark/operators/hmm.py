@@ -70,11 +70,19 @@ def _window_model(theme_pdf: pd.DataFrame, bg_ids: np.ndarray, bg_p: np.ndarray)
 
 def _decode_window(seq_pdf: pd.DataFrame, theme_pdf: pd.DataFrame,
                    bg_ids, bg_p, max_iterations, pi_thr, a_thr):
-    """Train + decode one window; yields (source, doc_id, tokens, states)."""
+    """Train + decode one window.
+
+    Yields (source, doc_id, tokens, states, theme_ids) where ``states``
+    holds HMM *state indices* (0 = background, j >= 1 = j-th surviving
+    theme) and ``theme_ids`` maps state j to the original EM theme id
+    ``theme_ids[j - 1]``. After ``filter_themes`` drops a theme the
+    state indices are renumbered, so consumers MUST map through
+    ``theme_ids`` before emitting a theme_id column.
+    """
     model = _window_model(theme_pdf, bg_ids, bg_p)
     if model is None or seq_pdf.empty:
         return
-    pi0, a0, b, vocab, _ = model
+    pi0, a0, b, vocab, theme_ids = model
     # deterministic total order (the reference's same-date order is
     # nondeterministic — we add doc_id as tiebreak, SURVEY §7.0)
     seq_pdf = seq_pdf.sort_values(["source", "event_time", "doc_id"])
@@ -103,7 +111,8 @@ def _decode_window(seq_pdf: pd.DataFrame, theme_pdf: pd.DataFrame,
         states[~known] = 0  # unknown words are background (P8 treats 0 as bg)
         offs = np.concatenate([[0], np.cumsum(lens)])
         for i, (doc_id, t) in enumerate(zip(sub["doc_id"], toks)):
-            yield src, doc_id, t.astype(np.int32), states[offs[i]:offs[i + 1]]
+            yield (src, doc_id, t.astype(np.int32),
+                   states[offs[i]:offs[i + 1]], theme_ids)
 
 
 def _broadcast_background(sequences: DataFrame, background):
@@ -146,7 +155,7 @@ def decode_tokens(
         bg_ids, bg_p = bcast.value
         rows = [
             (window_start, src, doc, toks, states)
-            for src, doc, toks, states in _decode_window(
+            for src, doc, toks, states, _tids in _decode_window(
                 seq_pdf, theme_pdf, bg_ids, bg_p,
                 max_iterations, pi_threshold, a_threshold)
         ]
@@ -176,18 +185,23 @@ def detect_events(
         (window_start,) = key
         bg_ids, bg_p = bcast.value
         by_src: dict[str, list] = {}
-        for src, _doc, _toks, states in _decode_window(
+        theme_ids = None
+        for src, _doc, _toks, states, tids in _decode_window(
                 seq_pdf, theme_pdf, bg_ids, bg_p,
                 max_iterations, pi_threshold, a_threshold):
             by_src.setdefault(src, []).append(states)
+            theme_ids = tids
         out = []
         for src in sorted(by_src):
             allst = np.concatenate(by_src[src])
             counts = np.bincount(allst)
-            for theme in range(1, counts.size):   # P8: drop state 0
-                if counts[theme] > 0:
-                    out.append((window_start, src, int(theme),
-                                int(counts[theme])))
+            for state in range(1, counts.size):   # P8: drop state 0
+                if counts[state] > 0:
+                    # map the surviving-state index back to the EM theme
+                    # id — after filter_themes, state j is NOT theme j
+                    out.append((window_start, src,
+                                int(theme_ids[state - 1]),
+                                int(counts[state])))
         return pd.DataFrame(out, columns=[
             "window_start", "source", "theme_id", "strength"])
 

@@ -199,14 +199,18 @@ def streaming_detect_events(
         themes = themes[themes["score"] > score_floor]
         rows = []
         by_src: dict[str, list] = {}
-        for src, _doc, _toks, states in _decode_window(
+        theme_ids = None
+        for src, _doc, _toks, states, tids in _decode_window(
                 seq_pdf, themes, ids, p_all, bw_iters, pi_thr, a_thr):
             by_src.setdefault(src, []).append(states)
+            theme_ids = tids
         for src in sorted(by_src):
             cnt = np.bincount(np.concatenate(by_src[src]))
             for s in range(1, cnt.size):   # P8: state 0 is background
                 if cnt[s] > 0:
-                    rows.append((window_start, src, int(s), int(cnt[s])))
+                    # state index -> surviving theme's real EM id
+                    rows.append((window_start, src,
+                                 int(theme_ids[s - 1]), int(cnt[s])))
         return rows
 
     def fn(key, pdf_iter, state: GroupState):
@@ -365,16 +369,19 @@ def streaming_detect_events_sessions(
         themes = themes[themes["score"] > score_floor]
         out = []
         states_all = []
-        for _src, _doc, _toks, states in _decode_window(
+        theme_ids = None
+        for _src, _doc, _toks, states, tids in _decode_window(
                 seq_pdf, themes, ids, p_all, bw_iters, pi_thr, a_thr):
             states_all.append(states)
+            theme_ids = tids
         if states_all:
             cnt = np.bincount(np.concatenate(states_all))
             for s in range(1, cnt.size):
                 if cnt[s] > 0:
+                    # state index -> surviving theme's real EM id
                     out.append((pd.Timestamp(start_ms, unit="ms"),
                                 pd.Timestamp(end_ms + gap_ms, unit="ms"),
-                                source, int(s), int(cnt[s])))
+                                source, int(theme_ids[s - 1]), int(cnt[s])))
         return out
 
     def fn(key, pdf_iter, state: GroupState):

@@ -40,7 +40,8 @@ def test_detect_events_end_to_end(tiny_sequences):
     rows = _collect_events(events)
     assert len(rows) > 0
     assert all(s > 0 for *_, s in rows)
-    assert all(1 <= t <= PARAMS.num_themes for _, _, t, _ in rows)
+    # theme_id is the EM theme id (0-based), not the HMM state index
+    assert all(0 <= t < PARAMS.num_themes for _, _, t, _ in rows)
     srcs = {r[1] for r in rows}
     assert len(srcs) >= 2  # events detected in more than one stream
 
@@ -106,6 +107,37 @@ def test_decoded_states_track_planted_themes(tiny_sequences):
             total += sub.size
     assert total > 0
     assert agree / total > 0.6, f"decoded/planted agreement {agree/total:.2f}"
+
+
+def test_detect_events_theme_ids_survive_filter(tiny_sequences):
+    """Regression (round-1 verdict): after ``filter_themes`` drops a
+    theme, event rows must carry the SURVIVING theme's real EM id (the
+    Viterbi state index is renumbered, so state 1 may be theme 2).
+    Dropping the *middle* theme distinguishes the two: the buggy code
+    emits {1, 2}; the correct mapping emits {0, 2}."""
+    from bigdata_event_stream_detection_spark.operators.transitions import (
+        top_theme_words,
+    )
+
+    seqs = win.filter_docs(tiny_sequences, min_tokens=PARAMS.min_doc_tokens)
+    model = bg.background_model(seqs, min_count=PARAMS.min_word_corpus_count)
+    windowed = win.with_time_window(seqs, length=PARAMS.window_length)
+    themes = em_ops.best_run_themes(em_ops.em_themes(
+        windowed, model, k=PARAMS.num_themes, iterations=PARAMS.em_iterations))
+    surviving = themes.filter(F.col("theme_id") != 1)
+    events = hmm_ops.detect_events(windowed, surviving, model,
+                                   max_iterations=PARAMS.bw_max_iterations)
+    rows = events.collect()
+    assert rows
+    ids = {r["theme_id"] for r in rows}
+    assert 1 not in ids, "dropped theme id leaked into event rows"
+    assert ids <= {0, 2}
+    # every event row joins a theme_top_words row for its (window, theme)
+    tw = top_theme_words(surviving, lexicon=None, k=5).select(
+        "window_start", "theme_id").distinct()
+    dangling = (events.select("window_start", "theme_id").distinct()
+                .join(tw, ["window_start", "theme_id"], "left_anti").count())
+    assert dangling == 0
 
 
 def test_em_themes_chunked_covers_all_docs(spark, tiny_sequences):

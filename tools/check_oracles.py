@@ -74,6 +74,34 @@ def main():
             continue
         ok_schema = sorted(c.lower() for c in scols) == sorted(
             c.lower() for c in dcols)
+        # Typed proxy for the driver's value-hash: a DuckDB HUGEINT /
+        # DECIMAL(38,x) sum materializes as a different pandas dtype (or
+        # object/Decimal) than Spark's BIGINT/DOUBLE, which renders
+        # differently and breaks the hash even when values agree.
+        if ok_schema:
+            try:
+                ddf = con.execute(oracles[name]).df()
+                spdf = sdf.toPandas()
+                tdiff = []
+                for c in scols:
+                    sk = spdf[c].dtype.kind
+                    dk = ddf[c].dtype.kind
+                    if sk != dk:
+                        tdiff.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
+                    elif sk == "O" and len(spdf) and len(ddf):
+                        st = type(spdf[c].dropna().iloc[0]).__name__ \
+                            if spdf[c].notna().any() else None
+                        dt = type(ddf[c].dropna().iloc[0]).__name__ \
+                            if ddf[c].notna().any() else None
+                        if st != dt:
+                            tdiff.append((c, f"obj:{st}", f"obj:{dt}"))
+                if tdiff:
+                    print(f"[TYPE-MISMATCH] {name}: {tdiff}")
+                    failures.append(name)
+                    continue
+            except Exception:
+                print(f"[TYPE-CHECK-ERR] {name} (non-fatal)")
+                traceback.print_exc()
         s_norm = normalize([r.asDict() for r in srows], scols)
         # reorder duck columns to match spark order by name
         idx = [dcols.index(c) for c in scols] if ok_schema else None
