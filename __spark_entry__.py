@@ -408,16 +408,14 @@ def _q_media_features(spark, sf_dir):
         .alias("feature_sum"))
 
 
-def _q_theme_top_words(spark, sf_dir):
-    # O3/O7: top-k words per extracted theme (model-dependent; rows-only)
+def _model_prelude(spark, sf_dir):
+    """Shared tokenize -> filter -> background -> window -> themes
+    prelude for the model queries (same params everywhere)."""
     from bigdata_event_stream_detection_spark.operators import (
         background as bg_ops,
     )
     from bigdata_event_stream_detection_spark.operators import em as em_ops
     from bigdata_event_stream_detection_spark.operators import windows as win
-    from bigdata_event_stream_detection_spark.operators.transitions import (
-        top_theme_words,
-    )
 
     p = _small_params()
     seqs = _documents_as_sequences(spark, sf_dir)
@@ -430,14 +428,68 @@ def _q_theme_top_words(spark, sf_dir):
                              iterations=p.em_iterations,
                              lambda_b=p.lambda_background)),
         p.num_themes, p.theme_score_floor_factor)
+    return p, windowed, themes, model
+
+
+def _q_theme_top_words(spark, sf_dir):
+    # O3: top-k words per extracted theme by raw probability
+    from bigdata_event_stream_detection_spark.operators.transitions import (
+        top_theme_words,
+    )
+
+    _, _, themes, _ = _model_prelude(spark, sf_dir)
     tw = top_theme_words(themes, lexicon=None, k=5)
     return tw.select(
         F.unix_timestamp("window_start").alias("ws_epoch"),
         "theme_id", "word_id", "rank")
 
 
+def _q_theme_salient_words(spark, sf_dir):
+    # O7: KL-salience feature selection (Theme.java:186-219)
+    from bigdata_event_stream_detection_spark.operators.transitions import (
+        top_theme_words,
+    )
+
+    _, _, themes, model = _model_prelude(spark, sf_dir)
+    tw = top_theme_words(themes, lexicon=None, k=5, score="salience",
+                         background=model)
+    return tw.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        "theme_id", "word_id", "rank",
+        F.round("salience", 6).alias("salience"))
+
+
+_SLICE_THEME, _SLICE_START, _SLICE_LEN = 1, "2015-01-01 03:30:00", "5 hours"
+
+
+def _q_theme_strength_slice(spark, sf_dir):
+    # absoluteStrength over an arbitrary time slice
+    # (LifeCycleAnalyserSpark.java:327-410)
+    from bigdata_event_stream_detection_spark.operators import hmm as hmm_ops
+
+    p, windowed, themes, model = _model_prelude(spark, sf_dir)
+    dc = hmm_ops.doc_theme_counts(windowed, themes, model,
+                                  max_iterations=p.bw_max_iterations)
+    return hmm_ops.theme_strength(dc, theme_id=_SLICE_THEME,
+                                  start=_SLICE_START, length=_SLICE_LEN)
+
+
+def _q_strength_series(spark, sf_dir):
+    # per-timestamp strength series, finer than the analysis window
+    # (LifeCycleAnalyserSpark.java:196-229)
+    from bigdata_event_stream_detection_spark.operators import hmm as hmm_ops
+
+    p, windowed, themes, model = _model_prelude(spark, sf_dir)
+    dc = hmm_ops.doc_theme_counts(windowed, themes, model,
+                                  max_iterations=p.bw_max_iterations)
+    s = hmm_ops.strength_series(dc, bucket="minute")
+    return s.select(
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "source", "theme_id", "strength")
+
+
 def _q_top_docs_per_theme(spark, sf_dir):
-    # O4: per-theme top documents by EM mixing weight (model; rows-only)
+    # O4: per-theme top documents by EM mixing weight
     from bigdata_event_stream_detection_spark.operators import (
         background as bg_ops,
     )
@@ -519,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_counts": _q_salted_source_counts,
         "media_features": _q_media_features,
         "theme_top_words": _q_theme_top_words,
+        "theme_salient_words": _q_theme_salient_words,
+        "theme_strength_slice": _q_theme_strength_slice,
+        "strength_series": _q_strength_series,
         "top_docs_per_theme": _q_top_docs_per_theme,
         "detect_events": _q_detect_events,
         "evolution_edges": _q_evolution_edges,
@@ -866,7 +921,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS n_tokens
             FROM kept GROUP BY source
         """,
-        # detect_events / evolution_edges / ann_lsh_topk / media_features
-        # / theme_top_words: model kernels & engine-specific transforms —
-        # not SQL-expressible; rows-only checks.
+        # The model-pipeline queries (EM/HMM) are not DuckDB-SQL-
+        # expressible; their oracles are single-node pandas/numpy
+        # recomputations (same deterministic kernels, pandas groupby
+        # orchestration instead of Spark shuffles) rendered as VALUES
+        # literals — see tools/local_oracle.py.
+        **_model_oracles(),
     }
+
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver compares at sf=0.01
+
+
+def _model_oracles() -> dict[str, str]:
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import local_oracle as lo
+
+    global _MODEL_ORACLE_CACHE
+    try:
+        return _MODEL_ORACLE_CACHE
+    except NameError:
+        pass
+    pipe = lo.LocalPipeline(_ORACLE_SF_DIR, _small_params())
+    slice_epoch = 1_420_070_400 + int(3.5 * 3600)  # 2015-01-01 03:30 UTC
+    out = {
+        "detect_events": lo.values_sql(
+            pipe.detect_events_rows(),
+            [("ws_epoch", "BIGINT"), ("source", "VARCHAR"),
+             ("theme_id", "INTEGER"), ("strength", "BIGINT")]),
+        "evolution_edges": lo.values_sql(
+            pipe.evolution_rows(),
+            [("w1_epoch", "BIGINT"), ("theme1", "INTEGER"),
+             ("w2_epoch", "BIGINT"), ("theme2", "INTEGER"),
+             ("divergence", "DOUBLE")]),
+        "theme_top_words": lo.values_sql(
+            pipe.theme_top_words_rows(k=5),
+            [("ws_epoch", "BIGINT"), ("theme_id", "INTEGER"),
+             ("word_id", "INTEGER"), ("rank", "INTEGER")]),
+        "theme_salient_words": lo.values_sql(
+            pipe.theme_salient_words_rows(k=5),
+            [("ws_epoch", "BIGINT"), ("theme_id", "INTEGER"),
+             ("word_id", "INTEGER"), ("rank", "INTEGER"),
+             ("salience", "DOUBLE")]),
+        "theme_strength_slice": lo.values_sql(
+            pipe.theme_strength_slice_rows(
+                theme_id=_SLICE_THEME, start_epoch=slice_epoch,
+                length_s=5 * 3600),
+            [("source", "VARCHAR"), ("strength", "BIGINT")]),
+        "strength_series": lo.values_sql(
+            pipe.strength_series_rows(bucket_s=60),
+            [("bucket_epoch", "BIGINT"), ("source", "VARCHAR"),
+             ("theme_id", "INTEGER"), ("strength", "BIGINT")]),
+        "top_docs_per_theme": lo.values_sql(
+            pipe.top_docs_rows(k=3),
+            [("ws_epoch", "BIGINT"), ("theme_id", "INTEGER"),
+             ("doc_id", "VARCHAR"), ("rank", "INTEGER"),
+             ("weight", "DOUBLE")]),
+        "media_features": lo.values_sql(
+            lo.media_features_rows(_ORACLE_SF_DIR),
+            [("doc_id", "VARCHAR"), ("feature_sum", "DOUBLE")]),
+        "ann_lsh_topk": lo.values_sql(
+            lo.ann_lsh_rows(_ORACLE_SF_DIR, k=5, planes=4),
+            [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+             ("rank", "INTEGER"), ("cos", "DOUBLE")]),
+        "ann_ivf_topk": lo.values_sql(
+            lo.ann_ivf_rows(_ORACLE_SF_DIR, k=5, n_centroids=8, n_probe=3),
+            [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+             ("rank", "INTEGER"), ("cos", "DOUBLE")]),
+    }
+    _MODEL_ORACLE_CACHE = out
+    return out

@@ -66,6 +66,15 @@ def minhash_signatures(
     (DuckDB errors on signed overflow, so headroom matters for oracle
     parity). The min is a hash agg with map-side partials.
     """
+    # overflow guard: the seed-mix h * ((2*seed+1)*12347) must stay
+    # inside signed 64 bits for EVERY seed (h < 2^45, so the multiplier
+    # must stay < 2^18). seed 9 -> a = 234_593 < 2^18; seed 10 would
+    # wrap int64 in Spark (silent negatives, degenerate family) while
+    # DuckDB errors on the overflow.
+    if num_hashes > 10:
+        raise ValueError(
+            f"num_hashes={num_hashes} > 10 would overflow the int64 "
+            "seed-mix; lower num_hashes or shrink MINHASH_BASE_MOD")
     sh = doc_shingles(documents, shingle_k).withColumn(
         "h", hash60(F.col("shingle")) % F.lit(MINHASH_BASE_MOD))
     seeded = sh.withColumn(

@@ -139,7 +139,7 @@ def em_themes(
     bg_ids, bg_p = _bg_arrays(collect_background(background))
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
 
-    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(key, pdf):
         window_start, run = key
         ids, p_all = bcast.value
         return em_window(
@@ -183,7 +183,7 @@ def em_themes_chunked(
     bg_ids, bg_p = _bg_arrays(collect_background(background))
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
 
-    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(key, pdf):
         window_start, run = key
         ids, p_all = bcast.value
         return em_window(window_start, int(run), pdf, ids, p_all, k,
@@ -196,6 +196,48 @@ def em_themes_chunked(
 DOC_WEIGHTS_SCHEMA = (
     "window_start timestamp, doc_id string, theme_id int, weight double"
 )
+
+
+def em_doc_weights_window(
+    window_start,
+    pdf: pd.DataFrame,
+    bg_ids: np.ndarray,
+    bg_p: np.ndarray,
+    k: int,
+    iterations: int = 25,
+    lambda_b: float = 0.95,
+) -> pd.DataFrame:
+    """Pure-pandas per-doc mixing weights for ONE window group.
+
+    Module-level (like ``em_window``) so the Spark closure and the
+    single-node oracle recomputation run the same code."""
+    pdf = pdf.sort_values("doc_id")
+    docs = pdf["tokens"].to_list()
+    cols = ["window_start", "doc_id", "theme_id", "weight"]
+    if not docs:
+        return pd.DataFrame(columns=cols)
+    all_tok = np.concatenate([np.asarray(t, dtype=np.int64) for t in docs])
+    vocab = np.unique(all_tok[np.isin(all_tok, bg_ids)])
+    if vocab.size == 0:
+        return pd.DataFrame(columns=cols)
+    D = len(docs)
+    counts = np.zeros((D, vocab.size))
+    for d, t in enumerate(docs):
+        t = np.asarray(t, dtype=np.int64)
+        t = t[np.isin(t, vocab)]
+        if t.size:
+            w, c = np.unique(t, return_counts=True)
+            counts[d, np.searchsorted(vocab, w)] = c
+    p_bg = bg_p[np.searchsorted(bg_ids, vocab)]
+    p_bg = p_bg / p_bg.sum()
+    seed = stable_seed("em", int(pd.Timestamp(window_start).value), 0)
+    _, pi, _ = em_fit(counts, p_bg, k, iterations=iterations,
+                      lambda_b=lambda_b, seed=seed)
+    rows = []
+    for d, doc_id in enumerate(pdf["doc_id"]):
+        for j in range(k):
+            rows.append((window_start, doc_id, j, float(pi[d, j])))
+    return pd.DataFrame(rows, columns=cols)
 
 
 def em_doc_weights(
@@ -213,36 +255,11 @@ def em_doc_weights(
     bg_ids, bg_p = _bg_arrays(collect_background(background))
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
 
-    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(key, pdf):
         (window_start,) = key
         ids, p_all = bcast.value
-        pdf = pdf.sort_values("doc_id")
-        docs = pdf["tokens"].to_list()
-        cols = ["window_start", "doc_id", "theme_id", "weight"]
-        if not docs:
-            return pd.DataFrame(columns=cols)
-        all_tok = np.concatenate([np.asarray(t, dtype=np.int64) for t in docs])
-        vocab = np.unique(all_tok[np.isin(all_tok, ids)])
-        if vocab.size == 0:
-            return pd.DataFrame(columns=cols)
-        D = len(docs)
-        counts = np.zeros((D, vocab.size))
-        for d, t in enumerate(docs):
-            t = np.asarray(t, dtype=np.int64)
-            t = t[np.isin(t, vocab)]
-            if t.size:
-                w, c = np.unique(t, return_counts=True)
-                counts[d, np.searchsorted(vocab, w)] = c
-        p_bg = p_all[np.searchsorted(ids, vocab)]
-        p_bg = p_bg / p_bg.sum()
-        seed = stable_seed("em", int(pd.Timestamp(window_start).value), 0)
-        _, pi, _ = em_fit(counts, p_bg, k, iterations=iterations,
-                          lambda_b=lambda_b, seed=seed)
-        rows = []
-        for d, doc_id in enumerate(pdf["doc_id"]):
-            for j in range(k):
-                rows.append((window_start, doc_id, j, float(pi[d, j])))
-        return pd.DataFrame(rows, columns=cols)
+        return em_doc_weights_window(window_start, pdf, ids, p_all, k,
+                                     iterations=iterations, lambda_b=lambda_b)
 
     return windowed.select("window_start", "doc_id", "tokens").groupBy(
         "window_start").applyInPandas(fit, schema=DOC_WEIGHTS_SCHEMA)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .blocked_hmm import baum_welch_blocked, viterbi_blocked
 from .kernels import baum_welch, hmm_assemble, viterbi
@@ -36,6 +37,11 @@ EVENTS_SCHEMA = (
 DECODED_SCHEMA = (
     "window_start timestamp, source string, doc_id string, "
     "tokens array<int>, states array<int>"
+)
+
+DOC_COUNTS_SCHEMA = (
+    "window_start timestamp, source string, doc_id string, "
+    "event_time timestamp, theme_id int, strength bigint"
 )
 
 
@@ -206,3 +212,81 @@ def detect_events(
             "window_start", "source", "theme_id", "strength"])
 
     return _cogrouped(sequences, themes, run, EVENTS_SCHEMA)
+
+
+def doc_theme_counts(
+    sequences: DataFrame,
+    themes: DataFrame,
+    background: DataFrame,
+    max_iterations: int = 50,
+    pi_threshold: float = 0.01,
+    a_threshold: float = 0.01,
+) -> DataFrame:
+    """Per-document theme strength counts WITH the doc's event time —
+    the finest-grained strength table, from which the reference's
+    absoluteStrength time slices (LifeCycleAnalyserSpark.java:327-410)
+    and per-timestamp strength series (:196-229) are plain relational
+    compositions (``theme_strength`` / ``strength_series`` below).
+    Same cogrouped kernel as ``detect_events``; the per-doc bincount
+    keeps the UDF output at O(docs x themes), never per token.
+    """
+    bcast = _broadcast_background(sequences, background)
+
+    def run(key, seq_pdf, theme_pdf):
+        (window_start,) = key
+        bg_ids, bg_p = bcast.value
+        ets = dict(zip(seq_pdf["doc_id"], seq_pdf["event_time"]))
+        out = []
+        for src, doc_id, _toks, states, theme_ids in _decode_window(
+                seq_pdf, theme_pdf, bg_ids, bg_p,
+                max_iterations, pi_threshold, a_threshold):
+            cnt = np.bincount(states)
+            for s in range(1, cnt.size):
+                if cnt[s] > 0:
+                    out.append((window_start, src, doc_id, ets[doc_id],
+                                int(theme_ids[s - 1]), int(cnt[s])))
+        return pd.DataFrame(out, columns=[
+            "window_start", "source", "doc_id", "event_time",
+            "theme_id", "strength"])
+
+    left = sequences.select(
+        "window_start", "source", "doc_id", "event_time", "tokens"
+    ).groupBy("window_start")
+    right = themes.select(
+        "window_start", "theme_id", "word_ids", "probs").groupBy("window_start")
+    return left.cogroup(right).applyInPandas(run, schema=DOC_COUNTS_SCHEMA)
+
+
+def theme_strength(
+    doc_counts: DataFrame,
+    theme_id: int,
+    start,
+    length: str,
+) -> DataFrame:
+    """absoluteStrength over an arbitrary [start, start + length) slice
+    (P9 + P10 + A8; LifeCycleAnalyserSpark.java:327-410): total decoded
+    token count of ``theme_id`` among docs whose event time falls in
+    the slice, per source. The slice predicate is a pure Column filter,
+    so Catalyst pushes it below the aggregate."""
+    end = F.lit(start).cast("timestamp") + F.expr(f"INTERVAL {length}")
+    return (
+        doc_counts
+        .filter((F.col("theme_id") == theme_id)
+                & (F.col("event_time") >= F.lit(start).cast("timestamp"))
+                & (F.col("event_time") < end))
+        .groupBy("source")
+        .agg(F.sum("strength").alias("strength"))
+    )
+
+
+def strength_series(doc_counts: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Per-timestamp-bucket strength series per (theme, source) — the
+    finer-than-window granularity of LifeCycleAnalyserSpark.java:196-229
+    (the reference emits per-article-date strengths; buckets generalize
+    that)."""
+    return (
+        doc_counts
+        .groupBy(F.date_trunc(bucket, F.col("event_time")).alias("bucket"),
+                 "source", "theme_id")
+        .agg(F.sum("strength").alias("strength"))
+    )

@@ -128,39 +128,75 @@ def embedding_all_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_target: int = 4096,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via blocked GEMM: each corpus batch
-    is scored against the full (broadcast) matrix; only above-threshold
-    (id1 < id2) pairs are emitted. Exact — the oracle-checkable
-    baseline; at 10^9 vectors the LSH bucket join replaces the
-    broadcast side."""
-    spark = embeddings.sparkSession
-    pdf = embeddings.select(id_col, vec_col).toPandas()
-    all_ids = pdf[id_col].to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    bcast = spark.sparkContext.broadcast((all_ids, Mn))
+    """All-pairs cosine >= threshold via a DISTRIBUTED block x block
+    self-join: vectors hash into B blocks, every (b1 <= b2) block pair
+    cogroups into one task, and each task scores its two blocks with a
+    single GEMM, emitting only above-threshold (id1 < id2) pairs.
 
-    def score(batches):
-        ids_all, Mm = bcast.value
-        for b in batches:
-            if b.empty:
-                continue
-            C = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-            S = Cn @ Mm.T
-            b_ids = b[id_col].to_numpy()
-            rows_i, cols_j = np.nonzero(
-                (S >= threshold) & (b_ids[:, None] < ids_all[None, :]))
-            if rows_i.size:
-                yield pd.DataFrame({
-                    "id1": b_ids[rows_i],
-                    "id2": ids_all[cols_j],
-                    "cos_raw": S[rows_i, cols_j],
-                })
+    Exact — the oracle-checkable baseline. Nothing corpus-sized ever
+    reaches the driver (the round-1 version collected the full matrix
+    driver-side, which caps at driver memory; this shape replicates each
+    vector B times through one shuffle instead, the standard blocked
+    all-pairs cost). At 10^9 vectors the LSH bucket join
+    (``lsh_bucket_topk``) is still the real scale path — B grows as
+    n/block_target, so replication is O(n^2/block_target) work no matter
+    how it is partitioned; that is inherent to exact all-pairs.
+    """
+    spark = embeddings.sparkSession
+    if n_blocks is None:
+        n = embeddings.count()
+        n_blocks = max(1, -(-n // block_target))
+    pair_rows = [(b1, b2) for b1 in range(n_blocks)
+                 for b2 in range(b1, n_blocks)]
+    def side(join_key: str, tag: int):
+        # each vector fans out to every block pair touching its block;
+        # the side tag says which half of the GEMM it lands in. A union
+        # + single grouping avoids a self-cogroup (and its analyzer
+        # ambiguity) — one shuffle on (b1, b2).
+        pairs = spark.createDataFrame(pair_rows, "b1 int, b2 int")
+        blocked = embeddings.select(
+            id_col, vec_col,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+            .cast("int").alias("_b"))
+        return (blocked.join(F.broadcast(pairs),
+                             F.col("_b") == F.col(join_key))
+                .select("b1", "b2", id_col, vec_col,
+                        F.lit(tag).alias("_side")))
+
+    both = side("b1", 0).unionByName(side("b2", 1))
+
+    def score(key, pdf):
+        cols = ["id1", "id2", "cos_raw"]
+        lpdf = pdf[pdf["_side"] == 0]
+        rpdf = pdf[pdf["_side"] == 1]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=cols)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf[vec_col]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf[vec_col]])
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        S = An @ Bn.T
+        l_ids = lpdf[id_col].to_numpy()
+        r_ids = rpdf[id_col].to_numpy()
+        if key[0] == key[1]:
+            # same block on both sides: each unordered pair appears
+            # twice in S — keep the l < r orientation only
+            mask = (S >= threshold) & (l_ids[:, None] < r_ids[None, :])
+        else:
+            # distinct blocks: each unordered pair appears exactly once;
+            # orient by id below
+            mask = (S >= threshold) & (l_ids[:, None] != r_ids[None, :])
+        rows_i, cols_j = np.nonzero(mask)
+        a, b = l_ids[rows_i], r_ids[cols_j]
+        return pd.DataFrame({
+            "id1": np.minimum(a, b), "id2": np.maximum(a, b),
+            "cos_raw": S[rows_i, cols_j]})
 
     id_type = dict(embeddings.dtypes)[id_col]
-    out = embeddings.select(id_col, vec_col).mapInPandas(
+    out = both.groupBy("b1", "b2").applyInPandas(
         score, schema=f"id1 {id_type}, id2 {id_type}, cos_raw double")
     return out.select("id1", "id2", F.round("cos_raw", 6).alias("cos"))
 
@@ -203,7 +239,11 @@ def ivf_topk(
     written bucketed by cell and never shuffles again). Recall rises
     with n_probe; n_probe == n_centroids degenerates to brute force.
     """
-    samp = corpus.select(vec_col).limit(sample_size).toPandas()
+    # deterministic sample: ordered top-N by id (TakeOrderedAndProject —
+    # bounded shuffle), so the trained centroids are reproducible across
+    # partitionings and by the single-node oracle
+    samp = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).toPandas())
     S = np.stack([np.asarray(v, dtype=np.float64) for v in samp[vec_col]])
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
     from .kernels import stable_seed

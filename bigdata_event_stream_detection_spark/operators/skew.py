@@ -44,8 +44,9 @@ def detect_heavy_keys(
     key_cols: list[str],
     row_share: float = 0.5,
 ) -> DataFrame:
-    """Keys holding more than ``row_share`` of their partition's rows —
-    the candidates for salting. One cheap pre-pass aggregation."""
+    """Keys holding more than ``row_share`` of the TOTAL row count
+    (matching ``heavy_source_threshold`` semantics) — the candidates
+    for salting. One cheap pre-pass aggregation."""
     total = df.count()
     return (
         df.groupBy(*key_cols).count()

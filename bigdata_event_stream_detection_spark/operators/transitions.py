@@ -93,10 +93,22 @@ def theme_transitions(
 
 
 def top_theme_words(themes: DataFrame, lexicon: DataFrame | None, k: int = 10,
-                    min_word_length: int = 4) -> DataFrame:
-    """O3: top-k words per theme by probability (row_number window),
-    optionally resolved through a lexicon with the reference's
-    min-length filter (Theme.java:85-102)."""
+                    min_word_length: int = 4, score: str = "p",
+                    background=None, eps: float = 0.001) -> DataFrame:
+    """O3/O7: top-k words per theme (row_number window), optionally
+    resolved through a lexicon with the reference's min-length filter
+    (Theme.java:85-102).
+
+    ``score="p"`` ranks by raw theme probability. ``score="salience"``
+    implements the reference's KL-salience feature selection
+    (``Theme.java:186-219``): rank by ``p * log(p / p_bg_smoothed)``
+    with ``p_bg_smoothed = (p_bg + eps) / (1 + V * eps)`` over the
+    V-word background model. The reference runs k greedy argmax rounds
+    over a *static* score with a strict ``> 0`` floor, which is exactly
+    top-k by score among positive scores — no iteration needed, so the
+    whole ranking stays in Catalyst (explode + broadcast join + window),
+    no Python in the path.
+    """
     from pyspark.sql import Window
 
     exploded = themes.select(
@@ -110,7 +122,34 @@ def top_theme_words(themes: DataFrame, lexicon: DataFrame | None, k: int = 10,
     if lexicon is not None:
         exploded = exploded.join(F.broadcast(lexicon), "word_id", "inner").filter(
             F.length("word") >= min_word_length)
-    w = Window.partitionBy("window_start", "theme_id").orderBy(
-        F.col("p").desc(), F.col("word_id").asc())
+    if score == "salience":
+        if background is None:
+            raise ValueError("score='salience' requires the background model")
+        import pandas as pd
+
+        spark = themes.sparkSession
+        if isinstance(background, pd.DataFrame):
+            bgdf = spark.createDataFrame(background[["word_id", "p"]])
+        else:
+            bgdf = background.select("word_id", "p")
+        n_bg = bgdf.agg(F.count("*").alias("_v"))
+        bgv = bgdf.select("word_id", F.col("p").alias("_p_bg")).crossJoin(
+            F.broadcast(n_bg))
+        exploded = (
+            exploded.join(F.broadcast(bgv), "word_id", "left")
+            .withColumn(
+                "_p1",
+                (F.coalesce(F.col("_p_bg"), F.lit(0.0)) + eps)
+                / (F.lit(1.0) + F.coalesce(F.col("_v"), F.lit(0)) * eps))
+            .withColumn("salience", F.col("p") * F.log(F.col("p") / F.col("_p1")))
+            .filter(F.col("salience") > 0)   # strict floor, Theme.java:209
+            .drop("_p_bg", "_p1", "_v")
+        )
+        order = [F.col("salience").desc(), F.col("word_id").asc()]
+    elif score == "p":
+        order = [F.col("p").desc(), F.col("word_id").asc()]
+    else:
+        raise ValueError(f"unknown score {score!r}")
+    w = Window.partitionBy("window_start", "theme_id").orderBy(*order)
     return exploded.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)

@@ -66,8 +66,13 @@ def detect_event_stream(
         iterations=params.em_iterations,
         lambda_b=params.lambda_background,
         runs=params.em_runs,
-    ).persist()
-    themes = em_ops.best_run_themes(themes)
+    )
+    if params.em_runs > 1:
+        # best-run selection reads the theme table twice (agg + join
+        # back), so persist it; with a single run the selection is the
+        # identity — skip the join AND the persist materialization
+        # (one less serial stage in the batch critical path)
+        themes = em_ops.best_run_themes(themes.persist())
     themes = em_ops.filter_themes(
         themes, params.num_themes, params.theme_score_floor_factor)
     return hmm_ops.detect_events(
@@ -89,14 +94,18 @@ def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFram
         bg.background_model(seqs, min_count=params.min_word_corpus_count))
     windowed = win.with_time_window(
         seqs, length=params.window_length, slide=params.window_slide)
+    themes = em_ops.em_themes(
+        windowed, model, k=params.num_themes,
+        iterations=params.em_iterations,
+        lambda_b=params.lambda_background,
+        runs=params.em_runs)
+    if params.em_runs > 1:
+        themes = em_ops.best_run_themes(themes.persist())
     themes = em_ops.filter_themes(
-        em_ops.best_run_themes(
-            em_ops.em_themes(
-                windowed, model, k=params.num_themes,
-                iterations=params.em_iterations,
-                lambda_b=params.lambda_background,
-                runs=params.em_runs).persist()),
-        params.num_themes, params.theme_score_floor_factor)
+        themes, params.num_themes, params.theme_score_floor_factor)
+    # the transition self-join reads themes twice (both sides) — persist
+    # so EM does not recompute per side
+    themes = themes.persist()
     return theme_transitions(
         themes,
         window_length_seconds=_window_seconds(params.window_length),

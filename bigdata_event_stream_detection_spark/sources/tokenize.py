@@ -4,16 +4,16 @@ The engine's native input is the pre-tokenized sequences table
 ``(doc_id, tokens array<int32>, n_tok, source, event_time)``. This module
 adapts a raw-text `documents` table into that shape: tokenize (the
 reference splits on non-letters and lowercases — ``InputParser.java:
-204-223``), build a dense dictionary (dense ids via a deterministic
-``row_number``, replacing the reference's ``zipWithIndex`` at
-``HmmInputFromParser.java:46-58``), encode, and derive a deterministic
-event time. Everything is Column expressions + one broadcast join —
-no Python UDFs.
+204-223``), build a dense dictionary (ids from a range-partitioned
+sort + zipWithIndex — deterministic, unlike the reference's
+partition-order ``zipWithIndex`` at ``HmmInputFromParser.java:46-58``),
+encode, and derive a deterministic event time. Encoding is Column
+expressions + one broadcast join — no Python UDFs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"[^\p{L}]+"  # split on runs of non-letters (InputParser.java:207)
@@ -27,10 +27,17 @@ def words_column(text_col):
 def build_lexicon(documents: DataFrame, min_count: int = 1) -> DataFrame:
     """Dense word ids, deterministically ordered by (count desc, word asc).
 
-    ``row_number`` over a total order gives dense, reproducible ids —
-    unlike ``monotonically_increasing_id`` (and unlike the reference's
-    partition-order-dependent ``zipWithIndex``). The lexicon is small
-    (vocab-sized); the sort is cheap relative to the corpus scan.
+    Ids are assigned with a range-partitioned sort + per-partition
+    offsets (``zipWithIndex`` over an ``orderBy``) — a global
+    ``row_number`` window would move the whole vocabulary to ONE
+    partition (Spark's "No Partition Defined for Window" cliff), which
+    single-threads at web-scale vocab. The sorted-RDD index is the
+    exact global dense rank at any parallelism: range partitions are
+    globally ordered and each partition is sorted, so index =
+    partition offset + local position, computed in two narrow passes.
+    Unlike the reference's partition-order-dependent ``zipWithIndex``
+    (HmmInputFromParser.java:46-58), the total (count desc, word asc)
+    order makes the ids reproducible.
     """
     counts = (
         documents.select(F.explode(words_column(F.col("text"))).alias("word"))
@@ -38,10 +45,11 @@ def build_lexicon(documents: DataFrame, min_count: int = 1) -> DataFrame:
         .count()
         .filter(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("word").asc())
-    return counts.select(
-        "word", (F.row_number().over(w) - 1).cast("int").alias("word_id")
-    )
+    spark = documents.sparkSession
+    ordered = counts.orderBy(F.col("count").desc(), F.col("word").asc())
+    indexed = ordered.rdd.zipWithIndex().map(
+        lambda wi: (wi[0]["word"], int(wi[1])))
+    return spark.createDataFrame(indexed, schema="word string, word_id int")
 
 
 # Lexicons up to this size encode via a broadcast map *literal* — a
@@ -70,7 +78,10 @@ def documents_to_sequences(
     bounded by the token count.
     """
     lex = lexicon if lexicon is not None else build_lexicon(documents)
-    lex_rows = lex.collect()
+    # size probe: fetch at most LIMIT+1 rows to pick the strategy — the
+    # full lexicon is only materialized on the map-literal path, so a
+    # web-scale vocabulary never pays an unbounded driver collect here
+    lex_rows = lex.limit(_MAP_LITERAL_LIMIT + 1).collect()
     if len(lex_rows) <= _MAP_LITERAL_LIMIT:
         pairs = []
         for r in lex_rows:

@@ -21,12 +21,15 @@ inside grouped state instead of driver-mediated block scans.
 
 Scale notes (the part that must survive 1000 executors):
 * The only wide exchange before the stateful operator is the hash
-  shuffle on (source, window_start) — the state-store partitioning.
-  Skewed sources are pre-salted upstream (operators/skew.py) and merged
-  in-kernel, so one hot newspaper does not pin one state partition.
-* State per key is bounded: a window holds at most ``max_docs_in_state``
-  buffered docs (beyond that the buffer degrades gracefully by dropping
-  new docs — same effect as the reference's per-window doc caps).
+  shuffle on the state key — (window, [chunk]) for the tumbling
+  detector, (source,) for sessions. A hot window (an event burst)
+  fans out over ``state_chunks`` deterministic doc-hash sub-keys,
+  trading exact window pooling for the reference's own
+  split-large-window (M4) semantics — N state partitions and N kernel
+  tasks per window instead of one.
+* State per key is bounded: at most ``max_docs_in_state`` buffered
+  docs; overflow drops are COUNTED into the ``dropped_docs_acc``
+  accumulator on the returned DataFrame, never silent.
 * The background model is a small static side input (vocab-sized),
   broadcast once — never a per-batch join.
 """
@@ -144,6 +147,7 @@ def streaming_detect_events(
     background_pdf: pd.DataFrame,
     params: Params = DEFAULTS,
     max_docs_in_state: int = 100_000,
+    state_chunks: int = 1,
 ) -> DataFrame:
     """Continuous event detection: grouped state per event-time window.
 
@@ -156,11 +160,25 @@ def streaming_detect_events(
     so the emitted rows are identical to the batch pipeline for the
     same input and watermark (the north-rule invariant).
 
-    State is keyed by window (EM pools all sources per window, exactly
-    like the reference's TimePartition); HMM train/decode then runs per
-    source *inside* the kernel. Parallelism comes from the many open
-    windows; a heavy source therefore skews a window's kernel, which is
-    bounded by ``max_docs_in_state``.
+    ``state_chunks=1`` (default) keys state by window: EM pools all
+    sources per window, exactly like the reference's TimePartition, and
+    parallelism comes from the many concurrently-open windows. For a
+    HOT window (an event burst — the case this engine exists for) that
+    single key pins one state partition, so ``state_chunks=N`` fans the
+    window out over N deterministic doc-hash chunks — each chunk
+    buffers, trains, and decodes independently, which is exactly the
+    reference's split-large-window semantics (M4,
+    ``ThemeFromLargeTimePeriod.java:50-98``) applied to state: N tasks
+    per window, state per key bounded by window_size/N. Chunking
+    changes which docs pool together (as M4 does in batch), so the
+    byte-parity invariant vs the batch pipeline holds for
+    ``state_chunks=1``; for N>1 the invariant is vs the chunked batch
+    plan.
+
+    Docs beyond ``max_docs_in_state`` per key are dropped (the
+    reference's per-window doc cap) — COUNTED, never silent: the
+    returned DataFrame carries a ``dropped_docs_acc`` attribute (a
+    SparkContext accumulator) that sinks/monitoring should report.
 
     Output mode is append: rows are emitted exactly once per closed
     window, keyed (window_start, source, theme_id) — the sink's
@@ -171,6 +189,7 @@ def streaming_detect_events(
     bg_p = b["p"].to_numpy(np.float64)
     spark = stream.sparkSession
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+    dropped_acc = spark.sparkContext.accumulator(0)
 
     k = params.num_themes
     em_iters = params.em_iterations
@@ -181,8 +200,15 @@ def streaming_detect_events(
     a_thr = params.bw_a_threshold
     min_tokens = params.min_doc_tokens
 
-    def close_window(window_start, doc_ids, sources, event_ms, doc_lens, flat):
-        """Run the batch per-window kernel on the buffered docs."""
+    def close_window(window_start, chunk, doc_ids, sources, event_ms,
+                     doc_lens, flat):
+        """Run the batch per-window kernel on the buffered docs.
+
+        With ``state_chunks > 1`` the emitted theme_id is namespaced as
+        ``chunk * num_themes + em_theme_id`` so (window, source,
+        theme_id) stays a unique exactly-once sink key across chunks
+        (chunk EMs are independent, like M4's per-chunk runs). For
+        ``state_chunks == 1`` (chunk 0) this is the plain EM id."""
         ids, p_all = bcast.value
         offs = np.concatenate([[0], np.cumsum(doc_lens)])
         toks = [flat[offs[i]:offs[i + 1]].astype(np.int32)
@@ -210,16 +236,18 @@ def streaming_detect_events(
                 if cnt[s] > 0:
                     # state index -> surviving theme's real EM id
                     rows.append((window_start, src,
-                                 int(theme_ids[s - 1]), int(cnt[s])))
+                                 chunk * k + int(theme_ids[s - 1]),
+                                 int(cnt[s])))
         return rows
 
     def fn(key, pdf_iter, state: GroupState):
-        window_start, window_end = key
+        window_start, window_end = key[0], key[1]
+        chunk = int(key[2]) if len(key) > 2 else 0
         if state.hasTimedOut:
             if state.exists:
                 doc_ids, sources, event_ms, doc_lens, flat, _ = state.get
                 rows = close_window(
-                    window_start, list(doc_ids), list(sources),
+                    window_start, chunk, list(doc_ids), list(sources),
                     list(event_ms),
                     np.asarray(doc_lens, dtype=np.int64),
                     np.asarray(flat, dtype=np.int64))
@@ -262,6 +290,9 @@ def streaming_detect_events(
                     else np.empty(0, np.int32))
             we_ms = int(pd.Timestamp(window_end).value // 1_000_000)
         if len(doc_ids) > max_docs_in_state:
+            # bounded state (the reference's per-window doc cap) — the
+            # drop is accounted, never silent
+            dropped_acc.add(len(doc_ids) - max_docs_in_state)
             doc_ids = doc_ids[:max_docs_in_state]
             sources = sources[:max_docs_in_state]
             event_ms = event_ms[:max_docs_in_state]
@@ -286,10 +317,13 @@ def streaming_detect_events(
                     if params.window_slide else F.window("event_time", length))
         .select(F.col("_w.start").alias("window_start"),
                 F.col("_w.end").alias("window_end"),
+                # deterministic doc-hash chunk: replay/retry-stable
+                F.pmod(F.xxhash64("doc_id"), F.lit(state_chunks))
+                .cast("int").alias("_chunk"),
                 "source", "doc_id", "n_tok", "tokens", "event_time")
     )
-    return windowed.groupBy(
-        "window_start", "window_end"
+    out = windowed.groupBy(
+        "window_start", "window_end", "_chunk"
     ).applyInPandasWithState(
         fn,
         outputStructType=EVENT_SCHEMA,
@@ -297,6 +331,8 @@ def streaming_detect_events(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    out.dropped_docs_acc = dropped_acc
+    return out
 
 
 SESSION_STATE_SCHEMA = StructType([
@@ -341,6 +377,7 @@ def streaming_detect_events_sessions(
     bg_p = b["p"].to_numpy(np.float64)
     spark = stream.sparkSession
     bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+    dropped_acc = spark.sparkContext.accumulator(0)
 
     gap_ms = _interval_ms(params.session_gap)
     k = params.num_themes
@@ -439,6 +476,8 @@ def streaming_detect_events_sessions(
                 event_ms.append(ts_ms)
                 doc_lens.append(int(toks.size))
                 flat = np.concatenate([flat, toks])
+            else:
+                dropped_acc.add(1)  # bounded state — accounted drop
 
         if s_ms is not None:
             flat_list = (flat.tolist() if isinstance(flat, np.ndarray)
@@ -453,13 +492,15 @@ def streaming_detect_events_sessions(
                 "theme_id", "strength"])
 
     filtered = stream.withWatermark("event_time", params.watermark_delay)
-    return filtered.groupBy("source").applyInPandasWithState(
+    out = filtered.groupBy("source").applyInPandasWithState(
         fn,
         outputStructType=SESSION_EVENT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    out.dropped_docs_acc = dropped_acc
+    return out
 
 
 def _interval_ms(spec: str) -> int:

@@ -40,9 +40,16 @@ def test_extract_features_shape_and_determinism(media):
 
 
 def test_extract_features_prunes_payload(media):
-    plan = extract_features(media)._jdf.queryExecution().optimizedPlan().toString()
-    # the output schema must not carry the binary column downstream
-    assert "payload" not in extract_features(media).columns
+    feats = extract_features(media)
+    # the output schema must not carry the binary column downstream...
+    assert "payload" not in feats.columns
+    # ...and a downstream projection that ignores the feature must not
+    # leak the payload past the mapInPandas boundary: everything ABOVE
+    # the Arrow eval node in the optimized plan is payload-free
+    plan = (feats.select("doc_id")._jdf.queryExecution()
+            .optimizedPlan().toString())
+    above_eval = plan.split("MapInPandas")[0]
+    assert "payload" not in above_eval
 
 
 def test_real_decoder_is_stubbed(media):

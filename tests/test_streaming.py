@@ -209,14 +209,11 @@ def test_streaming_detect_events_matches_batch(spark, stream_fixture):
     out = _run_to_memory(spark, events, "detect_stream", 300)
     got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
            for r in out.collect()}
-    # the sentinel's own window stays open; every real window must match
-    sentinel_ws = max(k[0] for k in batch_rows) if batch_rows else None
-    expected = {k: v for k, v in batch_rows.items()
-                if k[0] != sentinel_ws or True}
-    # sentinel doc exists only on the streaming side and is 3 tokens
-    # (below min_doc_tokens=5) -> contributes nothing; windows containing
-    # only it emit nothing. Everything else must be IDENTICAL.
-    assert got == expected
+    # The sentinel doc exists only on the streaming side and is 3 tokens
+    # (below min_doc_tokens=5) -> contributes nothing; its own window
+    # never closes but would emit nothing anyway. Every real window's
+    # rows must be IDENTICAL to batch.
+    assert got == batch_rows
 
 
 def test_streaming_checkpoint_resume_exactly_once(spark, stream_fixture):
@@ -395,6 +392,57 @@ def test_streaming_sliding_windows_match_batch(spark, stream_fixture):
     got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
            for r in out.collect()}
     assert got == batch_rows
+
+
+def test_streaming_detect_events_chunked_state(spark, stream_fixture):
+    """``state_chunks=2`` fans each window over two deterministic
+    doc-hash state keys (the reference's split-large-window M4 semantics
+    applied to grouped state): >1 state key per window, theme ids
+    namespaced per chunk, and rows EQUAL to the batch chunked plan —
+    per-chunk EM + decode with the shared full-corpus background."""
+    from bigdata_event_stream_detection_spark.operators import em as em_ops
+    from bigdata_event_stream_detection_spark.operators import hmm as hmm_ops
+    from bigdata_event_stream_detection_spark.operators import windows as win
+
+    batch_df = stream_fixture["batch"]
+    filtered = batch_df.filter(F.col("n_tok") >= PARAMS.min_doc_tokens)
+    model = bg.background_model(
+        filtered, min_count=PARAMS.min_word_corpus_count)
+    model_pdf = model.toPandas()
+
+    n_chunks = 2
+    expected = {}
+    for c in range(n_chunks):
+        sub = filtered.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)) == c)
+        windowed = win.with_time_window(sub, length=PARAMS.window_length)
+        themes = em_ops.filter_themes(
+            em_ops.best_run_themes(em_ops.em_themes(
+                windowed, model_pdf, k=PARAMS.num_themes,
+                iterations=PARAMS.em_iterations,
+                lambda_b=PARAMS.lambda_background)),
+            PARAMS.num_themes, PARAMS.theme_score_floor_factor)
+        ev = hmm_ops.detect_events(
+            windowed, themes, model_pdf,
+            max_iterations=PARAMS.bw_max_iterations,
+            pi_threshold=PARAMS.bw_pi_threshold,
+            a_threshold=PARAMS.bw_a_threshold)
+        for r in ev.collect():
+            key = (r["window_start"], r["source"],
+                   c * PARAMS.num_themes + r["theme_id"])
+            expected[key] = r["strength"]
+
+    stream = read_sequence_stream(spark, stream_fixture["dir"],
+                                  max_files_per_trigger=2)
+    ev = streaming_detect_events(stream, model_pdf, PARAMS,
+                                 state_chunks=n_chunks)
+    out = _run_to_memory(spark, ev, "detect_chunked", 300)
+    got = {(r["window_start"], r["source"], r["theme_id"]): r["strength"]
+           for r in out.collect()}
+    assert got == expected
+    # both chunk namespaces actually produced events (i.e. a single
+    # window's work really ran under more than one state key)
+    assert {k[2] // PARAMS.num_themes for k in got} == {0, 1}
 
 
 def test_stateful_detect_resumes_from_checkpoint(spark, stream_fixture):

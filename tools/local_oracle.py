@@ -1,0 +1,441 @@
+"""Single-node pandas/numpy recomputation of the model-pipeline queries.
+
+The EM/HMM queries are not expressible in DuckDB SQL, but the driver's
+correctness gate only needs an oracle SQL string. This module recomputes
+each query with a pure single-node implementation — the SAME numpy
+kernels the Spark tasks run (``operators.em.em_window``,
+``operators.hmm._decode_window``; both are plain pandas-in/pandas-out
+functions with deterministic seeds) orchestrated by pandas groupbys
+instead of Spark shuffles — and renders the expected rows as a DuckDB
+``VALUES`` literal. What the comparison then checks is exactly the
+distributed plumbing: tokenization, window assignment, the cogrouped
+shuffle, broadcast alignment, and the state/theme-id mapping.
+
+Reference semantics recomputed here: ThemesStrengthOverTime lifecycle
+(LifeCycleAnalyserSpark.java:161-266), KL transitions
+(KLDivergence.java:40-72), salience features (Theme.java:186-219).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bigdata_event_stream_detection_spark.operators.em import (  # noqa: E402
+    em_doc_weights_window,
+    em_window,
+)
+from bigdata_event_stream_detection_spark.operators.hmm import (  # noqa: E402
+    _decode_window,
+)
+from bigdata_event_stream_detection_spark.operators.kernels import (  # noqa: E402
+    kl_divergence,
+    tv_distance,
+)
+
+# must mirror sources/tokenize.py defaults
+BASE_EPOCH = 1_420_070_400
+STEP_SECONDS = 120
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)  # runs of letters (\p{L}+)
+
+
+def spark_round(x: float, d: int = 6) -> float:
+    """Replicate Spark's round(double, d): BigDecimal.valueOf(x)
+    (shortest decimal repr, same as Python repr) then HALF_UP."""
+    q = Decimal(1).scaleb(-d)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    return str(int(v))
+
+
+def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Render rows as ``SELECT CAST(...) ... FROM (VALUES ...)``.
+
+    ``cols`` is [(name, duckdb_type), ...]; types are chosen to match
+    the Spark result schema's pandas materialization (INTEGER -> int32,
+    BIGINT -> int64, DOUBLE -> float64, VARCHAR -> object/str).
+    """
+    names = [f"c{i}" for i in range(len(cols))]
+    sel = ", ".join(
+        f"CAST({alias} AS {typ}) AS {name}"
+        for alias, (name, typ) in zip(names, cols))
+    if not rows:
+        return f"SELECT {sel} FROM (VALUES ({', '.join('NULL' for _ in cols)})) " \
+               f"AS t({', '.join(names)}) WHERE FALSE"
+    vals = ",\n".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows)
+    return f"SELECT {sel} FROM (VALUES\n{vals}\n) AS t({', '.join(names)})"
+
+
+# ---------------------------------------------------------------------------
+# single-node pipeline (mirrors sources/tokenize.py + plans/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def load_sequences(sf_dir: str) -> pd.DataFrame:
+    """documents.parquet -> the native sequences shape, single-node.
+
+    Mirrors ``documents_to_sequences``: lowercase, split on non-letters,
+    dense ids by (count desc, word asc), event_time = base + id * step,
+    empty docs dropped.
+    """
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    words_per_doc = [_WORD_RE.findall(str(t).lower()) for t in docs["text"]]
+    counts = Counter()
+    for ws in words_per_doc:
+        counts.update(ws)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    word_id = {w: i for i, (w, _) in enumerate(ordered)}
+    rows = []
+    for doc_id, source, ws in zip(docs["doc_id"], docs["source"],
+                                  words_per_doc):
+        toks = np.array([word_id[w] for w in ws], dtype=np.int64)
+        if toks.size == 0:
+            continue
+        rows.append((str(doc_id), toks, int(toks.size), source,
+                     BASE_EPOCH + int(doc_id) * STEP_SECONDS))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "tokens", "n_tok", "source", "event_epoch"])
+
+
+def background_arrays(seqs: pd.DataFrame, min_count: int):
+    """Mirrors operators/background.py: counts >= floor, p = cnt/total."""
+    all_tok = np.concatenate([np.asarray(t) for t in seqs["tokens"]])
+    ids, cnt = np.unique(all_tok, return_counts=True)
+    keep = cnt >= min_count
+    ids, cnt = ids[keep], cnt[keep]
+    total = int(cnt.sum())
+    return ids.astype(np.int64), cnt.astype(np.float64) / total
+
+
+class LocalPipeline:
+    """One tokenize + background + window pass shared by every oracle."""
+
+    def __init__(self, sf_dir: str, params):
+        self.params = params
+        seqs = load_sequences(sf_dir)
+        seqs = seqs[seqs["n_tok"] >= params.min_doc_tokens]
+        self.seqs = seqs.reset_index(drop=True)
+        self.bg_ids, self.bg_p = background_arrays(
+            self.seqs, params.min_word_corpus_count)
+        win_s = self._window_seconds(params.window_length)
+        self.win_s = win_s
+        self.seqs["ws_epoch"] = (self.seqs["event_epoch"] // win_s) * win_s
+
+    @staticmethod
+    def _window_seconds(spec: str) -> int:
+        qty, unit = spec.split()
+        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+        return int(qty) * mult
+
+    def themes_by_window(self, filtered: bool = True) -> dict[int, pd.DataFrame]:
+        """EM themes per window (single run), optionally score-filtered.
+        Memoized — every oracle shares one EM pass."""
+        key = bool(filtered)
+        cached = getattr(self, "_themes_cache", {})
+        if key in cached:
+            return cached[key]
+        p = self.params
+        floor = p.theme_score_floor_factor / p.num_themes
+        out = {}
+        for ws, grp in self.seqs.groupby("ws_epoch", sort=True):
+            themes = em_window(
+                pd.Timestamp(ws, unit="s"), 0, grp[["doc_id", "tokens"]],
+                self.bg_ids, self.bg_p, p.num_themes,
+                iterations=p.em_iterations, lambda_b=p.lambda_background)
+            if filtered and not themes.empty:
+                themes = themes[themes["score"] > floor]
+            out[int(ws)] = themes
+        cached[key] = out
+        self._themes_cache = cached
+        return out
+
+    def detect_events_rows(self) -> list[tuple]:
+        """(ws_epoch, source, theme_id, strength) — pipeline.detect_event_stream."""
+        p = self.params
+        rows = []
+        themes = self.themes_by_window()
+        for ws, grp in self.seqs.groupby("ws_epoch", sort=True):
+            tpdf = themes[int(ws)]
+            if tpdf.empty:
+                continue
+            seq_pdf = grp.rename(columns={"event_epoch": "event_time"})[
+                ["source", "doc_id", "event_time", "tokens"]]
+            by_src: dict[str, list] = {}
+            theme_ids = None
+            for src, _doc, _toks, states, tids in _decode_window(
+                    seq_pdf, tpdf, self.bg_ids, self.bg_p,
+                    p.bw_max_iterations, p.bw_pi_threshold, p.bw_a_threshold):
+                by_src.setdefault(src, []).append(states)
+                theme_ids = tids
+            for src in sorted(by_src):
+                cnt = np.bincount(np.concatenate(by_src[src]))
+                for s in range(1, cnt.size):
+                    if cnt[s] > 0:
+                        rows.append((int(ws), src, int(theme_ids[s - 1]),
+                                     int(cnt[s])))
+        return rows
+
+    def evolution_rows(self, max_gap_windows: int = 1) -> list[tuple]:
+        """(w1_epoch, theme1, w2_epoch, theme2, divergence) —
+        transitions.theme_transitions semantics (union-support align,
+        eps fill, D < threshold)."""
+        p = self.params
+        themes = self.themes_by_window()
+        rows = []
+        for w1, t1 in sorted(themes.items()):
+            for g in range(1, max_gap_windows + 1):
+                w2 = w1 + g * self.win_s
+                t2 = themes.get(w2)
+                if t2 is None or t1.empty or t2 is None or t2.empty:
+                    continue
+                for _, r1 in t1.iterrows():
+                    for _, r2 in t2.iterrows():
+                        ids1 = np.asarray(r1["word_ids"], dtype=np.int64)
+                        pr1 = np.asarray(r1["probs"], dtype=np.float64)
+                        ids2 = np.asarray(r2["word_ids"], dtype=np.int64)
+                        pr2 = np.asarray(r2["probs"], dtype=np.float64)
+                        union = np.union1d(ids1, ids2)
+                        a = np.full(union.size, p.kl_epsilon)
+                        b = np.full(union.size, p.kl_epsilon)
+                        a[np.searchsorted(union, ids1)] = pr1
+                        b[np.searchsorted(union, ids2)] = pr2
+                        if p.divergence == "tv":
+                            d = tv_distance(a, b)
+                        else:
+                            d = kl_divergence(a, b, eps=p.kl_epsilon,
+                                              log_max=p.kl_log_max)
+                        if d < p.kl_threshold:
+                            rows.append((w1, int(r1["theme_id"]), w2,
+                                         int(r2["theme_id"]),
+                                         spark_round(d, 6)))
+        return rows
+
+    def theme_top_words_rows(self, k: int = 5) -> list[tuple]:
+        """(ws_epoch, theme_id, word_id, rank) — rank by p desc, id asc."""
+        rows = []
+        for ws, tpdf in sorted(self.themes_by_window().items()):
+            for _, r in tpdf.iterrows():
+                wid = np.asarray(r["word_ids"], dtype=np.int64)
+                pr = np.asarray(r["probs"], dtype=np.float64)
+                order = np.lexsort((wid, -pr))[:k]
+                for rank, i in enumerate(order, start=1):
+                    rows.append((ws, int(r["theme_id"]), int(wid[i]), rank))
+        return rows
+
+    def theme_salient_words_rows(self, k: int = 5,
+                                 eps: float = 0.001) -> list[tuple]:
+        """(ws_epoch, theme_id, word_id, rank, salience) — Theme.java
+        KL-salience: p * log(p / smoothed p_bg), strict > 0 floor."""
+        V = self.bg_ids.size
+        bg_lookup = dict(zip(self.bg_ids.tolist(), self.bg_p.tolist()))
+        rows = []
+        for ws, tpdf in sorted(self.themes_by_window().items()):
+            for _, r in tpdf.iterrows():
+                wid = np.asarray(r["word_ids"], dtype=np.int64)
+                pr = np.asarray(r["probs"], dtype=np.float64)
+                p_bg = np.array([bg_lookup.get(int(w), 0.0) for w in wid])
+                p1 = (p_bg + eps) / (1.0 + V * eps)
+                sal = pr * np.log(pr / p1)
+                keep = sal > 0
+                order = np.lexsort((wid[keep], -sal[keep]))[:k]
+                kw, ks = wid[keep], sal[keep]
+                for rank, i in enumerate(order, start=1):
+                    rows.append((ws, int(r["theme_id"]), int(kw[i]), rank,
+                                 spark_round(ks[i], 6)))
+        return rows
+
+    def doc_counts_rows(self) -> list[tuple]:
+        """(ws_epoch, source, doc_id, event_epoch, theme_id, strength) —
+        hmm.doc_theme_counts. Memoized."""
+        if getattr(self, "_doc_counts", None) is not None:
+            return self._doc_counts
+        p = self.params
+        themes = self.themes_by_window()
+        rows = []
+        for ws, grp in self.seqs.groupby("ws_epoch", sort=True):
+            tpdf = themes[int(ws)]
+            if tpdf.empty:
+                continue
+            seq_pdf = grp.rename(columns={"event_epoch": "event_time"})[
+                ["source", "doc_id", "event_time", "tokens"]]
+            ets = dict(zip(grp["doc_id"], grp["event_epoch"]))
+            for src, doc_id, _toks, states, tids in _decode_window(
+                    seq_pdf, tpdf, self.bg_ids, self.bg_p,
+                    p.bw_max_iterations, p.bw_pi_threshold, p.bw_a_threshold):
+                cnt = np.bincount(states)
+                for s in range(1, cnt.size):
+                    if cnt[s] > 0:
+                        rows.append((int(ws), src, doc_id, int(ets[doc_id]),
+                                     int(tids[s - 1]), int(cnt[s])))
+        self._doc_counts = rows
+        return rows
+
+    def theme_strength_slice_rows(self, theme_id: int, start_epoch: int,
+                                  length_s: int) -> list[tuple]:
+        """(source, strength) — hmm.theme_strength over one slice."""
+        agg: dict[str, int] = {}
+        for _ws, src, _doc, ets, tid, n in self.doc_counts_rows():
+            if tid == theme_id and start_epoch <= ets < start_epoch + length_s:
+                agg[src] = agg.get(src, 0) + n
+        return sorted(agg.items())
+
+    def strength_series_rows(self, bucket_s: int = 60) -> list[tuple]:
+        """(bucket_epoch, source, theme_id, strength) — hmm.strength_series."""
+        agg: dict[tuple, int] = {}
+        for _ws, src, _doc, ets, tid, n in self.doc_counts_rows():
+            key = ((ets // bucket_s) * bucket_s, src, tid)
+            agg[key] = agg.get(key, 0) + n
+        return sorted((k[0], k[1], k[2], v) for k, v in agg.items())
+
+    def top_docs_rows(self, k: int = 3) -> list[tuple]:
+        """(ws_epoch, theme_id, doc_id, rank, weight) — em_doc_weights +
+        top_docs_per_theme."""
+        p = self.params
+        rows = []
+        for ws, grp in self.seqs.groupby("ws_epoch", sort=True):
+            dw = em_doc_weights_window(
+                pd.Timestamp(ws, unit="s"), grp[["doc_id", "tokens"]],
+                self.bg_ids, self.bg_p, p.num_themes,
+                iterations=p.em_iterations, lambda_b=p.lambda_background)
+            if dw.empty:
+                continue
+            for tid, sub in dw.groupby("theme_id", sort=True):
+                sub = sub.sort_values(["weight", "doc_id"],
+                                      ascending=[False, True]).head(k)
+                for rank, (_, r) in enumerate(sub.iterrows(), start=1):
+                    rows.append((int(ws), int(tid), r["doc_id"], rank,
+                                 spark_round(r["weight"], 6)))
+        return rows
+
+
+def _load_embeddings(sf_dir: str):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    return ids, M
+
+
+def _pair_cos(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Same arithmetic as similarity.pair_cos (einsum on raw vectors)."""
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return num / np.maximum(den, 1e-300)
+
+
+def _rank_topk(q_ids, n_ids, cos, k):
+    """(query_id, neighbor_id, rank, cos) by (cos desc, neighbor asc)."""
+    rows = []
+    for qid in np.unique(q_ids):
+        m = q_ids == qid
+        ni, ci = n_ids[m], cos[m]
+        order = np.lexsort((ni, -ci))[:k]
+        for rank, i in enumerate(order, start=1):
+            rows.append((int(qid), int(ni[i]), rank, spark_round(ci[i], 6)))
+    return sorted(rows)
+
+
+def ann_lsh_rows(sf_dir: str, k: int = 5, planes: int = 4,
+                 query_max: int = 10) -> list[tuple]:
+    """similarity.lsh_bucket_topk: deterministic sign-LSH buckets from
+    the seeded plane matrix, exact cosine within bucket."""
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _plane_matrix,
+    )
+
+    ids, M = _load_embeddings(sf_dir)
+    P = _plane_matrix(planes, M.shape[1])
+    w = 1 << np.arange(planes)
+    buckets = ((M @ P.T) > 0).astype(np.int64) @ w
+    qm = ids < query_max
+    q_ids_list, n_ids_list, cos_list = [], [], []
+    for qid, qb, qv in zip(ids[qm], buckets[qm], M[qm]):
+        cand = (buckets == qb) & (ids != qid)
+        if not cand.any():
+            continue
+        A = np.broadcast_to(qv, (int(cand.sum()), M.shape[1]))
+        cos = _pair_cos(np.ascontiguousarray(A), M[cand])
+        q_ids_list.append(np.repeat(qid, cand.sum()))
+        n_ids_list.append(ids[cand])
+        cos_list.append(cos)
+    if not q_ids_list:
+        return []
+    return _rank_topk(np.concatenate(q_ids_list), np.concatenate(n_ids_list),
+                      np.concatenate(cos_list), k)
+
+
+def ann_ivf_rows(sf_dir: str, k: int = 5, n_centroids: int = 8,
+                 n_probe: int = 3, sample_size: int = 10_000,
+                 query_max: int = 10) -> list[tuple]:
+    """similarity.ivf_topk: same seeded k-means over the id-ordered
+    sample, same cell assignment and probe selection."""
+    from bigdata_event_stream_detection_spark.operators.kernels import (
+        stable_seed,
+    )
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _kmeans,
+    )
+
+    ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    S = M[order][:sample_size]
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    cent = _kmeans(Sn, n_centroids, seed=stable_seed("ivf", n_centroids))
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    cells = np.argmax(Mn @ cent.T, axis=1)
+    qm = ids < query_max
+    Qn = Mn[qm]
+    probes = np.argsort(-(Qn @ cent.T), axis=1)[:, :n_probe]
+    q_ids_list, n_ids_list, cos_list = [], [], []
+    for qid, qv, pr in zip(ids[qm], M[qm], probes):
+        cand = np.isin(cells, pr) & (ids != qid)
+        if not cand.any():
+            continue
+        A = np.broadcast_to(qv, (int(cand.sum()), M.shape[1]))
+        cos = _pair_cos(np.ascontiguousarray(A), M[cand])
+        q_ids_list.append(np.repeat(qid, cand.sum()))
+        n_ids_list.append(ids[cand])
+        cos_list.append(cos)
+    if not q_ids_list:
+        return []
+    return _rank_topk(np.concatenate(q_ids_list), np.concatenate(n_ids_list),
+                      np.concatenate(cos_list), k)
+
+
+def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
+    """(doc_id, feature_sum) — the md5-seeded fake decode over the
+    documents' utf-8 bytes, summed with the same left-fold order as
+    Spark's F.aggregate."""
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        _fake_decode,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        feat = _fake_decode(str(text).encode("utf-8"), dim)
+        s = 0.0
+        for v in feat:
+            s = s + float(v)
+        rows.append((str(doc_id), spark_round(s, 6)))
+    return rows
