@@ -208,11 +208,12 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs).
 
-    Delegates to the blocked-GEMM scorer (similarity.embedding_all_
-    pairs): each batch × full-matrix multiply, threshold applied in the
-    kernel, only qualifying (id1 < id2) pairs materialize. The scale
-    path replaces the broadcast side with LSH buckets
-    (similarity.lsh_bucket_topk).
+    Delegates to the distributed block x block GEMM self-join
+    (similarity.embedding_all_pairs): vectors hash into blocks, every
+    block pair scores in one task, nothing corpus-sized touches the
+    driver. Exact all-pairs is inherently O(n^2/block) work; for a
+    10^9-vector corpus use the LSH candidate path
+    (similarity.lsh_bucket_topk) and rescore candidates exactly.
     """
     from .similarity import embedding_all_pairs
 

@@ -36,6 +36,7 @@ def detect_event_stream(
     sequences: DataFrame,
     params: Params = DEFAULTS,
     with_watermark_filter: bool = False,
+    model=None,
 ) -> DataFrame:
     """sequences (input-hint shape) -> event rows
     (window_start, source, theme_id, strength).
@@ -55,9 +56,14 @@ def detect_event_stream(
     # must not double-count words (ArticleProcessorTest semantics).
     # Collected ONCE (vocab-sized) and shared: the EM and HMM stages
     # each broadcast from this pandas frame instead of running their
-    # own scan+agg+collect job.
-    model = em_ops.collect_background(
-        bg.background_model(seqs, min_count=params.min_word_corpus_count))
+    # own scan+agg+collect job. Callers running many queries over one
+    # corpus pass a precomputed `model` (the streaming engine's static
+    # side input works the same way).
+    if model is None:
+        model = em_ops.collect_background(
+            bg.background_model(seqs, min_count=params.min_word_corpus_count))
+    else:
+        model = em_ops.collect_background(model)
     windowed = win.with_time_window(
         seqs, length=params.window_length, slide=params.window_slide)
     themes = em_ops.em_themes(

@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # RocksDB state store: off-heap state (the buffered token streams
+        # are corpus-sized — on-heap HDFS store GC-thrashes at high core
+        # counts; measured 209 s -> 138 s at local[16] on the 150k-doc
+        # fixture) + incremental changelog checkpointing
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+        .config("spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("BESD_DRIVER_MEM", "32g"))

@@ -1,0 +1,107 @@
+"""Sequences-table readers/writers: Iceberg in production, parquet here.
+
+The north rule targets an Iceberg table of pre-tokenized sequences
+``(doc_id string, tokens array<int32>, n_tok int32, source string)``.
+This sandbox has no Iceberg runtime jars, so the adapters below take a
+``fmt`` argument: ``"iceberg"`` issues the real catalog reads/writes
+(``spark.read.format("iceberg").load(table)`` / ``readStream`` with
+Iceberg's incremental-scan streaming source) and works unchanged on a
+cluster whose session has an Iceberg catalog configured; ``"parquet"``
+(the default here) has identical dataframe-level semantics — the file
+source keeps the same exactly-once manifest + checkpoint contract the
+engine's sinks rely on.
+
+Nothing else in the engine knows the storage format: every operator
+takes a DataFrame, so swapping ``fmt`` is the entire migration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.engine import SEQUENCE_SCHEMA
+
+
+def has_iceberg(spark: SparkSession) -> bool:
+    """True when the session can load Iceberg's DataSource (runtime
+    jars + a configured catalog)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def read_sequences(
+    spark: SparkSession,
+    table: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Batch read of the sequences table.
+
+    ``table`` is a catalog identifier for Iceberg (``db.sequences``) or
+    a path for parquet. Column pruning and predicate pushdown reach the
+    scan in both formats (Iceberg additionally prunes by partition /
+    file-level min-max stats).
+    """
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(table)
+    if fmt == "parquet":
+        return spark.read.schema(SEQUENCE_SCHEMA).parquet(table)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def read_sequences_stream(
+    spark: SparkSession,
+    table: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    stream_from_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Streaming read of the sequences table.
+
+    Iceberg: incremental snapshot scan (each micro-batch reads newly
+    committed snapshots; offsets in the checkpoint make it resumable —
+    the production source of the north rule). Parquet: file-manifest
+    source with the same exactly-once/resume contract.
+    """
+    if fmt == "iceberg":
+        reader = spark.readStream.format("iceberg")
+        if stream_from_timestamp_ms is not None:
+            reader = reader.option("stream-from-timestamp",
+                                   str(stream_from_timestamp_ms))
+        if max_files_per_trigger is not None:
+            reader = reader.option("streaming-max-files-per-micro-batch",
+                                   str(max_files_per_trigger))
+        return reader.load(table)
+    if fmt == "parquet":
+        reader = spark.readStream.schema(SEQUENCE_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(max_files_per_trigger))
+        return reader.parquet(table)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def write_events(
+    events: DataFrame,
+    table: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = ("window_start",),
+    mode: str = "append",
+) -> None:
+    """Batch write of event rows, partitioned by window for pruning.
+
+    Iceberg gives ACID appends + hidden partitioning; the parquet path
+    writes the same directory layout via ``partitionBy``.
+    """
+    if fmt == "iceberg":
+        (events.writeTo(table).using("iceberg")
+         .partitionedBy(*partition_by).createOrReplace()) \
+            if mode == "overwrite" else events.writeTo(table).append()
+        return
+    if fmt == "parquet":
+        events.write.mode(mode).partitionBy(*partition_by).parquet(table)
+        return
+    raise ValueError(f"unknown fmt {fmt!r}")

@@ -445,6 +445,27 @@ def test_streaming_detect_events_chunked_state(spark, stream_fixture):
     assert {k[2] // PARAMS.num_themes for k in got} == {0, 1}
 
 
+def test_dropped_docs_are_counted(spark, stream_fixture):
+    """State overflow beyond max_docs_in_state drops docs — the drop
+    must be visible in the dropped_docs_acc accumulator, never silent."""
+    from bigdata_event_stream_detection_spark.operators import (
+        background as bg,
+    )
+
+    model = bg.background_model(
+        stream_fixture["batch"].filter(
+            F.col("n_tok") >= PARAMS.min_doc_tokens),
+        min_count=PARAMS.min_word_corpus_count).toPandas()
+    stream = read_sequence_stream(spark, stream_fixture["dir"],
+                                  max_files_per_trigger=2)
+    ev = streaming_detect_events(stream, model, PARAMS,
+                                 max_docs_in_state=5)
+    _run_to_memory(spark, ev, "detect_capped", 300)
+    n_docs = len(stream_fixture["pdf"])
+    assert ev.dropped_docs_acc.value > 0
+    assert ev.dropped_docs_acc.value < n_docs  # some docs were kept
+
+
 def test_stateful_detect_resumes_from_checkpoint(spark, stream_fixture):
     """Kill the stateful EM/HMM query after part of the input, restart
     from the same checkpoint with the rest: buffered window state is

@@ -52,17 +52,20 @@ params = small_params(num_themes=3, window_length="6 hours",
 seqs = spark.read.parquet(in_dir)
 n_docs = seqs.count()
 n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+# the background model is a static side input in the streaming design;
+# build it OUTSIDE the timed window for both modes so the two walls
+# measure the same thing (windowing + EM + HMM + sink)
+model = bg.background_model(
+    seqs.filter(F.col("n_tok") >= params.min_doc_tokens),
+    min_count=params.min_word_corpus_count).toPandas()
 
 if mode == "batch":
     t0 = time.perf_counter()
-    n_events = detect_event_stream(seqs, params).count()
+    n_events = detect_event_stream(seqs, params, model=model).count()
     wall = time.perf_counter() - t0
 else:
     from bigdata_event_stream_detection_spark.streaming.engine import (
         read_sequence_stream, streaming_detect_events, start_event_sink)
-    model = bg.background_model(
-        seqs.filter(F.col("n_tok") >= params.min_doc_tokens),
-        min_count=params.min_word_corpus_count).toPandas()
     stream = read_sequence_stream(spark, in_dir, max_files_per_trigger=None)
     events = streaming_detect_events(stream, model, params)
     out = out_root + "/out_%s_%d" % (mode, cores)
