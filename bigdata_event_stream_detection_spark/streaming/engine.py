@@ -274,6 +274,7 @@ def streaming_detect_events(
                 t = np.asarray(toks, dtype=np.int32)
                 new_lens.append(int(t.size))
                 new_flat.append(t)
+        cur_wm = state.getCurrentWatermarkMs()
         if state.exists:
             doc_ids, sources, event_ms, doc_lens, flat, we_ms = state.get
             doc_ids = list(doc_ids) + new_ids
@@ -284,11 +285,18 @@ def streaming_detect_events(
                 [np.asarray(flat, dtype=np.int32)] + new_flat) \
                 if new_flat else np.asarray(flat, dtype=np.int32)
         else:
+            we_ms = int(pd.Timestamp(window_end).value // 1_000_000)
+            if we_ms <= cur_wm:
+                # out-of-order arrival for a window the watermark already
+                # finalized (file sources can deliver batches out of
+                # event-time order): late data — drop, never resurrect a
+                # closed window (append-mode exactly-once)
+                dropped_acc.add(len(new_ids))
+                return
             doc_ids, sources, event_ms, doc_lens = (
                 new_ids, new_src, new_ms, new_lens)
             flat = (np.concatenate(new_flat) if new_flat
                     else np.empty(0, np.int32))
-            we_ms = int(pd.Timestamp(window_end).value // 1_000_000)
         if len(doc_ids) > max_docs_in_state:
             # bounded state (the reference's per-window doc cap) — the
             # drop is accounted, never silent
@@ -305,8 +313,10 @@ def streaming_detect_events(
                      else [int(x) for x in flat])
         state.update((doc_ids, sources, [int(x) for x in event_ms],
                       [int(x) for x in doc_lens], flat_list, we_ms))
-        # close when the watermark passes the window end
-        state.setTimeoutTimestamp(we_ms)
+        # close when the watermark passes the window end; clamp past the
+        # current watermark (an existing key whose end the watermark just
+        # crossed still fires on the NEXT batch's timeout sweep)
+        state.setTimeoutTimestamp(max(we_ms, cur_wm + 1))
         return
         yield  # pragma: no cover — generator form
 
@@ -485,7 +495,8 @@ def streaming_detect_events_sessions(
             state.update((doc_ids, [int(x) for x in event_ms],
                           [int(x) for x in doc_lens],
                           flat_list, int(s_ms), int(e_ms)))
-            state.setTimeoutTimestamp(int(e_ms + gap_ms))
+            state.setTimeoutTimestamp(
+                max(int(e_ms + gap_ms), state.getCurrentWatermarkMs() + 1))
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[
                 "session_start", "session_end", "source",

@@ -445,6 +445,53 @@ def test_streaming_detect_events_chunked_state(spark, stream_fixture):
     assert {k[2] // PARAMS.num_themes for k in got} == {0, 1}
 
 
+def test_out_of_order_file_arrival_no_crash(spark, tmp_path):
+    """Regression: a file source can deliver batches out of event-time
+    order (mtime ties / interleaved layouts). Rows for a window the
+    watermark already finalized must be dropped (append-mode
+    exactly-once — never resurrected), the timeout clamped past the
+    watermark, and the query must NOT crash with
+    INVALID_TIMEOUT_TIMESTAMP."""
+    from bigdata_event_stream_detection_spark.operators import (
+        background as bg,
+    )
+
+    t0 = pd.Timestamp("2015-01-01 00:00:00")
+
+    def mk(ids, times):
+        return pd.DataFrame({
+            "doc_id": ids, "tokens": [[1, 2, 3, 4, 5, 6]] * len(ids),
+            "n_tok": [6] * len(ids), "source": ["GDL"] * len(ids),
+            "event_time": times})
+
+    # file 1 jumps the watermark 3 months ahead; file 2 (processed in a
+    # LATER batch) carries rows for a long-finalized window
+    chunks = [
+        mk(["new1", "new2"], [t0 + pd.Timedelta(days=90),
+                              t0 + pd.Timedelta(days=90, hours=6)]),
+        mk(["stale1", "stale2"], [t0, t0 + pd.Timedelta(minutes=5)]),
+        mk(["sent"], [t0 + pd.Timedelta(days=120)]),
+    ]
+    d = str(tmp_path / "ooo_in")
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        f = os.path.join(d, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            chunk, schema=ARROW_SCHEMA, preserve_index=False), f)
+        os.utime(f, (time.time() + i, time.time() + i))
+    all_pdf = pd.concat(chunks)
+    model = bg.background_model(
+        spark.createDataFrame(all_pdf), min_count=1).toPandas()
+    stream = read_sequence_stream(spark, d, max_files_per_trigger=1)
+    ev = streaming_detect_events(stream, model, PARAMS)
+    out = _run_to_memory(spark, ev, "ooo_detect", 300)
+    rows = out.collect()  # must complete without INVALID_TIMEOUT_TIMESTAMP
+    # the stale window never emits (its docs were late) ...
+    assert all(r["window_start"] != t0.to_pydatetime() for r in rows)
+    # ... and the late docs are accounted in the dropped counter
+    assert ev.dropped_docs_acc.value == 2
+
+
 def test_dropped_docs_are_counted(spark, stream_fixture):
     """State overflow beyond max_docs_in_state drops docs — the drop
     must be visible in the dropped_docs_acc accumulator, never silent."""
