@@ -130,10 +130,22 @@ from bigdata_event_stream_detection_spark.session import get_spark
 from bigdata_event_stream_detection_spark.sources.synthetic import generate_sequences
 spark = get_spark("gen", cores=32)
 df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.files})
-df.orderBy("event_time").coalesce({args.files}).write.mode("overwrite").parquet({in_dir!r})
+# repartitionByRange keeps each part-file a contiguous time slice
+# (orderBy().coalesce() interleaves ranges across files, which makes
+# incremental-trigger streaming runs structurally late-drop data)
+(df.repartitionByRange({args.files}, "event_time")
+   .sortWithinPartitions("event_time")
+   .write.mode("overwrite").parquet({in_dir!r}))
 """
     subprocess.run([sys.executable, "-c", gen], check=True, env=env,
                    cwd=REPO, capture_output=True, timeout=1200)
+    # chronological mtimes so the file stream processes time slices in
+    # event-time order (mtime ties otherwise randomize batch order)
+    import glob as _glob
+    import time as _time
+    t = _time.time()
+    for i, f in enumerate(sorted(_glob.glob(in_dir + "/part-*.parquet"))):
+        os.utime(f, (t + i, t + i))
 
     results = []
     for mode in ("stream", "batch"):
