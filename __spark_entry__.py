@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch projections (unix_timestamp) and the model kernels' seeds
+    # (epoch nanos of window_start) assume UTC; pin it so the contract
+    # holds under any harness session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
