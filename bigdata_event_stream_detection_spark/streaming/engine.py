@@ -42,8 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
-    TimestampType,
+    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 from ..operators.em import em_window
@@ -66,14 +66,21 @@ EVENT_SCHEMA = StructType([
 ])
 
 # Buffered window state: per-doc metadata + ONE flattened token stream
-# with per-doc lengths (columnar — no nested list-of-lists churn in the
-# state store; token arrays round-trip byte-equal through Arrow).
+# with per-doc lengths. Numeric columns are BINARY-packed raw little-
+# endian buffers (`ndarray.tobytes()` <-> `np.frombuffer`), NOT
+# ArrayType: a window's multi-million-token stream round-trips the
+# state store as one memcpy'd blob instead of millions of boxed
+# elements on both the Python side (tolist()) and the JVM side
+# (UnsafeArrayData) — this is the difference between a state commit
+# that is bandwidth-priced and one that is object-churn-priced.
+# Sources are dictionary-encoded (small vocab + int32 code per doc).
 STATE_SCHEMA = StructType([
     StructField("doc_ids", ArrayType(StringType())),
-    StructField("sources", ArrayType(StringType())),
-    StructField("event_ms", ArrayType(LongType())),
-    StructField("doc_lens", ArrayType(IntegerType())),
-    StructField("flat_tokens", ArrayType(IntegerType())),
+    StructField("src_vocab", ArrayType(StringType())),
+    StructField("src_codes", BinaryType()),    # int32, one per doc
+    StructField("event_ms", BinaryType()),     # int64, one per doc
+    StructField("doc_lens", BinaryType()),     # int32, one per doc
+    StructField("flat_tokens", BinaryType()),  # int32 token stream
     StructField("window_end_ms", LongType()),
 ])
 
@@ -211,8 +218,7 @@ def streaming_detect_events(
         ``state_chunks == 1`` (chunk 0) this is the plain EM id."""
         ids, p_all = bcast.value
         offs = np.concatenate([[0], np.cumsum(doc_lens)])
-        toks = [flat[offs[i]:offs[i + 1]].astype(np.int32)
-                for i in range(len(doc_ids))]
+        toks = [flat[offs[i]:offs[i + 1]] for i in range(len(doc_ids))]
         seq_pdf = pd.DataFrame({
             "source": sources, "doc_id": doc_ids,
             "event_time": np.asarray(event_ms, dtype=np.int64),
@@ -245,12 +251,17 @@ def streaming_detect_events(
         chunk = int(key[2]) if len(key) > 2 else 0
         if state.hasTimedOut:
             if state.exists:
-                doc_ids, sources, event_ms, doc_lens, flat, _ = state.get
+                (doc_ids, src_vocab, src_codes, event_ms, doc_lens, flat,
+                 _) = state.get
+                codes = np.frombuffer(src_codes, dtype=np.int32)
+                vocab_arr = np.asarray(list(src_vocab), dtype=object)
+                sources = (vocab_arr[codes] if codes.size
+                           else np.empty(0, dtype=object))
                 rows = close_window(
-                    window_start, chunk, list(doc_ids), list(sources),
-                    list(event_ms),
-                    np.asarray(doc_lens, dtype=np.int64),
-                    np.asarray(flat, dtype=np.int64))
+                    window_start, chunk, list(doc_ids), sources,
+                    np.frombuffer(event_ms, dtype=np.int64),
+                    np.frombuffer(doc_lens, dtype=np.int32),
+                    np.frombuffer(flat, dtype=np.int32))
                 state.remove()
                 if rows:
                     yield pd.DataFrame(rows, columns=[
@@ -258,32 +269,43 @@ def streaming_detect_events(
             else:
                 state.remove()
             return
+        # Vectorized buffer of this batch's docs — no per-row Python in
+        # the hot path (timestamps and lengths stay numpy end to end).
         new_ids: list[str] = []
         new_src: list[str] = []
-        new_ms: list[int] = []
-        new_lens: list[int] = []
-        new_flat: list[np.ndarray] = []
+        ms_parts: list[np.ndarray] = []
+        len_parts: list[np.ndarray] = []
+        flat_parts: list[np.ndarray] = []
         for pdf in pdf_iter:
             pdf = pdf[pdf["n_tok"] >= min_tokens]
-            for doc_id, src, ets, toks in zip(
-                    pdf["doc_id"], pdf["source"], pdf["event_time"],
-                    pdf["tokens"]):
-                new_ids.append(doc_id)
-                new_src.append(src)
-                new_ms.append(int(pd.Timestamp(ets).value // 1_000_000))
-                t = np.asarray(toks, dtype=np.int32)
-                new_lens.append(int(t.size))
-                new_flat.append(t)
+            if not len(pdf):
+                continue
+            new_ids.extend(pdf["doc_id"].tolist())
+            new_src.extend(pdf["source"].tolist())
+            ms_parts.append(
+                pdf["event_time"].to_numpy("datetime64[ns]")
+                .astype(np.int64) // 1_000_000)
+            toks = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
+            len_parts.append(np.fromiter(
+                (t.size for t in toks), dtype=np.int32, count=len(toks)))
+            flat_parts.append(
+                np.concatenate(toks) if toks else np.empty(0, np.int32))
         cur_wm = state.getCurrentWatermarkMs()
         if state.exists:
-            doc_ids, sources, event_ms, doc_lens, flat, we_ms = state.get
+            (doc_ids, src_vocab, src_codes, event_ms, doc_lens, flat,
+             we_ms) = state.get
             doc_ids = list(doc_ids) + new_ids
-            sources = list(sources) + new_src
-            event_ms = list(event_ms) + new_ms
-            doc_lens = list(doc_lens) + new_lens
-            flat = np.concatenate(
-                [np.asarray(flat, dtype=np.int32)] + new_flat) \
-                if new_flat else np.asarray(flat, dtype=np.int32)
+            src_vocab = list(src_vocab)
+            code_of = {s: i for i, s in enumerate(src_vocab)}
+            codes = np.concatenate(
+                [np.frombuffer(src_codes, dtype=np.int32),
+                 _encode_sources(new_src, src_vocab, code_of)])
+            ms = np.concatenate(
+                [np.frombuffer(event_ms, dtype=np.int64)] + ms_parts)
+            lens = np.concatenate(
+                [np.frombuffer(doc_lens, dtype=np.int32)] + len_parts)
+            flat_arr = np.concatenate(
+                [np.frombuffer(flat, dtype=np.int32)] + flat_parts)
         else:
             we_ms = int(pd.Timestamp(window_end).value // 1_000_000)
             if we_ms <= cur_wm:
@@ -293,26 +315,26 @@ def streaming_detect_events(
                 # closed window (append-mode exactly-once)
                 dropped_acc.add(len(new_ids))
                 return
-            doc_ids, sources, event_ms, doc_lens = (
-                new_ids, new_src, new_ms, new_lens)
-            flat = (np.concatenate(new_flat) if new_flat
-                    else np.empty(0, np.int32))
+            if not new_ids:
+                return  # nothing survived the filter — don't open state
+            doc_ids = new_ids
+            src_vocab = []
+            codes = _encode_sources(new_src, src_vocab, {})
+            ms = np.concatenate(ms_parts)
+            lens = np.concatenate(len_parts)
+            flat_arr = np.concatenate(flat_parts)
         if len(doc_ids) > max_docs_in_state:
             # bounded state (the reference's per-window doc cap) — the
             # drop is accounted, never silent
             dropped_acc.add(len(doc_ids) - max_docs_in_state)
             doc_ids = doc_ids[:max_docs_in_state]
-            sources = sources[:max_docs_in_state]
-            event_ms = event_ms[:max_docs_in_state]
-            keep_n = int(np.sum(doc_lens[:max_docs_in_state]))
-            doc_lens = doc_lens[:max_docs_in_state]
-            flat = flat[:keep_n]
-        # numpy .tolist() is C-speed; a Python int() comprehension over a
-        # window's full token stream would dominate the micro-batch
-        flat_list = (flat.tolist() if isinstance(flat, np.ndarray)
-                     else [int(x) for x in flat])
-        state.update((doc_ids, sources, [int(x) for x in event_ms],
-                      [int(x) for x in doc_lens], flat_list, we_ms))
+            codes = codes[:max_docs_in_state]
+            ms = ms[:max_docs_in_state]
+            keep_n = int(lens[:max_docs_in_state].sum())
+            lens = lens[:max_docs_in_state]
+            flat_arr = flat_arr[:keep_n]
+        state.update((doc_ids, src_vocab, codes.tobytes(), ms.tobytes(),
+                      lens.tobytes(), flat_arr.tobytes(), we_ms))
         # close when the watermark passes the window end; clamp past the
         # current watermark (an existing key whose end the watermark just
         # crossed still fires on the NEXT batch's timeout sweep)
@@ -345,11 +367,13 @@ def streaming_detect_events(
     return out
 
 
+# Session state uses the same binary packing as STATE_SCHEMA (one
+# blob per numeric column instead of millions of boxed array elements).
 SESSION_STATE_SCHEMA = StructType([
     StructField("doc_ids", ArrayType(StringType())),
-    StructField("event_ms", ArrayType(LongType())),
-    StructField("doc_lens", ArrayType(IntegerType())),
-    StructField("flat_tokens", ArrayType(IntegerType())),
+    StructField("event_ms", BinaryType()),     # int64, one per doc
+    StructField("doc_lens", BinaryType()),     # int32, one per doc
+    StructField("flat_tokens", BinaryType()),  # int32 token stream
     StructField("session_start_ms", LongType()),
     StructField("session_end_ms", LongType()),
 ])
@@ -403,8 +427,7 @@ def streaming_detect_events_sessions(
                       start_ms, end_ms):
         ids, p_all = bcast.value
         offs = np.concatenate([[0], np.cumsum(doc_lens)])
-        toks = [flat[offs[i]:offs[i + 1]].astype(np.int32)
-                for i in range(len(doc_ids))]
+        toks = [flat[offs[i]:offs[i + 1]] for i in range(len(doc_ids))]
         seq_pdf = pd.DataFrame({
             "source": [source] * len(doc_ids), "doc_id": doc_ids,
             "event_time": np.asarray(event_ms, dtype=np.int64),
@@ -447,9 +470,10 @@ def streaming_detect_events_sessions(
             if state.exists:
                 doc_ids, event_ms, doc_lens, flat, s_ms, e_ms = state.get
                 rows_out += close_session(
-                    source, list(doc_ids), list(event_ms),
-                    np.asarray(doc_lens, np.int64),
-                    np.asarray(flat, np.int64), s_ms, e_ms)
+                    source, list(doc_ids),
+                    np.frombuffer(event_ms, dtype=np.int64),
+                    np.frombuffer(doc_lens, dtype=np.int32),
+                    np.frombuffer(flat, dtype=np.int32), s_ms, e_ms)
                 state.remove()
             if rows_out:
                 yield pd.DataFrame(rows_out, columns=[
@@ -459,23 +483,29 @@ def streaming_detect_events_sessions(
 
         if state.exists:
             doc_ids, event_ms, doc_lens, flat, s_ms, e_ms = state.get
-            doc_ids, event_ms = list(doc_ids), list(event_ms)
-            doc_lens = list(doc_lens)
-            flat = np.asarray(flat, dtype=np.int32)
+            doc_ids = list(doc_ids)
+            event_ms = np.frombuffer(event_ms, dtype=np.int64).tolist()
+            doc_lens = np.frombuffer(doc_lens, dtype=np.int32).tolist()
+            flat_parts = [np.frombuffer(flat, dtype=np.int32)]
         else:
             doc_ids, event_ms, doc_lens = [], [], []
-            flat = np.empty(0, np.int32)
+            flat_parts = []
             s_ms = e_ms = None
+
+        def session_arrays():
+            return (np.asarray(event_ms, dtype=np.int64),
+                    np.asarray(doc_lens, dtype=np.int32),
+                    np.concatenate(flat_parts) if flat_parts
+                    else np.empty(0, np.int32))
 
         for ts_ms, doc_id, toks in new:
             if s_ms is not None and ts_ms - e_ms > gap_ms:
                 # gap exceeded -> close current session, start fresh
+                ms_arr, len_arr, flat_arr = session_arrays()
                 rows_out += close_session(
-                    source, doc_ids, event_ms,
-                    np.asarray(doc_lens, np.int64),
-                    flat.astype(np.int64), s_ms, e_ms)
+                    source, doc_ids, ms_arr, len_arr, flat_arr, s_ms, e_ms)
                 doc_ids, event_ms, doc_lens = [], [], []
-                flat = np.empty(0, np.int32)
+                flat_parts = []
                 s_ms = None
             if s_ms is None:
                 s_ms = ts_ms
@@ -485,16 +515,14 @@ def streaming_detect_events_sessions(
                 doc_ids.append(doc_id)
                 event_ms.append(ts_ms)
                 doc_lens.append(int(toks.size))
-                flat = np.concatenate([flat, toks])
+                flat_parts.append(toks)
             else:
                 dropped_acc.add(1)  # bounded state — accounted drop
 
         if s_ms is not None:
-            flat_list = (flat.tolist() if isinstance(flat, np.ndarray)
-                         else [int(x) for x in flat])
-            state.update((doc_ids, [int(x) for x in event_ms],
-                          [int(x) for x in doc_lens],
-                          flat_list, int(s_ms), int(e_ms)))
+            ms_arr, len_arr, flat_arr = session_arrays()
+            state.update((doc_ids, ms_arr.tobytes(), len_arr.tobytes(),
+                          flat_arr.tobytes(), int(s_ms), int(e_ms)))
             state.setTimeoutTimestamp(
                 max(int(e_ms + gap_ms), state.getCurrentWatermarkMs() + 1))
         if rows_out:
@@ -511,6 +539,21 @@ def streaming_detect_events_sessions(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     out.dropped_docs_acc = dropped_acc
+    return out
+
+
+def _encode_sources(srcs: list, src_vocab: list, code_of: dict) -> np.ndarray:
+    """Dictionary-encode source strings in place: appends unseen sources
+    to ``src_vocab`` (first-occurrence order — replay-deterministic
+    because the buffered doc order is) and returns int32 codes."""
+    out = np.empty(len(srcs), dtype=np.int32)
+    for i, s in enumerate(srcs):
+        c = code_of.get(s)
+        if c is None:
+            c = len(src_vocab)
+            src_vocab.append(s)
+            code_of[s] = c
+        out[i] = c
     return out
 
 
