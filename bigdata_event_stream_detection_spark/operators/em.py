@@ -87,18 +87,24 @@ def em_window(
     vocab = np.unique(all_tok[keep_mask])
     rows = []
     if vocab.size:
-        col_of = {int(w): i for i, w in enumerate(vocab)}
         D = len(docs)
-        counts = np.zeros((D, vocab.size))
+        # One vectorized pass builds every doc's count row: map the
+        # window's concatenated tokens to vocab columns (searchsorted),
+        # then scatter-count (doc, col) pairs via a single flat
+        # bincount — same integer counts as a per-doc np.unique loop,
+        # without D rounds of Python/numpy dispatch.
+        lens = np.fromiter((len(t) for t in docs), dtype=np.int64, count=D)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), lens)
+        pos = np.searchsorted(vocab, all_tok)
+        pos_c = np.minimum(pos, vocab.size - 1)
+        known = vocab[pos_c] == all_tok
+        flat_idx = doc_of[known] * vocab.size + pos_c[known]
+        counts = np.bincount(
+            flat_idx, minlength=D * vocab.size
+        ).reshape(D, vocab.size).astype(np.float64)
         keep_doc = np.ones(D, dtype=bool)
-        for d, t in enumerate(docs):
-            t = np.asarray(t, dtype=np.int64)
-            t = t[np.isin(t, vocab)]
-            if min_distinct_words and np.unique(t).size <= min_distinct_words:
-                keep_doc[d] = False
-                continue
-            w, c = np.unique(t, return_counts=True)
-            counts[d, [col_of[int(x)] for x in w]] = c
+        if min_distinct_words:
+            keep_doc = (counts > 0).sum(axis=1) > min_distinct_words
         counts = counts[keep_doc]
         if counts.shape[0]:
             # align background to window vocab, renormalized

