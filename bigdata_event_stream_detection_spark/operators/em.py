@@ -227,13 +227,16 @@ def em_doc_weights_window(
     if vocab.size == 0:
         return pd.DataFrame(columns=cols)
     D = len(docs)
-    counts = np.zeros((D, vocab.size))
-    for d, t in enumerate(docs):
-        t = np.asarray(t, dtype=np.int64)
-        t = t[np.isin(t, vocab)]
-        if t.size:
-            w, c = np.unique(t, return_counts=True)
-            counts[d, np.searchsorted(vocab, w)] = c
+    # same vectorized scatter-count as em_window
+    lens = np.fromiter((len(t) for t in docs), dtype=np.int64, count=D)
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), lens)
+    pos = np.searchsorted(vocab, all_tok)
+    pos_c = np.minimum(pos, vocab.size - 1)
+    known = vocab[pos_c] == all_tok
+    counts = np.bincount(
+        doc_of[known] * vocab.size + pos_c[known],
+        minlength=D * vocab.size
+    ).reshape(D, vocab.size).astype(np.float64)
     p_bg = bg_p[np.searchsorted(bg_ids, vocab)]
     p_bg = p_bg / p_bg.sum()
     seed = stable_seed("em", int(pd.Timestamp(window_start).value), 0)

@@ -121,6 +121,100 @@ def _decode_window(seq_pdf: pd.DataFrame, theme_pdf: pd.DataFrame,
                    states[offs[i]:offs[i + 1]], theme_ids)
 
 
+def detect_window_events(
+    window_start,
+    seq_pdf: pd.DataFrame,
+    bg_ids: np.ndarray,
+    bg_p: np.ndarray,
+    *,
+    k: int,
+    em_iterations: int,
+    lambda_b: float,
+    score_floor: float,
+    max_iterations: int,
+    pi_threshold: float,
+    a_threshold: float,
+    theme_id_offset: int = 0,
+) -> list:
+    """EM -> theme floor -> HMM train/decode -> per-source strength rows
+    for ONE window, fused in a single kernel call.
+
+    This is THE shared close-window payload: the fused batch plan
+    (``detect_events_pooled``) and the streaming engine's state-timeout
+    kernel both call it, so batch/stream output parity rides on one
+    code path. Seeds come from the window's epoch nanos via
+    ``em_window``; rows are (window_start, source, theme_id, strength)
+    with ``theme_id_offset`` namespacing for chunked streaming state
+    (M4 semantics).
+    """
+    from .em import em_window
+
+    themes = em_window(
+        pd.Timestamp(window_start), 0, seq_pdf[["doc_id", "tokens"]],
+        bg_ids, bg_p, k, iterations=em_iterations, lambda_b=lambda_b)
+    themes = themes[themes["score"] > score_floor]
+    by_src: dict[str, list] = {}
+    theme_ids = None
+    for src, _doc, _toks, states, tids in _decode_window(
+            seq_pdf, themes, bg_ids, bg_p,
+            max_iterations, pi_threshold, a_threshold):
+        by_src.setdefault(src, []).append(states)
+        theme_ids = tids
+    rows = []
+    for src in sorted(by_src):
+        cnt = np.bincount(np.concatenate(by_src[src]))
+        for s in range(1, cnt.size):   # P8: state 0 is background
+            if cnt[s] > 0:
+                # state index -> surviving theme's real EM id
+                rows.append((window_start, src,
+                             theme_id_offset + int(theme_ids[s - 1]),
+                             int(cnt[s])))
+    return rows
+
+
+def detect_events_pooled(
+    windowed: DataFrame,
+    background,
+    *,
+    k: int,
+    em_iterations: int = 25,
+    lambda_b: float = 0.95,
+    score_floor: float = 0.0,
+    max_iterations: int = 50,
+    pi_threshold: float = 0.01,
+    a_threshold: float = 0.01,
+) -> DataFrame:
+    """Single-shuffle fused event detection for the em_runs == 1 plan.
+
+    The unfused plan shuffles the corpus TWICE — once into the EM
+    groups and again into the decode cogroup — plus two Arrow
+    round-trips. With a single EM run there is nothing between the two
+    that needs a DataFrame boundary (best-run selection is the
+    identity), so this operator runs EM + theme floor + HMM
+    train/decode in ONE ``applyInPandas`` task per window: one hash
+    shuffle on window_start total, exactly like the streaming state
+    kernel (which shares the same ``detect_window_events`` payload).
+    """
+    bcast = _broadcast_background(windowed, background)
+
+    def run(key, pdf):
+        window_start = key[0]
+        bg_ids, bg_p = bcast.value
+        rows = detect_window_events(
+            window_start, pdf, bg_ids, bg_p, k=k,
+            em_iterations=em_iterations, lambda_b=lambda_b,
+            score_floor=score_floor, max_iterations=max_iterations,
+            pi_threshold=pi_threshold, a_threshold=a_threshold)
+        return pd.DataFrame(rows, columns=[
+            "window_start", "source", "theme_id", "strength"])
+
+    return (windowed
+            .select("window_start", "source", "doc_id", "event_time",
+                    "tokens")
+            .groupBy("window_start")
+            .applyInPandas(run, EVENTS_SCHEMA))
+
+
 def _broadcast_background(sequences: DataFrame, background):
     """Background model as a SparkContext broadcast of aligned arrays.
 

@@ -184,6 +184,7 @@ def forward_backward_small(b_obs: np.ndarray, pi: np.ndarray,
     kernels._forward_backward_small). Returns (alpha, beta, c, loglik).
     """
     T, n = b_obs.shape
+    assert n <= 64, "C kernels use fixed 64-state scratch buffers"
     b_obs = np.ascontiguousarray(b_obs)
     pi = np.ascontiguousarray(pi, dtype=np.float64)
     a = np.ascontiguousarray(a, dtype=np.float64)
@@ -204,6 +205,7 @@ def viterbi_small(obs: np.ndarray, log_pi: np.ndarray, log_a: np.ndarray,
     T = obs.shape[0]
     n = log_pi.shape[0]
     W = log_b.shape[1]
+    assert n <= 64, "C kernels use fixed 64-state scratch buffers"
     obs = np.ascontiguousarray(obs, dtype=np.int64)
     log_pi = np.ascontiguousarray(log_pi, dtype=np.float64)
     log_a = np.ascontiguousarray(log_a, dtype=np.float64)

@@ -48,8 +48,7 @@ def detect_event_stream(
     recomputes per consumer (the reference persists at the same points:
     InputParser.java:108, EmAlgo.java:231).
     """
-    seqs = win.filter_docs(
-        sequences, min_tokens=params.min_doc_tokens).persist()
+    seqs = win.filter_docs(sequences, min_tokens=params.min_doc_tokens)
     if with_watermark_filter:
         seqs = win.drop_late(seqs, watermark_delay=params.watermark_delay)
     # background model over the *unwindowed* corpus: overlapping windows
@@ -58,7 +57,15 @@ def detect_event_stream(
     # each broadcast from this pandas frame instead of running their
     # own scan+agg+collect job. Callers running many queries over one
     # corpus pass a precomputed `model` (the streaming engine's static
-    # side input works the same way).
+    # side input works the same way). The corpus persist exists for the
+    # multi-consumer lineage (model scan + EM + HMM cogroup); with a
+    # precomputed model and the fused single-run plan there is exactly
+    # ONE consumer, so the persist materialization (a serial stage
+    # barrier) is skipped.
+    fused = params.em_runs == 1
+    consumers = (0 if model is not None else 1) + (1 if fused else 2)
+    if consumers > 1:
+        seqs = seqs.persist()
     if model is None:
         model = em_ops.collect_background(
             bg.background_model(seqs, min_count=params.min_word_corpus_count))
@@ -66,6 +73,21 @@ def detect_event_stream(
         model = em_ops.collect_background(model)
     windowed = win.with_time_window(
         seqs, length=params.window_length, slide=params.window_slide)
+    if fused:
+        # single-run plan: EM + theme floor + HMM decode fused into one
+        # applyInPandas task per window — ONE corpus shuffle instead of
+        # two (EM groups + decode cogroup); shares the streaming state
+        # kernel's payload, so outputs are identical by construction
+        return hmm_ops.detect_events_pooled(
+            windowed, model,
+            k=params.num_themes,
+            em_iterations=params.em_iterations,
+            lambda_b=params.lambda_background,
+            score_floor=params.theme_score_floor_factor / params.num_themes,
+            max_iterations=params.bw_max_iterations,
+            pi_threshold=params.bw_pi_threshold,
+            a_threshold=params.bw_a_threshold,
+        )
     themes = em_ops.em_themes(
         windowed, model,
         k=params.num_themes,
@@ -73,12 +95,9 @@ def detect_event_stream(
         lambda_b=params.lambda_background,
         runs=params.em_runs,
     )
-    if params.em_runs > 1:
-        # best-run selection reads the theme table twice (agg + join
-        # back), so persist it; with a single run the selection is the
-        # identity — skip the join AND the persist materialization
-        # (one less serial stage in the batch critical path)
-        themes = em_ops.best_run_themes(themes.persist())
+    # best-run selection reads the theme table twice (agg + join back),
+    # so persist it
+    themes = em_ops.best_run_themes(themes.persist())
     themes = em_ops.filter_themes(
         themes, params.num_themes, params.theme_score_floor_factor)
     return hmm_ops.detect_events(

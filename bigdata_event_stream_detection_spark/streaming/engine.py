@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.em import em_window
-from ..operators.hmm import _decode_window
+from ..operators.hmm import _decode_window, detect_window_events
 from ..params import DEFAULTS, Params
 
 SEQUENCE_SCHEMA = StructType([
@@ -209,13 +209,15 @@ def streaming_detect_events(
 
     def close_window(window_start, chunk, doc_ids, sources, event_ms,
                      doc_lens, flat):
-        """Run the batch per-window kernel on the buffered docs.
+        """Run the shared fused per-window kernel on the buffered docs.
 
-        With ``state_chunks > 1`` the emitted theme_id is namespaced as
-        ``chunk * num_themes + em_theme_id`` so (window, source,
-        theme_id) stays a unique exactly-once sink key across chunks
-        (chunk EMs are independent, like M4's per-chunk runs). For
-        ``state_chunks == 1`` (chunk 0) this is the plain EM id."""
+        The payload is ``hmm.detect_window_events`` — the SAME function
+        the fused batch plan runs, which is what makes streaming output
+        rows identical to the batch pipeline. With ``state_chunks > 1``
+        the emitted theme_id is namespaced as ``chunk * num_themes +
+        em_theme_id`` so (window, source, theme_id) stays a unique
+        exactly-once sink key across chunks (chunk EMs are independent,
+        like M4's per-chunk runs)."""
         ids, p_all = bcast.value
         offs = np.concatenate([[0], np.cumsum(doc_lens)])
         toks = [flat[offs[i]:offs[i + 1]] for i in range(len(doc_ids))]
@@ -224,27 +226,12 @@ def streaming_detect_events(
             "event_time": np.asarray(event_ms, dtype=np.int64),
             "tokens": toks,
         })
-        em_pdf = seq_pdf[["doc_id", "tokens"]]
-        themes = em_window(
-            pd.Timestamp(window_start), 0, em_pdf, ids, p_all, k,
-            iterations=em_iters, lambda_b=lambda_b)
-        themes = themes[themes["score"] > score_floor]
-        rows = []
-        by_src: dict[str, list] = {}
-        theme_ids = None
-        for src, _doc, _toks, states, tids in _decode_window(
-                seq_pdf, themes, ids, p_all, bw_iters, pi_thr, a_thr):
-            by_src.setdefault(src, []).append(states)
-            theme_ids = tids
-        for src in sorted(by_src):
-            cnt = np.bincount(np.concatenate(by_src[src]))
-            for s in range(1, cnt.size):   # P8: state 0 is background
-                if cnt[s] > 0:
-                    # state index -> surviving theme's real EM id
-                    rows.append((window_start, src,
-                                 chunk * k + int(theme_ids[s - 1]),
-                                 int(cnt[s])))
-        return rows
+        return detect_window_events(
+            window_start, seq_pdf, ids, p_all, k=k,
+            em_iterations=em_iters, lambda_b=lambda_b,
+            score_floor=score_floor, max_iterations=bw_iters,
+            pi_threshold=pi_thr, a_threshold=a_thr,
+            theme_id_offset=chunk * k)
 
     def fn(key, pdf_iter, state: GroupState):
         window_start, window_end = key[0], key[1]

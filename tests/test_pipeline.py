@@ -168,3 +168,30 @@ def test_em_themes_chunked_covers_all_docs(spark, tiny_sequences):
                             .alias("n")).collect()}
     for w, n in per_window_docs.items():
         assert n == truth[w]
+
+
+def test_fused_plan_matches_unfused(tiny_sequences):
+    """The em_runs==1 fused single-shuffle plan must emit exactly the
+    rows of the explicit em_themes -> filter_themes -> detect_events
+    composition (same kernels, same seeds, one shuffle instead of
+    two)."""
+    fused = _collect_events(detect_event_stream(tiny_sequences, PARAMS))
+
+    seqs = win.filter_docs(
+        tiny_sequences, min_tokens=PARAMS.min_doc_tokens).persist()
+    model = em_ops.collect_background(bg.background_model(
+        seqs, min_count=PARAMS.min_word_corpus_count))
+    windowed = win.with_time_window(seqs, length=PARAMS.window_length)
+    themes = em_ops.em_themes(
+        windowed, model, k=PARAMS.num_themes,
+        iterations=PARAMS.em_iterations,
+        lambda_b=PARAMS.lambda_background, runs=1)
+    themes = em_ops.filter_themes(
+        themes, PARAMS.num_themes, PARAMS.theme_score_floor_factor)
+    unfused = _collect_events(hmm_ops.detect_events(
+        windowed, themes, model,
+        max_iterations=PARAMS.bw_max_iterations,
+        pi_threshold=PARAMS.bw_pi_threshold,
+        a_threshold=PARAMS.bw_a_threshold))
+    seqs.unpersist()
+    assert fused == unfused
