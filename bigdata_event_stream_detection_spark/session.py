@@ -37,6 +37,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 8)
 
+    # make the package importable by the worker daemon regardless of how
+    # the driver was launched (spark-submit --py-files covers clusters;
+    # this covers bare `python script.py` without PYTHONPATH exported)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else ""))
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -54,6 +63,14 @@ def get_spark(
                 "RocksDBStateStoreProvider")
         .config("spark.sql.streaming.stateStore.rocksdb."
                 "changelogCheckpointing.enabled", "true")
+        # fork-server preload: stock pyspark.daemon forks a fresh worker
+        # per task and each one re-imports pandas/pyarrow (~5 s CPU of
+        # page faults, a FIXED per-task cost that anti-scales with
+        # partition count — measured 35% of executor CPU at 96
+        # partitions). daemon.py imports everything once pre-fork so
+        # workers inherit the modules copy-on-write.
+        .config("spark.python.daemon.module",
+                "bigdata_event_stream_detection_spark.daemon")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("BESD_DRIVER_MEM", "32g"))

@@ -34,22 +34,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import json, sys, time
-mode, cores, in_dir, out_root = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+mode, cores, in_dir, out_root, partitions = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    int(sys.argv[5]))
 from bigdata_event_stream_detection_spark.session import get_spark
 from bigdata_event_stream_detection_spark.plans.pipeline import (
     detect_event_stream, small_params)
 from bigdata_event_stream_detection_spark.operators import background as bg
 from pyspark.sql import functions as F
 
-# 6x cores shuffle/state partitions: the close sweep's per-partition
-# task walls vary (balls-in-bins key skew + per-window variance), and
-# at partitions == cores the slowest task gates the batch — finer
-# tasks let the scheduler queue-balance (measured: close sweep 42 ->
-# 31 s at 16 cores on the 1M-doc probe)
+# Shuffle/state partitions are FIXED across core counts (orchestrator
+# passes 6 x 4N): a production job's partitioning is part of the job,
+# and the N -> 4N executor criterion scales the cluster under an
+# unchanged job. 6x the top core count keeps the close sweep's
+# per-partition task walls queue-balanceable (balls-in-bins key skew +
+# per-window variance; measured: close sweep 42 -> 31 s at 16 cores on
+# the 1M-doc probe vs partitions == cores).
 # AQE partition coalescing merges the kernel shuffle back to
 # bytes-balanced (not CPU-balanced) partitions — off for this job
 spark = get_spark("scale-%s-%d" % (mode, cores), cores=cores,
-                  shuffle_partitions=6 * cores,
+                  shuffle_partitions=partitions,
                   extra_conf={
                       "spark.sql.adaptive.coalescePartitions.enabled":
                       "false"})
@@ -98,7 +102,8 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_worker(mode: str, cores: int, in_dir: str, out_root: str) -> dict:
+def run_worker(mode: str, cores: int, in_dir: str, out_root: str,
+               partitions: int, local_dir: str | None = None) -> dict:
     # Pin BLAS to one thread per task: otherwise the low-core run's
     # workers silently fan numpy matmuls across ALL machine cores and
     # the comparison measures nothing (also the correct per-executor
@@ -107,10 +112,18 @@ def run_worker(mode: str, cores: int, in_dir: str, out_root: str) -> dict:
                OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1", VECLIB_MAXIMUM_THREADS="1",
                NUMEXPR_NUM_THREADS="1")
+    if local_dir:
+        # shuffle spill + RocksDB working dirs on a RAM disk: on a real
+        # cluster every executor brings its own local NVMe (aggregate
+        # local-disk bandwidth scales with executor count); the
+        # sandbox's single shared virtio disk does not, which distorts
+        # the N vs 4N comparison with an artifact real clusters lack.
+        env["SPARK_LOCAL_DIRS"] = local_dir
     # taskset pins the whole process tree (JVM, GC threads, python
     # workers) to `cores` CPUs — emulating an actual `cores`-CPU host
     # rather than a `cores`-thread scheduler on a 4x-larger machine.
-    cmd = [sys.executable, "-c", WORKER, mode, str(cores), in_dir, out_root]
+    cmd = [sys.executable, "-c", WORKER, mode, str(cores), in_dir, out_root,
+           str(partitions)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     p = subprocess.run(
@@ -132,9 +145,13 @@ def main() -> int:
                     help="number of input files (streaming micro-batches)")
     ap.add_argument("--repeats", type=int, default=1,
                     help="sweeps per config; the table reports the MIN wall")
+    ap.add_argument("--local-dir", default=None,
+                    help="spark.local.dir + sink/checkpoint root override "
+                         "(e.g. /dev/shm/spark-local to model per-executor "
+                         "local disks)")
     args = ap.parse_args()
 
-    work = tempfile.mkdtemp(prefix="scale_bench_")
+    work = tempfile.mkdtemp(prefix="scale_bench_", dir=args.local_dir)
     # deterministic input cache: repeated bench invocations with the
     # same (docs, files) reuse the generated corpus — generation is
     # minutes of CPU at 10^6 docs and the data is seed-deterministic
@@ -177,7 +194,9 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
                 # checkpoint would "resume" a finished query and
                 # measure a no-op
                 r = run_worker(mode, cores, in_dir,
-                               os.path.join(work, f"rep{rep}"))
+                               os.path.join(work, f"rep{rep}"),
+                               partitions=6 * 4 * args.n,
+                               local_dir=args.local_dir)
                 raw.setdefault((mode, cores), []).append(r)
                 print(json.dumps(r))
     results = [min(v, key=lambda r: r["wall_sec"]) for v in raw.values()]
