@@ -286,6 +286,17 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
         _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # transitive duplicate-cluster assignment over the LSH pair graph
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        dedup_clusters, lsh_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, rows_per_band=2)
+    return dedup_clusters(docs, pairs)
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.dedup import (
         embedding_near_dups,
@@ -339,6 +350,14 @@ def _q_token_counts(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import token_counts
 
     return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_word_bigram_counts(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        word_ngram_counts,
+    )
+
+    return word_ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=2)
 
 
 def _q_fingerprints(spark, sf_dir):
@@ -561,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -568,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "token_counts": _q_token_counts,
+        "word_bigram_counts": _q_word_bigram_counts,
         "fingerprints": _q_fingerprints,
         "intersect_users": _q_intersect_users,
         "except_quality_docs": _q_except_quality_docs,
@@ -767,6 +788,47 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
         """,
+        # same LSH pair derivation as dedup_minhash_lsh, then the
+        # transitive closure (WITH RECURSIVE) -> min reachable id per
+        # node; singletons fall back to their own id via the LEFT JOIN
+        "dedup_clusters": _SHINGLES_CTE.replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1) + f"""
+            , hashed AS (
+              SELECT doc_id,
+                     {h60.format("shingle")} % 35184372088832 AS h
+              FROM sh
+            ), seeded AS (
+              SELECT doc_id, seed,
+                     min((h * ((seed * 2 + 1) * 12347) + seed * 7919)
+                         % 35184372088832) AS minhash
+              FROM hashed, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+              GROUP BY doc_id, seed
+            ), bands AS (
+              SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ','
+                                ORDER BY seed) AS band_sig
+              FROM seeded GROUP BY 1, 2
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT doc1 AS src, doc2 AS dst FROM pairs
+              UNION SELECT doc2, doc1 FROM pairs
+            ), reach(node, r) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+            ), cc AS (
+              SELECT node, min(r) AS cid FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(cc.cid, d.doc_id) AS cluster_id,
+                   CAST(CASE WHEN coalesce(cc.cid, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS INT) AS is_representative
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        """,
         "simhash_fingerprints": _WORDS_CTE + f"""
             , wc AS (SELECT doc_id, word, count(*) AS cnt,
                             {h60.format("word")} AS h
@@ -877,6 +939,18 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text),
                        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
             FROM documents
+        """,
+        "word_bigram_counts": """
+            WITH w AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT ws[i] || ' ' || ws[i+1] AS ngram
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2)
+            SELECT ngram, count(*) AS cnt
+            FROM g GROUP BY ngram HAVING count(*) >= 2
         """,
         "fingerprints": """
             WITH w AS (

@@ -225,3 +225,91 @@ def dedup_keep_first(documents: DataFrame, pair_df: DataFrame) -> DataFrame:
     smaller-id duplicate partner (deterministic survivor rule)."""
     losers = pair_df.select(F.col("doc2").alias("doc_id")).distinct()
     return documents.join(losers, "doc_id", "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    col1: str = "doc1",
+    col2: str = "doc2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, cluster_id): each node labeled with the smallest id
+    reachable through the pair graph — duplicate CLUSTER assignment.
+
+    Candidate near-dup pairs (LSH / Jaccard / embedding) form a graph
+    whose connected components are the duplicate clusters; a training
+    pipeline keeps one representative per cluster (``cluster_id ==
+    node``) and drops the rest. ``dedup_keep_first`` resolves only
+    direct pairs — A~B, B~C keeps C; this resolves transitively.
+
+    Algorithm: min-label propagation (hash-to-min). Every round each
+    node takes the min of its own label and its neighbors' labels —
+    one shuffle join + one hash agg per round, fully distributed; the
+    driver only orchestrates (a convergence count per round, mirroring
+    the reference's driver-side EM loop, EmAlgo.java:207-239). Rounds
+    needed = the graph diameter; duplicate clusters are shallow (docs
+    chained through pairwise similarity), so the cap is generous —
+    but a non-converged result MISLABELS clusters, so hitting the cap
+    raises instead of returning silently.
+
+    Scale shape: edges are symmetrized once and persisted (2|E| rows);
+    each round shuffles |E| + |V| rows on the node key. A pathological
+    long-chain graph wants the O(log n) alternating-star algorithm;
+    for dedup graphs (diameter ~ a few) hash-to-min is fewer shuffles.
+    """
+    e_fwd = pairs.select(F.col(col1).alias("src"), F.col(col2).alias("dst"))
+    edges = (
+        e_fwd.union(e_fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .distinct().persist()
+    )
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("cluster_id", F.col("node")))
+    prev = None
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst")
+                .withColumnRenamed("cluster_id", "dst_label"),
+                "dst")
+            .groupBy("src").agg(F.min("dst_label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.col("cluster_id").alias("_old"),
+                    F.least(F.col("cluster_id"),
+                            F.coalesce("nbr_label", "cluster_id"))
+                    .alias("cluster_id"))
+            .persist()
+        )
+        changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
+        labels = stepped.select("node", "cluster_id")
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter exceeds the cap); raise max_iterations or use an "
+        "alternating-star formulation for long-chain graphs")
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_representative) over the WHOLE corpus:
+    transitive duplicate-cluster assignment from candidate pairs, with
+    singleton docs as their own cluster. The kept-set of a dedup pass
+    is ``is_representative == 1`` (exactly one doc per cluster —
+    deterministic: the smallest id under the id column's ordering)."""
+    cc = connected_components(pairs)
+    return (
+        documents.select("doc_id")
+        .join(cc, documents["doc_id"] == cc["node"], "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+        .withColumn(
+            "is_representative",
+            (F.col("cluster_id") == F.col("doc_id")).cast("int"))
+    )

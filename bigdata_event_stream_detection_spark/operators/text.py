@@ -91,3 +91,34 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(canon).alias("fingerprint"),
     )
+
+
+def word_ngram_counts(
+    documents: DataFrame, n: int = 2, min_count: int = 2
+) -> DataFrame:
+    """Corpus-level word n-gram frequencies — the LM-statistics sweep a
+    training-data pipeline runs (vocabulary induction, contamination
+    checks, repeated-boilerplate detection).
+
+    Within-doc word order is preserved (unlike the bag-of-words A1
+    aggregate): each doc contributes size-n sliding windows over its
+    word list, then one corpus-wide hash agg with map-side partials —
+    the same single-shuffle shape as word_count, rows bounded by total
+    token count. Pure Column expressions (transform/slice/array_join),
+    no Python.
+    """
+    ws = ascii_words(F.lower(F.col("text")))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+    # docs shorter than n must yield no grams, not reversed junk
+    grams = F.expr(
+        f"if(size(ws) >= {n}, "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> array_join(slice(ws, i, {n}), ' ')), "
+        f"cast(array() as array<string>))")
+    return (
+        documents.select(ws.alias("ws"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

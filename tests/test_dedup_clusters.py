@@ -1,0 +1,70 @@
+"""Transitive duplicate-cluster assignment (connected components).
+
+The dedup pair generators (LSH / Jaccard / embedding) emit *pairwise*
+candidates; applying dedup means resolving them transitively — A~B,
+B~C is ONE cluster {A, B, C} even though (A, C) was never a pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_event_stream_detection_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc1 string, doc2 string")
+
+
+def test_chain_is_one_cluster(spark):
+    # a chain a-b-c-d needs multiple propagation rounds (diameter 3)
+    cc = connected_components(
+        _pairs(spark, [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")]))
+    got = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_cluster_id_is_min_reachable_not_min_partner(spark):
+    # dedup_keep_first would keep "c" (no smaller direct partner names
+    # it as doc2 ... it does via b<c) — the transitive label must be the
+    # global min of the component regardless of pair orientation
+    cc = connected_components(
+        _pairs(spark, [("m", "z"), ("a", "z")]))
+    got = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert got == {"a": "a", "m": "a", "z": "a"}
+
+
+def test_empty_pairs(spark):
+    cc = connected_components(_pairs(spark, []))
+    assert cc.count() == 0
+
+
+def test_nonconvergence_raises(spark):
+    # a 6-chain cannot converge in 1 round — must raise, not mislabel
+    chain = [(f"d{i}", f"d{i+1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, chain), max_iterations=1)
+
+
+def test_dedup_clusters_covers_whole_corpus(spark):
+    docs = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(6)], "doc_id string")
+    pairs = _pairs(spark, [("doc0", "doc1"), ("doc1", "doc2"),
+                           ("doc4", "doc5")])
+    out = dedup_clusters(docs, pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_representative"])
+            for r in out.collect()}
+    assert rows == {
+        "doc0": ("doc0", 1), "doc1": ("doc0", 0), "doc2": ("doc0", 0),
+        "doc3": ("doc3", 1),  # singleton: own cluster, representative
+        "doc4": ("doc4", 1), "doc5": ("doc4", 0),
+    }
+    # exactly one representative per cluster
+    reps = (out.groupBy("cluster_id")
+            .agg(F.sum("is_representative").alias("n_reps")).collect())
+    assert all(r["n_reps"] == 1 for r in reps)

@@ -149,6 +149,14 @@ def main() -> int:
                     help="spark.local.dir + sink/checkpoint root override "
                          "(e.g. /dev/shm/spark-local to model per-executor "
                          "local disks)")
+    ap.add_argument("--modes", default="stream,batch",
+                    help="comma-separated subset of {stream,batch}")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="shuffle/state partition count, FIXED across core "
+                         "counts (default 6 x 4N). Finer partitions shrink "
+                         "the straggler tail at 4N cores now that the "
+                         "fork-server daemon removed the per-task import "
+                         "tax; coarser ones cut per-task Arrow overhead.")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="scale_bench_", dir=args.local_dir)
@@ -188,14 +196,14 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
     # report the MINIMUM wall per config (least-contended observation).
     raw: dict[tuple, list] = {}
     for rep in range(args.repeats):
-        for mode in ("stream", "batch"):
+        for mode in args.modes.split(","):
             for cores in (args.n, 4 * args.n):
                 # fresh out/ckpt root per repeat: a reused streaming
                 # checkpoint would "resume" a finished query and
                 # measure a no-op
                 r = run_worker(mode, cores, in_dir,
                                os.path.join(work, f"rep{rep}"),
-                               partitions=6 * 4 * args.n,
+                               partitions=args.partitions or 6 * 4 * args.n,
                                local_dir=args.local_dir)
                 raw.setdefault((mode, cores), []).append(r)
                 print(json.dumps(r))
@@ -221,7 +229,7 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
             f"| {r['mode']} | {r['cores']} | {r['wall_sec']} | "
             f"{r['docs_per_sec']} | {r['tokens_per_sec']} | {walls} |")
     lines.append("")
-    for mode in ("stream", "batch"):
+    for mode in args.modes.split(","):
         rs = {r["cores"]: r for r in results if r["mode"] == mode}
         lo, hi = min(rs), max(rs)
         eff = (rs[hi]["tokens_per_sec"] / rs[lo]["tokens_per_sec"]) / (hi / lo)
