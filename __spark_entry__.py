@@ -366,6 +366,32 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_MIX_FRACTIONS = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.3}
+_PACK_BUDGET = 4000
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic training-mix construction (per-language keep rates)
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), _MIX_FRACTIONS, strata_col="lang",
+    ).select("doc_id", "lang", "source")
+
+
+def _q_pack_assignments(spark, sf_dir):
+    # fixed-budget training-pack assignment (next-fit by char budget)
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        pack_assignments,
+    )
+
+    return pack_assignments(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET,
+    ).select("doc_id", "source", "pack_id")
+
+
 def _q_intersect_users(spark, sf_dir):
     # §2.6: INTERSECT — users with both click and error events
     ev = _t(spark, sf_dir, "events")
@@ -590,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "word_bigram_counts": _q_word_bigram_counts,
         "fingerprints": _q_fingerprints,
+        "stratified_sample": _q_stratified_sample,
+        "pack_assignments": _q_pack_assignments,
         "intersect_users": _q_intersect_users,
         "except_quality_docs": _q_except_quality_docs,
         "cube_counts": _q_cube_counts,
@@ -628,6 +656,23 @@ WITH w AS (
   FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
 )
 """
+
+
+def _stratified_sample_sql() -> str:
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        sample_threshold,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {sample_threshold(f)}"
+        for v, f in sorted(_MIX_FRACTIONS.items()))
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST(concat('0x', substr(md5(
+                  concat_ws('|', 'sample', CAST(doc_id AS VARCHAR))
+              ), 1, 15)) AS BIGINT)
+              < (CASE {cases} ELSE 0 END)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -951,6 +996,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(ws) >= 2)
             SELECT ngram, count(*) AS cnt
             FROM g GROUP BY ngram HAVING count(*) >= 2
+        """,
+        # thresholds computed with the SAME sample_threshold() ints the
+        # Spark operator uses; the salted md5 hash60 reproduces exactly
+        "stratified_sample": _stratified_sample_sql(),
+        "pack_assignments": f"""
+            SELECT doc_id, source,
+                   CAST(floor((sum(n_chars) OVER (PARTITION BY source
+                                                  ORDER BY doc_id)
+                               - n_chars) / {_PACK_BUDGET}) AS INT)
+                   AS pack_id
+            FROM documents
         """,
         "fingerprints": """
             WITH w AS (

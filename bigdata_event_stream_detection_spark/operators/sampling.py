@@ -1,0 +1,101 @@
+"""Deterministic sampling and sequence packing for training-data mixes.
+
+A web-scale pipeline never samples with ``rand()``: a retried task or a
+re-run of the job would select a different subset, breaking exactly-once
+sinks, ablation reproducibility, and cross-table consistency (a doc
+sampled into the text mix must also be sampled into its paired
+embedding table). Both operators here are pure Column expressions keyed
+by a *content-derived hash*, so the decision for a row is a function of
+the row alone — stable across runs, retries, partitionings, and engines
+(the md5-based ``hash60`` is reproducible in DuckDB, which is how the
+oracles check these exactly).
+
+Reference analog: the reference subsamples by year-file selection
+(``RawArticleInputStream.java:69-83``); these operators generalize that
+to row-level deterministic mix construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import hash60
+
+# hash60 yields values in [0, 2^60); thresholds are fractions of this
+HASH_SPACE = 1 << 60
+
+
+def sample_threshold(fraction: float) -> int:
+    """Integer keep-threshold for a fraction (shared with the oracles)."""
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep rows whose salted key-hash lands below ``fraction`` of the
+    hash space — deterministic Bernoulli(fraction) sampling.
+
+    The salt decorrelates independent samples over the same table (two
+    10% samples with different salts overlap ~1%, same salt = same
+    rows). One codegen'd filter, pushdown-friendly, no shuffle.
+    """
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(h < F.lit(sample_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix reweight
+    (e.g. keep 90% of English, 30% of everything else). Strata absent
+    from ``fractions`` are DROPPED (fraction 0): a mix definition is
+    exhaustive by design, silence is exclusion.
+
+    Still one codegen'd filter: the per-stratum threshold is a literal
+    CASE over ``strata_col``; no join, no shuffle, skew-immune.
+    """
+    thr = F.lit(0)
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(sample_threshold(frac))).otherwise(thr)
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(h < thr)
+
+
+def pack_assignments(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    order_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(row..., pack_id): assign rows to fixed-budget training packs.
+
+    Within each group, rows in deterministic ``order_col`` order fill
+    packs greedily by cumulative size: a row starts a new pack when the
+    running total would cross the budget boundary —
+    ``pack_id = floor((cumsum - size) / budget)``, the next-fit
+    streaming approximation of bin packing (no reordering, exactly one
+    window function, identical SQL on any engine). Oversized rows span
+    their own pack ids; packs can overfill by at most one row, which is
+    the standard trade against a second shuffle.
+
+    Scale note: the ordered cumulative sum is a per-group prefix scan —
+    ``group_col`` must be fine enough that one group's rows fit a task
+    (source+day, shard id, ...); a GLOBAL pack order would serialize.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum = F.sum(size_col).over(w)
+    return df.withColumn(
+        "pack_id",
+        F.floor((cum - F.col(size_col)) / F.lit(budget)).cast("int"))

@@ -1,0 +1,74 @@
+"""Deterministic sampling + sequence packing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_event_stream_detection_spark.operators.sampling import (
+    hash_sample,
+    pack_assignments,
+    stratified_hash_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 3).cast("string")).alias("lang"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        (F.col("id") % 700 + 100).alias("n_chars"),
+    )
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs.repartition(13), 0.3).collect()}
+    assert a == b and 0.15 < len(a) / 400 < 0.45
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="b").collect()}
+    assert a != b
+    # ~9% expected overlap for independent 30% samples — just not equal
+    # nor disjoint by construction accident
+    assert 0 < len(a & b) < min(len(a), len(b))
+
+
+def test_stratified_fractions_respected_and_silence_excludes(spark):
+    docs = _docs(spark)
+    out = stratified_hash_sample(
+        docs, {"lang0": 1.0, "lang1": 0.0}, strata_col="lang")
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"lang0"}  # 1.0 keeps all, 0.0 and absent drop all
+    n_lang0 = docs.filter(F.col("lang") == "lang0").count()
+    assert out.count() == n_lang0
+
+
+def test_pack_assignments_budget_and_order(spark):
+    docs = _docs(spark, 60)
+    out = pack_assignments(docs, budget=2000).collect()
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        # pack ids are contiguous non-decreasing starting at 0
+        pids = [r["pack_id"] for r in rows]
+        assert pids[0] == 0
+        assert all(b - a in (0, 1) or (b > a) for a, b in zip(pids, pids[1:]))
+        # a row is placed at the pack of its cumsum-before-it
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 2000
+            cum += r["n_chars"]
+
+
+def test_pack_assignments_partition_invariant(spark):
+    docs = _docs(spark, 200)
+    a = sorted((r["doc_id"], r["pack_id"])
+               for r in pack_assignments(docs, 1500).collect())
+    b = sorted((r["doc_id"], r["pack_id"])
+               for r in pack_assignments(docs.repartition(7), 1500).collect())
+    assert a == b
