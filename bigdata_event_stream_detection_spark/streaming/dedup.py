@@ -100,3 +100,42 @@ def dedup_minhash_stream(
                     else {"processingTime": "30 seconds"}))
         .start()
     )
+
+
+def dedup_clusters_stream(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    rows_per_band: int = 2,
+    available_now: bool = False,
+):
+    """Transitive duplicate-cluster assignment per micro-batch.
+
+    Composes the batch operators inside ``foreachBatch``: LSH candidate
+    pairs -> connected components -> (doc_id, cluster_id,
+    is_representative) over the batch's docs. The batch is the dedup
+    horizon (same trade as ``dedup_minhash_stream``); output is
+    idempotent under replay via the batch_id-keyed overwrite. A
+    pipeline keeps ``is_representative == 1`` rows as the ingest
+    survivors.
+    """
+    from ..operators.dedup import dedup_clusters, lsh_candidate_pairs
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        pairs = lsh_candidate_pairs(
+            batch_df, num_hashes=num_hashes, shingle_k=shingle_k,
+            rows_per_band=rows_per_band)
+        (dedup_clusters(batch_df, pairs)
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(**({"availableNow": True} if available_now
+                    else {"processingTime": "30 seconds"}))
+        .start()
+    )

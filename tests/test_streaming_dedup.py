@@ -127,3 +127,38 @@ def test_dedup_minhash_stream_finds_near_dups(spark, tmp_path):
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc1"], pairs["doc2"])}
     assert ("d1", "d2") in got
     assert all("d3" not in p for p in got)
+
+
+def test_dedup_clusters_stream_assigns_transitive_clusters(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.streaming.dedup import (
+        dedup_clusters_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        # d1~d2 and d2~d3 near-dups -> one transitive cluster {d1,d2,d3}
+        "doc_id": ["d1", "d2", "d3", "d4"],
+        "text": [base, base + "!", base + "!?", "totally unrelated words"],
+        "event_time": pd.to_datetime(["2020-01-01"] * 4),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    doc_schema = pa.schema([("doc_id", pa.string()), ("text", pa.string()),
+                            ("event_time", pa.timestamp("us"))])
+    pq.write_table(
+        pa.Table.from_pandas(docs, schema=doc_schema, preserve_index=False),
+        os.path.join(d, "c1.parquet"))
+
+    stream = (spark.readStream
+              .schema("doc_id string, text string, event_time timestamp")
+              .parquet(d))
+    out_dir = str(tmp_path / "clusters")
+    q = dedup_clusters_stream(
+        stream, out_dir, str(tmp_path / "ckpt3"), available_now=True)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    rows = {r.doc_id: (r.cluster_id, r.is_representative)
+            for r in got.itertuples()}
+    assert rows["d1"] == ("d1", 1)
+    assert rows["d2"][0] == "d1" and rows["d3"][0] == "d1"
+    assert rows["d4"] == ("d4", 1)
