@@ -366,6 +366,22 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_doc_cross_entropy(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        cross_entropy_scores,
+    )
+
+    return cross_entropy_scores(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 _MIX_FRACTIONS = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.3}
 _PACK_BUDGET = 4000
 
@@ -616,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "word_bigram_counts": _q_word_bigram_counts,
         "fingerprints": _q_fingerprints,
+        "doc_cross_entropy": _q_doc_cross_entropy,
+        "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "pack_assignments": _q_pack_assignments,
         "intersect_users": _q_intersect_users,
@@ -1018,6 +1036,46 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(ws)), ' '))
                    AS fingerprint
             FROM w
+        """,
+        "doc_cross_entropy": _WORDS_CTE + """,
+            c AS (SELECT word, count(*) AS cnt FROM words
+                  GROUP BY word HAVING count(*) >= 5),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            s AS (SELECT w.doc_id,
+                    coalesce(c.cnt / t.total, 1.0 / t.total) AS p,
+                    CASE WHEN c.cnt IS NULL THEN 1.0 ELSE 0.0 END AS oov
+                  FROM words w LEFT JOIN c USING (word) CROSS JOIN t)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   round(-avg(ln(p)), 6) AS cross_entropy,
+                   round(avg(oov), 6) AS oov_frac
+            FROM s GROUP BY doc_id
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            pw AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+              GROUP BY doc_id, word),
+            top AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                     max(cnt) AS max_cnt
+              FROM pw GROUP BY doc_id),
+            g AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2),
+            d0 AS (
+              SELECT doc_id,
+                     1.0 - count(DISTINCT gram)::DOUBLE / count(*) AS dup_raw
+              FROM g GROUP BY doc_id)
+            SELECT top.doc_id, top.n_words,
+                   round(max_cnt / n_words, 6) AS top_word_frac,
+                   round(coalesce(d0.dup_raw, 0.0), 6) AS dup_ngram_frac
+            FROM top LEFT JOIN d0 USING (doc_id)
         """,
         "intersect_users": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -93,6 +93,102 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def cross_entropy_scores(
+    documents: DataFrame, min_count: int = 5
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality filter: per-doc unigram
+    cross-entropy against the corpus background model.
+
+    Reuses the engine's background-model shape (InputParser.java:204-223
+    min-count dictionary + normalize): corpus word counts with
+    ``cnt >= min_count`` become ``p(w) = cnt/total``; out-of-vocabulary
+    words get the ``1/total`` floor. Per doc we emit
+
+    - ``n_tok``        — ascii-word count
+    - ``cross_entropy``— ``-avg(ln p(w))`` (low = fluent/common text,
+                         high = gibberish or heavy OOV — the CCNet
+                         head/middle/tail split keys off exactly this)
+    - ``oov_frac``     — fraction of tokens outside the kept vocabulary
+
+    Scale shape: two scans of the corpus (one to build the model, one to
+    score), one equi-join words->vocab (AQE broadcasts the vocab side
+    when it fits — it is bounded by the min-count filter), one hash agg
+    on doc_id with map-side partials. No Python, no driver collect; the
+    scalar total rides a broadcast crossJoin like background_model.
+    """
+    words = documents.select(
+        "doc_id", F.explode(ascii_words(F.col("text"))).alias("word"))
+    counts = (
+        words.groupBy("word").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    scored = (
+        words.join(counts, "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cnt") / F.col("_total"),
+                       F.lit(1.0) / F.col("_total")).alias("p"),
+            F.when(F.col("cnt").isNull(), F.lit(1.0))
+             .otherwise(F.lit(0.0)).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.round(-F.avg(F.log("p")), 6).alias("cross_entropy"),
+        F.round(F.avg("oov"), 6).alias("oov_frac"),
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    repetition-removal rules, re-expressed as Spark aggregates):
+
+    - ``top_word_frac``   — most frequent word's share of the doc's tokens
+    - ``dup_ngram_frac``  — ``1 - distinct n-grams / total n-grams``
+                            (word n-grams, default bigrams)
+
+    High values on either flag boilerplate / degenerate repetition that
+    exact and near dedup miss because it repeats *within* one document.
+
+    The n-gram fraction is a pure Column expression (transform/slice/
+    array_distinct — codegen'd per row, no shuffle); the top-word share
+    is a (doc_id, word) hash agg then a doc_id hash agg — the same
+    bounded single-shuffle shape as word_count. Docs with zero ascii
+    words produce no row (consistent with cross_entropy_scores).
+    """
+    ws = ascii_words(F.col("text"))
+    grams = F.expr(
+        f"if(size(ws) >= {n}, "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> array_join(slice(ws, i, {n}), ' ')), "
+        f"cast(array() as array<string>))")
+    gram_stats = (
+        documents.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.when(F.size(grams) > 0,
+                   1.0 - F.size(F.array_distinct(grams)) / F.size(grams))
+             .otherwise(F.lit(0.0)).alias("dup_raw"),
+        )
+    )
+    per_word = (
+        documents.select(
+            "doc_id", F.explode(ascii_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    )
+    top = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"), F.max("cnt").alias("max_cnt"))
+    return gram_stats.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_words"),
+        F.round(F.col("max_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("dup_raw"), 6).alias("dup_ngram_frac"),
+    )
+
+
 def word_ngram_counts(
     documents: DataFrame, n: int = 2, min_count: int = 2
 ) -> DataFrame:

@@ -1,8 +1,12 @@
-"""Corpus n-gram frequency operator (text.word_ngram_counts)."""
+"""Corpus n-gram frequency, cross-entropy, and repetition operators."""
 
 from __future__ import annotations
 
+import math
+
 from bigdata_event_stream_detection_spark.operators.text import (
+    cross_entropy_scores,
+    repetition_stats,
     word_ngram_counts,
 )
 
@@ -34,3 +38,33 @@ def test_min_count_filters(spark):
     got = {r["ngram"]: r["cnt"]
            for r in word_ngram_counts(docs, n=2, min_count=2).collect()}
     assert got == {"x y": 2}
+
+
+def test_cross_entropy_matches_hand_computation(spark):
+    # corpus: a=3 b=2 c=1; min_count=2 keeps {a,b}, total=5
+    # p(a)=0.6 p(b)=0.4, OOV floor = 1/5 = 0.2
+    docs = _docs(spark, ["a a b", "a b c"])
+    got = {r["doc_id"]: r for r in
+           cross_entropy_scores(docs, min_count=2).collect()}
+    d0 = -(2 * math.log(0.6) + math.log(0.4)) / 3
+    d1 = -(math.log(0.6) + math.log(0.4) + math.log(0.2)) / 3
+    assert got["d0"]["n_tok"] == 3
+    assert got["d0"]["cross_entropy"] == round(d0, 6)
+    assert got["d0"]["oov_frac"] == 0.0
+    assert got["d1"]["cross_entropy"] == round(d1, 6)
+    assert got["d1"]["oov_frac"] == round(1 / 3, 6)
+    # gibberish (all-OOV) must score strictly worse than fluent text
+    assert got["d1"]["cross_entropy"] > got["d0"]["cross_entropy"]
+
+
+def test_repetition_stats_flags_within_doc_duplication(spark):
+    docs = _docs(spark, ["a a a b", "x", ""])
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    # d0: bigrams [a a, a a, a b] -> 3 total, 2 distinct
+    assert got["d0"]["n_words"] == 4
+    assert got["d0"]["top_word_frac"] == 0.75
+    assert got["d0"]["dup_ngram_frac"] == round(1 - 2 / 3, 6)
+    # single-word doc: no grams -> 0.0, not null; empty doc: no row
+    assert got["d1"]["top_word_frac"] == 1.0
+    assert got["d1"]["dup_ngram_frac"] == 0.0
+    assert "d2" not in got
