@@ -297,6 +297,19 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def _q_contamination_overlap(spark, sf_dir):
+    # decontamination sweep: docs with doc_id % 20 == 0 act as the
+    # held-out eval corpus; the rest are the training corpus
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0), k=3)
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.dedup import (
         embedding_near_dups,
@@ -622,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "contamination_overlap": _q_contamination_overlap,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -920,6 +934,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = doc1
             JOIN sizes s2 ON s2.doc_id = doc2
             WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.3
+        """,
+        "contamination_overlap": _SHINGLES_CTE + """
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN e.shingle IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                   round(sum(CASE WHEN e.shingle IS NOT NULL
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                   AS contaminated_frac
+            FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) t
+            LEFT JOIN (SELECT DISTINCT shingle FROM sh
+                       WHERE doc_id % 20 = 0) e
+              ON t.shingle = e.shingle
+            GROUP BY t.doc_id
         """,
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id,

@@ -202,6 +202,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    documents: DataFrame, eval_docs: DataFrame, k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: per training doc, the fraction
+    of its distinct k-word shingles that also occur anywhere in an
+    evaluation corpus (the standard n-gram-overlap contamination check
+    run before training on web-scraped text).
+
+    Emits (doc_id, n_shingles, n_contaminated, contaminated_frac); the
+    caller thresholds contaminated_frac to drop or audit docs.
+
+    Scale shape: the eval side collapses to a DISTINCT shingle set —
+    benchmark suites are tiny next to a 100 TB training corpus, so it is
+    broadcast by default (one map-side hash probe per training shingle,
+    no shuffle of the corpus). Pass ``broadcast_eval=False`` to fall
+    back to a shuffle equi-join when the eval side is itself large.
+    One doc_id hash agg with map-side partials finishes the job.
+    """
+    train_sh = doc_shingles(documents, k)
+    eval_sh = (
+        doc_shingles(eval_docs, k).select("shingle").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    hit = F.coalesce(F.col("_hit"), F.lit(0))
+    return (
+        train_sh.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(hit).alias("n_contaminated"),
+            F.round(F.sum(hit) / F.count("*"), 6).alias("contaminated_frac"),
+        )
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -68,3 +68,29 @@ def test_dedup_clusters_covers_whole_corpus(spark):
     reps = (out.groupBy("cluster_id")
             .agg(F.sum("is_representative").alias("n_reps")).collect())
     assert all(r["n_reps"] == 1 for r in reps)
+
+
+def test_contamination_overlap_counts_shared_shingles(spark):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    train = spark.createDataFrame(
+        [("t0", "the quick brown fox jumps"),   # shares "the quick brown",
+                                                # "quick brown fox" with eval
+         ("t1", "completely different words here"),
+         ("t2", "hi")],                          # <k words: whole-doc shingle
+        "doc_id string, text string")
+    eval_docs = spark.createDataFrame(
+        [("e0", "the quick brown fox"), ("e1", "hi")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r
+           for r in contamination_overlap(train, eval_docs, k=3).collect()}
+    # t0: 3 distinct trigram shingles, 2 in the eval set
+    assert got["t0"]["n_shingles"] == 3
+    assert got["t0"]["n_contaminated"] == 2
+    assert got["t0"]["contaminated_frac"] == round(2 / 3, 6)
+    assert got["t1"]["n_contaminated"] == 0
+    # short docs fall back to the whole-doc shingle and still match
+    assert got["t2"]["n_contaminated"] == 1
+    assert got["t2"]["contaminated_frac"] == 1.0
