@@ -399,6 +399,25 @@ _MIX_FRACTIONS = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.3}
 _PACK_BUDGET = 4000
 
 
+def _q_curated_mix(spark, sf_dir):
+    # end-to-end curation: quality gate -> exact dedup -> eval-set
+    # decontamination -> stratified mix sample -> budgeted packing
+    from bigdata_event_stream_detection_spark.plans.curation import (
+        curate_training_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_training_mix(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        _MIX_FRACTIONS,
+        quality_min=0.5,
+        eval_docs=docs.filter(F.col("doc_id") % 20 == 0),
+        contamination_max=0.2,
+        pack_budget=_PACK_BUDGET,
+        salt="sample",
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # deterministic training-mix construction (per-language keep rates)
     from bigdata_event_stream_detection_spark.operators.sampling import (
@@ -649,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cross_entropy": _q_doc_cross_entropy,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
+        "curated_mix": _q_curated_mix,
         "pack_assignments": _q_pack_assignments,
         "intersect_users": _q_intersect_users,
         "except_quality_docs": _q_except_quality_docs,
@@ -704,6 +724,67 @@ def _stratified_sample_sql() -> str:
                   concat_ws('|', 'sample', CAST(doc_id AS VARCHAR))
               ), 1, 15)) AS BIGINT)
               < (CASE {cases} ELSE 0 END)
+    """
+
+
+def _curated_mix_sql() -> str:
+    # composes the (individually proven) quality / dedup / contamination
+    # / sampling / packing oracle fragments over the same % 20 split
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        sample_threshold,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {sample_threshold(f)}"
+        for v, f in sorted(_MIX_FRACTIONS.items()))
+    return _SHINGLES_CTE + f"""
+        , pool AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+        wq AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '') AS ws
+          FROM pool),
+        feats AS (
+          SELECT doc_id,
+            len(ws) AS n_words,
+            (length(text) - length(regexp_replace(text,
+                '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+              / greatest(length(text), 1) AS pr,
+            len(list_filter(ws, x -> x IN ('the','a','and','of','to','in',
+                'is','on','for','with')))::DOUBLE
+              / greatest(len(ws), 1) AS sr
+          FROM wq),
+        q AS (
+          SELECT doc_id FROM feats
+          WHERE round(least(n_words / 100.0, 1.0) * 0.4
+                      + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+                      + least(sr * 5.0, 1.0) * 0.3, 6) >= 0.5),
+        keep AS (SELECT min(doc_id) AS doc_id FROM pool GROUP BY md5(text)),
+        cont AS (
+          SELECT t.doc_id,
+                 sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0
+                     END)::DOUBLE / count(*) AS frac
+          FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) t
+          LEFT JOIN (SELECT DISTINCT shingle FROM sh
+                     WHERE doc_id % 20 = 0) e
+            ON t.shingle = e.shingle
+          GROUP BY t.doc_id),
+        bad AS (SELECT doc_id FROM cont WHERE round(frac, 6) > 0.2),
+        cur AS (
+          SELECT p.* FROM pool p
+          JOIN q USING (doc_id) JOIN keep USING (doc_id)
+          WHERE p.doc_id NOT IN (SELECT doc_id FROM bad)),
+        samp AS (
+          SELECT * FROM cur
+          WHERE CAST(concat('0x', substr(md5(
+                    concat_ws('|', 'sample', CAST(doc_id AS VARCHAR))
+                ), 1, 15)) AS BIGINT)
+                < (CASE {cases} ELSE 0 END))
+        SELECT doc_id, source, lang, n_chars,
+               CAST(floor((sum(n_chars) OVER (PARTITION BY source
+                                              ORDER BY doc_id)
+                           - n_chars) / {_PACK_BUDGET}) AS INT) AS pack_id
+        FROM samp
     """
 
 
@@ -1045,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         # thresholds computed with the SAME sample_threshold() ints the
         # Spark operator uses; the salted md5 hash60 reproduces exactly
         "stratified_sample": _stratified_sample_sql(),
+        "curated_mix": _curated_mix_sql(),
         "pack_assignments": f"""
             SELECT doc_id, source,
                    CAST(floor((sum(n_chars) OVER (PARTITION BY source

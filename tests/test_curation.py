@@ -1,0 +1,50 @@
+"""End-to-end curation plan: each stage must drop its planted violator.
+
+One doc per failure mode — junk text (quality), exact copy (dedup),
+eval-overlapping text (decontamination), unlisted lang (mix sampling) —
+and the two survivors must land in deterministic packs.
+"""
+
+from __future__ import annotations
+
+from bigdata_event_stream_detection_spark.plans.curation import (
+    curate_training_mix,
+)
+
+EVAL = "the cat sat on the mat with a dog and snake"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint")
+
+
+def test_each_stage_drops_its_violator_and_packs_rest(spark):
+    d1 = "the quick dog runs over a green hill to find water"
+    d4 = "a small bird flies on the tall tree and sings loudly"
+    docs = _docs(spark, [
+        (1, d1, "en", "A", 30),
+        (2, d1, "en", "A", 30),      # exact dup of 1
+        (3, "!!!!!!", "en", "A", 30),  # junk: quality < 0.5
+        (4, d4, "en", "A", 30),
+        (5, "the happy mouse eats some cheese in a warm kitchen",
+         "xx", "A", 30),             # lang not in the mix
+        (6, EVAL, "en", "A", 30),    # == eval doc: contaminated
+    ])
+    eval_docs = _docs(spark, [(100, EVAL, "en", "E", 30)])
+    out = curate_training_mix(
+        docs, {"en": 1.0}, quality_min=0.5, eval_docs=eval_docs,
+        contamination_max=0.2, pack_budget=30,
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 4}
+    # budget 30 fits one 30-char doc per pack, filled in doc_id order
+    assert got[1]["pack_id"] == 0
+    assert got[4]["pack_id"] == 1
+
+
+def test_no_eval_set_skips_decontamination(spark):
+    docs = _docs(spark, [(1, EVAL, "en", "A", 30)])
+    out = curate_training_mix(docs, {"en": 1.0}, quality_min=0.5).collect()
+    assert [r["doc_id"] for r in out] == [1]
