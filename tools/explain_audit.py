@@ -31,6 +31,8 @@ AUDIT = [
     "semi_join_filter", "revenue_per_nation", "dedup_exact",
     "dedup_minhash_lsh", "ann_cosine_topk", "quality_scores",
     "cube_counts", "salted_source_counts",
+    "doc_cross_entropy", "repetition_stats", "contamination_overlap",
+    "curated_mix",
 ]
 
 
@@ -49,7 +51,7 @@ def main():
             flags.append("pushdown")
         if "BroadcastHashJoin" in plan:
             flags.append("broadcast-join")
-        if "WholeStageCodegen" in plan:
+        if "WholeStageCodegen" in plan or "codegen id" in plan:
             flags.append("codegen")
         if "CartesianProduct" in plan:
             flags.append("!!CARTESIAN")
