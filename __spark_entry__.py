@@ -379,6 +379,12 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_pii_counts(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import pii_counts
+
+    return pii_counts(_t(spark, sf_dir, "documents"))
+
+
 def _q_doc_cross_entropy(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import (
         cross_entropy_scores,
@@ -665,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "word_bigram_counts": _q_word_bigram_counts,
         "fingerprints": _q_fingerprints,
+        "pii_counts": _q_pii_counts,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
@@ -1145,6 +1152,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(ws)), ' '))
                    AS fingerprint
             FROM w
+        """,
+        "pii_counts": r"""
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS n_emails,
+              len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+              len(regexp_extract_all(text, '\+[0-9][0-9() -]{6,}[0-9]'))
+                AS n_phones,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  'https?://[^ \t\n]+', '<URL>', 'g'),
+                  '\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM documents
         """,
         "doc_cross_entropy": _WORDS_CTE + """,
             c AS (SELECT word, count(*) AS cnt FROM words

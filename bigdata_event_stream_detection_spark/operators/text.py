@@ -93,6 +93,39 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns kept dialect-portable (character classes + bounded
+# repetition only — no lookaround/backrefs), so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree match-for-match
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ \t\n]+"
+PII_PHONE = r"\+[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_counts(documents: DataFrame) -> DataFrame:
+    """PII scrub pass: per-doc email/URL/phone match counts plus the
+    redacted text (matches replaced by <EMAIL>/<URL>/<PHONE> sentinels,
+    applied in that order so a URL containing an @ is not re-matched).
+
+    Pure codegen'd regexp expressions — no shuffle, no Python; the scan
+    reads only (doc_id, text). Conservative patterns by design: this is
+    the cheap always-on pass, not a recall-tuned NER stage (that slots
+    in as a mapInPandas kernel like multimodal.extract_features).
+    """
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_URL, "<URL>"),
+        PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
 def cross_entropy_scores(
     documents: DataFrame, min_count: int = 5
 ) -> DataFrame:

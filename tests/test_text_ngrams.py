@@ -68,3 +68,21 @@ def test_repetition_stats_flags_within_doc_duplication(spark):
     assert got["d1"]["top_word_frac"] == 1.0
     assert got["d1"]["dup_ngram_frac"] == 0.0
     assert "d2" not in got
+
+
+def test_pii_counts_and_redaction(spark):
+    from bigdata_event_stream_detection_spark.operators.text import pii_counts
+
+    docs = _docs(spark, [
+        "contact bob@example.com or see https://example.com/x now",
+        "call +41 22 123 4567 today",
+        "nothing sensitive here",
+    ])
+    got = {r["doc_id"]: r for r in pii_counts(docs).collect()}
+    assert (got["d0"]["n_emails"], got["d0"]["n_urls"]) == (1, 1)
+    assert got["d0"]["redacted"] == "contact <EMAIL> or see <URL> now"
+    assert got["d1"]["n_phones"] == 1
+    assert got["d1"]["redacted"] == "call <PHONE> today"
+    assert got["d2"]["redacted"] == "nothing sensitive here"
+    assert (got["d2"]["n_emails"], got["d2"]["n_urls"],
+            got["d2"]["n_phones"]) == (0, 0, 0)
