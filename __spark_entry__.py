@@ -385,6 +385,14 @@ def _q_pii_counts(spark, sf_dir):
     return pii_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_quality_gate(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        quality_percentile_gate,
+    )
+
+    return quality_percentile_gate(_t(spark, sf_dir, "documents"), p=0.75)
+
+
 def _q_doc_cross_entropy(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import (
         cross_entropy_scores,
@@ -672,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_bigram_counts": _q_word_bigram_counts,
         "fingerprints": _q_fingerprints,
         "pii_counts": _q_pii_counts,
+        "quality_gate": _q_quality_gate,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
@@ -1109,6 +1118,33 @@ def oracle_sql() -> dict[str, str]:
                          + (1.0 - least(pr * 5.0, 1.0)) * 0.3
                          + least(sr * 5.0, 1.0) * 0.3, 6) AS quality_score
             FROM f
+        """,
+        "quality_gate": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                len(ws) AS n_words,
+                (length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                  / greatest(length(text), 1) AS pr,
+                len(list_filter(ws, x -> x IN ('the','a','and','of','to','in',
+                    'is','on','for','with')))::DOUBLE
+                  / greatest(len(ws), 1) AS sr
+              FROM w),
+            q AS (
+              SELECT doc_id,
+                     round(least(n_words / 100.0, 1.0) * 0.4
+                           + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+                           + least(sr * 5.0, 1.0) * 0.3, 6) AS quality_score
+              FROM f),
+            c AS (SELECT round(quantile_cont(quality_score, 0.75), 6)
+                         AS cutoff FROM q)
+            SELECT doc_id, quality_score, cutoff
+            FROM q, c WHERE quality_score >= cutoff
         """,
         "token_counts": """
             SELECT doc_id,

@@ -68,6 +68,32 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_percentile_gate(
+    documents: DataFrame, p: float = 0.75, exact: bool = True
+) -> DataFrame:
+    """Corpus-relative quality gate: keep docs whose composite quality
+    score is at or above the corpus p-quantile.
+
+    Absolute thresholds drift across corpora; a percentile cut is the
+    curation knob that survives a data-mix change ("keep the best
+    quarter"). The cutoff is a one-row aggregate broadcast back over
+    the scores — no driver collect, no re-scan. ``exact=True`` uses
+    ``percentile`` (linear interpolation, matches DuckDB
+    ``quantile_cont``; buffers values per group, fine to ~10^8 rows);
+    at 100 TB use ``exact=False`` → ``approx_percentile`` (mergeable
+    KLL-style sketch, bounded memory, same plan shape).
+    """
+    scores = quality_scores(documents)
+    qcol = (F.percentile("quality_score", F.lit(p)) if exact
+            else F.approx_percentile("quality_score", F.lit(p), F.lit(10000)))
+    cut = scores.agg(F.round(qcol, 6).alias("cutoff"))
+    return (
+        scores.join(F.broadcast(cut))
+        .filter(F.col("quality_score") >= F.col("cutoff"))
+        .select("doc_id", "quality_score", "cutoff")
+    )
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Whitespace and BPE-ish token counts per doc — the budget columns
     a training pipeline partitions/packs by."""

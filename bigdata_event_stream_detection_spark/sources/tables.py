@@ -18,6 +18,7 @@ takes a DataFrame, so swapping ``fmt`` is the entire migration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.engine import SEQUENCE_SCHEMA
 
@@ -104,4 +105,64 @@ def write_events(
     if fmt == "parquet":
         events.write.mode(mode).partitionBy(*partition_by).parquet(table)
         return
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: tuple[str, ...] = ("doc_id",),
+    sort_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed write: pay the shuffle ONCE at write time so every later
+    join / aggregation on the bucket key is exchange-free.
+
+    At 100 TB this is the difference between re-shuffling the corpus on
+    every doc_id join (dedup clusters x sequences, quality scores x
+    packing assignments, decoded events x metadata) and never shuffling
+    it again: two tables bucketed by the same key and bucket count
+    sort-merge-join with NO Exchange on either side, and a groupBy on
+    the bucket key aggregates in place (the bucketed scan already
+    reports hashpartitioning(key, n)). The reference hand-tuned
+    ``repartition(numBlocks)`` per job (EmAlgo.java:115) — bucketing
+    moves that decision into the table layout where every job inherits
+    it.
+
+    Iceberg: a hidden ``bucket(N, col)`` partition transform; joins
+    become storage-partitioned joins when the session sets
+    ``spark.sql.sources.v2.bucketing.enabled=true``. Parquet: a native
+    datasource bucketed table (``bucketBy`` + ``saveAsTable``;
+    ``path`` makes it external). ``sort_cols`` additionally sorts
+    within each bucket file so merge joins skip the sort.
+    """
+    if fmt == "iceberg":
+        (df.writeTo(table).using("iceberg")
+         .partitionedBy(*[F.bucket(buckets, c) for c in bucket_cols])
+         .createOrReplace())
+        return
+    if fmt == "parquet":
+        writer = (df.write.format("parquet").mode(mode)
+                  .bucketBy(buckets, *bucket_cols))
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+        return
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def read_bucketed(
+    spark: SparkSession, table: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a bucketed table WITH its bucketing metadata (a plain
+    ``read.parquet`` on the files would lose it and re-shuffle)."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(table)
+    if fmt == "parquet":
+        return spark.table(table)
     raise ValueError(f"unknown fmt {fmt!r}")

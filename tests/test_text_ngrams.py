@@ -86,3 +86,27 @@ def test_pii_counts_and_redaction(spark):
     assert got["d2"]["redacted"] == "nothing sensitive here"
     assert (got["d2"]["n_emails"], got["d2"]["n_urls"],
             got["d2"]["n_phones"]) == (0, 0, 0)
+
+
+def test_quality_gate_keeps_top_quantile(spark):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        quality_percentile_gate,
+        quality_scores,
+    )
+
+    # 20 docs with strictly increasing quality (more stopword-rich
+    # well-formed words => higher composite score)
+    texts = ["the and of to in is on for with a " * (i + 1)
+             for i in range(20)]
+    docs = _docs(spark, texts)
+    kept = quality_percentile_gate(docs, p=0.5).collect()
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in quality_scores(docs).collect()}
+    cutoff = kept[0]["cutoff"]
+    expect = {d for d, s in scores.items() if s >= cutoff}
+    assert {r["doc_id"] for r in kept} == expect
+    assert 0 < len(kept) < 20
+    # everything excluded scores strictly below everything kept
+    worst_kept = min(r["quality_score"] for r in kept)
+    assert all(s < worst_kept
+               for d, s in scores.items() if d not in expect)
