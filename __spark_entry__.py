@@ -385,6 +385,12 @@ def _q_pii_counts(spark, sf_dir):
     return pii_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_corpus_stats(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_quality_gate(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import (
         quality_percentile_gate,
@@ -681,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "pii_counts": _q_pii_counts,
         "quality_gate": _q_quality_gate,
+        "corpus_stats": _q_corpus_stats,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
@@ -1118,6 +1125,25 @@ def oracle_sql() -> dict[str, str]:
                          + (1.0 - least(pr * 5.0, 1.0)) * 0.3
                          + least(sr * 5.0, 1.0) * 0.3, 6) AS quality_score
             FROM f
+        """,
+        "corpus_stats": """
+            WITH d AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     CAST(sum(len(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+                     round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                     round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+              FROM documents),
+            u AS (
+              SELECT count(DISTINCT w)::BIGINT AS n_distinct_words
+              FROM (SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        x -> x <> '')) AS w
+                    FROM documents))
+            SELECT n_docs, n_distinct_words, total_ws_tokens,
+                   p50_chars, p90_chars
+            FROM d, u
         """,
         "quality_gate": """
             WITH w AS (

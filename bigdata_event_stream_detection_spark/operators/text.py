@@ -68,6 +68,35 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """One-row dataset card: doc / distinct-word / token totals plus
+    length quantiles — the summary block a training-data release ships
+    with.
+
+    Two full-scan aggregates (doc-level + exploded distinct-word)
+    broadcast-joined into one row. The exact ``count(distinct)`` /
+    ``percentile`` forms are kept because the oracle needs bit-equal
+    answers; at 100 TB swap them for ``approx_count_distinct`` (HLL++)
+    and ``approx_percentile`` (mergeable sketches, same plan shape,
+    no single-point buffering).
+    """
+    doc_agg = documents.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                              lambda t: t != ""))).alias("total_ws_tokens"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+    )
+    word_agg = (
+        documents.select(
+            F.explode(ascii_words(F.lower(F.col("text")))).alias("word"))
+        .agg(F.count_distinct("word").alias("n_distinct_words"))
+    )
+    return doc_agg.join(F.broadcast(word_agg)).select(
+        "n_docs", "n_distinct_words", "total_ws_tokens",
+        "p50_chars", "p90_chars")
+
+
 def quality_percentile_gate(
     documents: DataFrame, p: float = 0.75, exact: bool = True
 ) -> DataFrame:

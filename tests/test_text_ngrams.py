@@ -110,3 +110,19 @@ def test_quality_gate_keeps_top_quantile(spark):
     worst_kept = min(r["quality_score"] for r in kept)
     assert all(s < worst_kept
                for d, s in scores.items() if d not in expect)
+
+
+def test_corpus_stats_card(spark):
+    from bigdata_event_stream_detection_spark.operators.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [("d0", "aa bb", 5), ("d1", "bb cc dd", 8), ("d2", "aa", 2),
+         ("d3", "ee ff gg hh", 11)],
+        "doc_id string, text string, n_chars int")
+    row = corpus_stats(docs).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["n_distinct_words"] == 8  # aa bb cc dd ee ff gg hh
+    assert row["total_ws_tokens"] == 2 + 3 + 1 + 4
+    # n_chars sorted: 2,5,8,11 -> p50 = 5 + 0.5*(8-5) = 6.5
+    assert row["p50_chars"] == 6.5
+    assert row["p90_chars"] == 8 + 0.7 * 3

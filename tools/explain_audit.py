@@ -32,7 +32,7 @@ AUDIT = [
     "dedup_minhash_lsh", "ann_cosine_topk", "quality_scores",
     "cube_counts", "salted_source_counts",
     "doc_cross_entropy", "repetition_stats", "contamination_overlap",
-    "curated_mix",
+    "curated_mix", "pii_counts", "quality_gate", "corpus_stats",
 ]
 
 
