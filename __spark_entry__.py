@@ -385,6 +385,24 @@ def _q_pii_counts(spark, sf_dir):
     return pii_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_chunked_contexts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        chunk_sequences,
+    )
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        words_column,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_column(F.col("text")).alias("tokens"))
+    chunked = chunk_sequences(toks, max_len=20, stride=15)
+    return chunked.select(
+        "doc_id", "chunk_id",
+        F.array_join("tokens", " ").alias("chunk_text"), "n_tok")
+
+
 def _q_corpus_stats(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import corpus_stats
 
@@ -688,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": _q_pii_counts,
         "quality_gate": _q_quality_gate,
         "corpus_stats": _q_corpus_stats,
+        "chunked_contexts": _q_chunked_contexts,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
@@ -1125,6 +1144,27 @@ def oracle_sql() -> dict[str, str]:
                          + (1.0 - least(pr * 5.0, 1.0)) * 0.3
                          + least(sr * 5.0, 1.0) * 0.3, 6) AS quality_score
             FROM f
+        """,
+        "chunked_contexts": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            e AS (
+              SELECT doc_id, ws,
+                     unnest(range(0,
+                         greatest(0, CAST(ceil((len(ws) - 20) / 15.0)
+                                          AS BIGINT)) + 1))
+                       AS chunk_id
+              FROM w WHERE len(ws) > 0)
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(ws, chunk_id * 15 + 1,
+                                              chunk_id * 15 + 20), ' ')
+                     AS chunk_text,
+                   len(list_slice(ws, chunk_id * 15 + 1,
+                                  chunk_id * 15 + 20)) AS n_tok
+            FROM e
         """,
         "corpus_stats": """
             WITH d AS (

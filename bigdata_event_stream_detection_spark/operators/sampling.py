@@ -72,6 +72,58 @@ def stratified_hash_sample(
     return df.filter(h < thr)
 
 
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    min_len: int = 1,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Split over-long token arrays into model-context chunks:
+    one output row per ``max_len``-token slice, starts every ``stride``
+    tokens (``stride < max_len`` = overlapping contexts, the standard
+    long-document training prep).
+
+    Pure Column expressions — one generate (explode of the chunk-index
+    range) and a ``slice`` per chunk, no shuffle, no Python; a doc's
+    chunks stay in its input partition. The chunk-index range is
+    guarded (``sequence(0, -1)`` is DESCENDING in Spark — an unguarded
+    empty doc would emit phantom chunks). ``1 + ceil((n-max_len)/
+    stride)`` chunk starts guarantee every token is covered while a
+    tail already fully contained in the previous chunk is NOT
+    re-emitted; tail chunks shorter than ``min_len`` are dropped.
+
+    Output: input row (minus ``tokens_col``) + (chunk_id, chunk
+    tokens under the original column name, n_tok).
+    """
+    stride = stride or max_len
+    if stride <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    n = F.size(F.col(tokens_col))
+    n_chunks = (
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.ceil((n - F.lit(max_len)) / F.lit(float(stride))),
+        ) + 1
+    ).cast("bigint")
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    passthrough = [c for c in df.columns if c != tokens_col]
+    chunk = F.slice(
+        F.col(tokens_col),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        max_len,
+    )
+    return (
+        df.withColumn("chunk_id", F.explode(idx))
+        .withColumn(tokens_col, chunk)
+        .filter(F.size(F.col(tokens_col)) >= min_len)
+        .select(*passthrough, "chunk_id", tokens_col,
+                F.size(F.col(tokens_col)).alias("n_tok"))
+    )
+
+
 def pack_assignments(
     df: DataFrame,
     budget: int,

@@ -72,3 +72,28 @@ def test_pack_assignments_partition_invariant(spark):
     b = sorted((r["doc_id"], r["pack_id"])
                for r in pack_assignments(docs.repartition(7), 1500).collect())
     assert a == b
+
+
+def test_chunk_sequences_covers_every_token_with_overlap(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        chunk_sequences,
+    )
+
+    rows = [("a", list(range(5))),   # 2 chunks: [0..3], [3,4]
+            ("b", list(range(4))),   # exact fit: 1 chunk
+            ("c", []),               # empty: no rows, no phantom chunks
+            ("d", [7])]              # shorter than max_len: 1 chunk
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {}
+    for r in chunk_sequences(df, max_len=4, stride=3).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["tokens"]
+    assert got["a"] == {0: [0, 1, 2, 3], 1: [3, 4]}
+    assert got["b"] == {0: [0, 1, 2, 3]}
+    assert "c" not in got
+    assert got["d"] == {0: [7]}
+    # min_len drops the short tail but keeps full chunks
+    tail = chunk_sequences(df, max_len=4, stride=3, min_len=3).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in tail} == {("a", 0), ("b", 0)}
+    # n_tok column matches the emitted slice
+    for r in chunk_sequences(df, max_len=4, stride=3).collect():
+        assert r["n_tok"] == len(r["tokens"])
