@@ -318,6 +318,14 @@ def _q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_embedding_centroids(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    return embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.similarity import (
         cosine_topk,
@@ -707,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": _q_quality_gate,
         "corpus_stats": _q_corpus_stats,
         "chunked_contexts": _q_chunked_contexts,
+        "embedding_centroids": _q_embedding_centroids,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
@@ -1144,6 +1153,16 @@ def oracle_sql() -> dict[str, str]:
                          + (1.0 - least(pr * 5.0, 1.0)) * 0.3
                          + least(sr * 5.0, 1.0) * 0.3, 6) AS quality_score
             FROM f
+        """,
+        "embedding_centroids": """
+            WITH e AS (
+              SELECT label,
+                     unnest(embedding) AS val,
+                     unnest(range(0, len(embedding))) AS dim
+              FROM embeddings)
+            SELECT label, CAST(dim AS INT) AS dim,
+                   round(avg(val), 6) AS centroid
+            FROM e GROUP BY label, dim
         """,
         "chunked_contexts": """
             WITH w AS (

@@ -123,6 +123,29 @@ def cosine_topk(
     )
 
 
+def embedding_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label dimension-wise mean vector, in long
+    ``(label, dim, centroid)`` form — the centroid-update step of a
+    distributed k-means / IVF retrain, and the class-prototype table
+    for embedding-space analyses.
+
+    ``posexplode`` + hash aggregate: map-side partial sums shrink the
+    shuffle to ``#labels x dim`` partials per input partition no matter
+    the corpus size — 10^9 vectors shuffle the same few thousand rows
+    per task. Long form keeps it relational (and exactly
+    oracle-checkable); re-assemble a vector column downstream with
+    ``array_agg`` ordered by dim when one is needed.
+    """
+    ex = embeddings.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    return ex.groupBy(label_col, "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid"))
+
+
 def embedding_all_pairs(
     embeddings: DataFrame,
     threshold: float,
