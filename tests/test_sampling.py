@@ -97,3 +97,37 @@ def test_chunk_sequences_covers_every_token_with_overlap(spark):
     # n_tok column matches the emitted slice
     for r in chunk_sequences(df, max_len=4, stride=3).collect():
         assert r["n_tok"] == len(r["tokens"])
+
+
+def test_chunk_sequences_grid_invariants(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        chunk_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{n}", list(range(n))) for n in range(0, 41)],
+        "doc_id string, tokens array<int>")
+    for max_len, stride in [(8, 8), (8, 5), (8, 3), (5, 5), (1, 1)]:
+        out = chunk_sequences(docs, max_len=max_len, stride=stride).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n in range(0, 41):
+            rows = sorted(by_doc.get(f"d{n}", []),
+                          key=lambda r: r["chunk_id"])
+            if n == 0:
+                assert rows == []
+                continue
+            # contiguous ids from 0; each chunk is the exact slice
+            assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+            covered = set()
+            for r in rows:
+                start = r["chunk_id"] * stride
+                assert r["tokens"] == list(range(n))[start:start + max_len]
+                covered.update(r["tokens"])
+            # stride <= max_len => every token appears in some chunk
+            assert covered == set(range(n))
+            # last chunk reaches the end; the one before it does not
+            assert rows[-1]["tokens"][-1] == n - 1
+            if len(rows) > 1:
+                assert rows[-2]["tokens"][-1] != n - 1
