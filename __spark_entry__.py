@@ -277,6 +277,15 @@ def _q_simhash_fingerprints(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=16)
 
 
+def _q_simhash_near_dups(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    return simhash_candidate_pairs(_t(spark, sf_dir, "documents"),
+                                   bits=16, bands=4, max_hamming=1)
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.dedup import (
         ngram_jaccard_pairs,
@@ -699,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_near_dups": _q_simhash_near_dups,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "contamination_overlap": _q_contamination_overlap,
         "dedup_clusters": _q_dedup_clusters,
@@ -1052,6 +1062,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
                             ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "simhash_near_dups": _WORDS_CTE + f"""
+            , wc AS (SELECT doc_id, word, count(*) AS cnt,
+                            {h60.format("word")} AS h
+                     FROM words GROUP BY doc_id, word),
+            votes AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt
+                              ELSE -cnt END) AS v
+              FROM wc, UNNEST(range(0, 16)) AS b(bit)
+              GROUP BY doc_id, bit),
+            sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, simhash, band,
+                     (simhash >> (band * 4)) & 15 AS band_val
+              FROM sim, UNNEST(range(0, 4)) AS b(band))
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                     AS hamming
+            FROM banded a JOIN banded b USING (band, band_val)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 1
         """,
         "dedup_ngram_jaccard": _SHINGLES_CTE + """
             , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

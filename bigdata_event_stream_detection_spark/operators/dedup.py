@@ -170,6 +170,52 @@ def simhash_dup_groups(documents: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
+def simhash_candidate_pairs(
+    documents: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc1, doc2, hamming): near-dup pairs within ``max_hamming`` bits
+    of simhash distance, found by banded bucketing.
+
+    Split the fingerprint into ``bands`` equal bit-slices and equi-join
+    on (band index, band value): by pigeonhole, any pair within
+    ``max_hamming < bands`` differing bits agrees on at least one whole
+    band, so the banding is EXACT for the hamming predicate — not a
+    recall/precision trade like MinHash-LSH. False candidates are
+    discarded by one codegen'd ``bit_count(xor)`` filter after the
+    join. Join fan-in is bounded by bucket collisions (2^(bits/bands)
+    buckets per band), never n².
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for the pigeonhole guarantee")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = simhash(documents, bits).select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band * {width})) & {mask}"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc1"),
+                         F.col("simhash").alias("s1"), "band", "band_val")
+    right = banded.select(F.col("doc_id").alias("doc2"),
+                          F.col("simhash").alias("s2"), "band", "band_val")
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2",
+                F.expr("bit_count(s1 ^ s2)").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, shingle_k: int = 3, threshold: float = 0.8
 ) -> DataFrame:

@@ -94,3 +94,48 @@ def test_contamination_overlap_counts_shared_shingles(spark):
     # short docs fall back to the whole-doc shingle and still match
     assert got["t2"]["n_contaminated"] == 1
     assert got["t2"]["contaminated_frac"] == 1.0
+
+
+def test_simhash_candidate_pairs_exact_for_hamming_bound(spark):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dogs today",  # near-dup
+        "completely different subject matter entirely unrelated words",
+        "another unrelated document about spark query planning",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {(r["doc1"], r["doc2"]): r["hamming"]
+           for r in simhash_candidate_pairs(
+               docs, bits=16, bands=4, max_hamming=3).collect()}
+    # ground truth: brute-force hamming over the fingerprints
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs, 16).collect()}
+    expect = {}
+    ids = sorted(sig)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(sig[i] ^ sig[j]).count("1")
+                if h <= 3:
+                    expect[(i, j)] = h
+    assert got == expect
+    assert (0, 1) in got  # the planted near-dup is found
+
+
+def test_simhash_candidate_pairs_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        simhash_candidate_pairs(docs, bits=16, bands=5)
+    with _pytest.raises(ValueError):
+        simhash_candidate_pairs(docs, bits=16, bands=4, max_hamming=4)
