@@ -97,6 +97,14 @@ def _q_background_model(spark, sf_dir):
         "word", "cnt", F.round(F.col("cnt") / F.col("_total"), 6).alias("p"))
 
 
+def _q_burst_windows(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.windows import (
+        burst_windows,
+    )
+
+    return burst_windows(_t(spark, sf_dir, "events"))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     # A8/A4: tumbling 1h event-time window counts
     ev = _t(spark, sf_dir, "events")
@@ -692,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count_histogram": _q_word_count_histogram,
         "background_model": _q_background_model,
         "windowed_event_counts": _q_windowed_event_counts,
+        "burst_windows": _q_burst_windows,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
         "topk_event_types_per_user": _q_topk_event_types_per_user,
@@ -871,6 +880,25 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "burst_windows": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS ws_epoch,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            b AS (
+              SELECT *, avg(n) OVER (PARTITION BY event_type
+                                     ORDER BY ws_epoch
+                                     ROWS BETWEEN 6 PRECEDING
+                                          AND 1 PRECEDING) AS base
+              FROM c)
+            SELECT event_type, ws_epoch, n,
+                   round(base, 6) AS baseline,
+                   round(n / base, 6) AS lift
+            FROM b
+            WHERE base IS NOT NULL AND n >= base * 1.5
         """,
         "sliding_window_counts": """
             SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS ws_epoch,

@@ -99,3 +99,49 @@ def filter_docs(
     if min_distinct is not None:
         out = out.filter(F.size(F.array_distinct("tokens")) > min_distinct)
     return out
+
+
+def burst_windows(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    truncate_to: str = "hour",
+    baseline_windows: int = 6,
+    min_lift: float = 1.5,
+) -> DataFrame:
+    """Burst detection over a generic event stream: per (key, window)
+    count vs the trailing per-key baseline; emit windows whose count is
+    at least ``min_lift`` x the average of the ``baseline_windows``
+    most recent *non-empty* windows (empty windows are absent rows, not
+    zeros — a key going quiet then returning compares against its live
+    history, which is the conservative choice for sparse keys).
+
+    The relational skeleton of the reference's event criterion — theme
+    strength standing out against its background
+    (``LifeCycleAnalyserSpark.java:196-266``) — applied to arbitrary
+    keyed event streams. One hash aggregate then one per-key ordered
+    frame scan; the window function partitions by key, so no global
+    sort and no single-partition cliff, and a key's frame is a bounded
+    ``baseline_windows`` rows regardless of stream length.
+    """
+    counts = events.groupBy(
+        F.unix_timestamp(
+            F.date_trunc(truncate_to, F.col(time_col))).alias("ws_epoch"),
+        key_col,
+    ).agg(F.count("*").alias("n"))
+    frame = (
+        Window.partitionBy(key_col)
+        .orderBy("ws_epoch")
+        .rowsBetween(-baseline_windows, -1)
+    )
+    base = F.avg("n").over(frame)
+    return (
+        counts.withColumn("baseline", base)
+        .filter(F.col("baseline").isNotNull()
+                & (F.col("n") >= F.col("baseline") * F.lit(min_lift)))
+        .select(
+            key_col, "ws_epoch", "n",
+            F.round("baseline", 6).alias("baseline"),
+            F.round(F.col("n") / F.col("baseline"), 6).alias("lift"),
+        )
+    )
