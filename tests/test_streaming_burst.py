@@ -89,3 +89,50 @@ def test_streaming_bursts_match_batch(spark, burst_dir):
     assert any(k[0] == "spiky" and v[0] == 12 for k, v in got.items())
     assert not any(k[0] == "steady" for k in got)
     assert bursts.dropped_rows_acc.value == 0
+
+
+def test_streaming_burst_resumes_from_checkpoint(spark, burst_dir,
+                                                 tmp_path):
+    """Kill the query mid-input, restart from the same checkpoint with
+    the remaining files: per-key baseline/open-window state is
+    recovered, post-restart closes still match the batch operator, and
+    no (key, window) is emitted twice."""
+    import glob
+
+    part_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(part_dir)
+    src_files = sorted(glob.glob(burst_dir["dir"] + "/*.parquet"))
+
+    def copy(files):
+        for f in files:
+            dst = os.path.join(part_dir, os.path.basename(f))
+            open(dst, "wb").write(open(f, "rb").read())
+            os.utime(dst, (os.stat(f).st_mtime, os.stat(f).st_mtime))
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string")
+                  .option("maxFilesPerTrigger", "1").parquet(part_dir))
+        q = (streaming_burst_windows(stream, min_lift=1.5)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    copy(src_files[:2])
+    run_once()                 # phase 1: early windows, some still open
+    copy(src_files[2:])
+    run_once()                 # phase 2: resume and drain (incl. sentinel)
+
+    final = spark.read.parquet(out_dir)
+    from pyspark.sql import functions as F
+    assert (final.groupBy("event_type", "ws_epoch").count()
+            .filter(F.col("count") > 1).count()) == 0
+    got = {(r["event_type"], r["ws_epoch"]): (r["n"], r["baseline"])
+           for r in final.collect()}
+    truth = {(r["event_type"], r["ws_epoch"]): (r["n"], r["baseline"])
+             for r in burst_windows(
+                 spark.createDataFrame(burst_dir["pdf"]),
+                 min_lift=1.5).collect()}
+    assert got == truth
