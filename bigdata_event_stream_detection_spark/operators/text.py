@@ -37,6 +37,24 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col(text_col=None):
+    """The composite quality score as a reusable Column expression
+    (rounded to 6dp, identical to the ``quality_score`` column of
+    ``quality_scores``) — stateless, so it applies unchanged to a
+    streaming DataFrame (streaming/curation.py)."""
+    t = F.col("text") if text_col is None else text_col
+    words = ascii_words(t)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop = stopword_ratio(words, EN_STOPWORDS)
+    return F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop * 5.0, F.lit(1.0)) * 0.3, 6)
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Length / punctuation / stopword quality features + a composite
     score in [0,1]. The score formula is arbitrary but fixed; what
@@ -53,18 +71,13 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9\s]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop = stopword_ratio(words, EN_STOPWORDS)
-    score = (
-        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
-        + F.least(stop * 5.0, F.lit(1.0)) * 0.3
-    )
     return documents.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(avg_word_len, 6).alias("avg_word_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
 
 
@@ -156,6 +169,18 @@ PII_URL = r"https?://[^ \t\n]+"
 PII_PHONE = r"\+[0-9][0-9() -]{6,}[0-9]"
 
 
+def redact_pii_col(text_col=None):
+    """The PII-redacted text as a reusable Column expression (matches
+    replaced by <EMAIL>/<URL>/<PHONE> sentinels, email first so a URL
+    containing an @ is not re-matched) — stateless, streams unchanged."""
+    t = F.col("text") if text_col is None else text_col
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_URL, "<URL>"),
+        PII_PHONE, "<PHONE>")
+
+
 def pii_counts(documents: DataFrame) -> DataFrame:
     """PII scrub pass: per-doc email/URL/phone match counts plus the
     redacted text (matches replaced by <EMAIL>/<URL>/<PHONE> sentinels,
@@ -167,11 +192,7 @@ def pii_counts(documents: DataFrame) -> DataFrame:
     in as a mapInPandas kernel like multimodal.extract_features).
     """
     t = F.col("text")
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_URL, "<URL>"),
-        PII_PHONE, "<PHONE>")
+    redacted = redact_pii_col(t)
     return documents.select(
         "doc_id",
         F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
