@@ -97,6 +97,19 @@ def _q_background_model(spark, sf_dir):
         "word", "cnt", F.round(F.col("cnt") / F.col("_total"), 6).alias("p"))
 
 
+def _q_asof_purchase_click(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    return asof_join(purchases, clicks, time_col="ts", by=("user_id",),
+                     value_cols=("value",)).select(
+        "event_id", "user_id", "ts", "right_ts", "right_value")
+
+
 def _q_burst_windows(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.windows import (
         burst_windows,
@@ -701,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "background_model": _q_background_model,
         "windowed_event_counts": _q_windowed_event_counts,
         "burst_windows": _q_burst_windows,
+        "asof_purchase_click": _q_asof_purchase_click,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
         "topk_event_types_per_user": _q_topk_event_types_per_user,
@@ -880,6 +894,16 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_purchase_click": """
+            WITH p AS (SELECT event_id, user_id, ts, value
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, value
+                  FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.ts AS right_ts, c.value AS right_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "burst_windows": """
             WITH c AS (

@@ -1,0 +1,95 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively,
+expressed as a composition of built-ins.
+
+For each left row, attach the single most recent right row of the same
+key with ``right.time <= left.time`` (backward as-of; the standard
+point-in-time-correctness join for feature lookups, price marks, and
+"state of the user when the event happened" queries).
+
+Why not a range join: Spark plans ``l.ts >= r.ts`` joins as a broadcast
+nested loop (or worse), and even a bucketed range join produces every
+(l, r) candidate pair before a per-l argmax — O(n·m) per key. The
+union + carry-forward composition here is the shape that scales:
+
+    union(left tagged 1, right tagged 0)
+      -> ONE hash shuffle on the key
+      -> per-key ordered window, ``last(payload, ignorenulls)`` with an
+         unbounded-preceding frame (an O(1) running value per row, NOT
+         an O(frame) rescan)
+      -> keep the left rows
+
+Exactly one shuffle of |left| + |right| rows, no pair blow-up, skew
+bounded by the hottest key (salt upstream via operators/skew.py if a
+key dominates). Rows tie-break right-before-left at equal timestamps,
+matching DuckDB's ``ASOF JOIN`` (``l.ts >= r.ts``), which is what the
+driver oracle checks this against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    value_cols: tuple[str, ...] = ("value",),
+    tolerance_seconds: int | None = None,
+    prefix: str = "right_",
+) -> DataFrame:
+    """Backward as-of join (see module docstring).
+
+    Returns every ``left`` row with ``<prefix><time_col>`` and
+    ``<prefix><c>`` for each ``c`` in ``value_cols`` — NULL when the key
+    has no right row at or before the left time (left-outer semantics),
+    or when the match is older than ``tolerance_seconds``.
+
+    ``right`` must be unique per (``by``, ``time_col``); pre-aggregate
+    it otherwise (ties would make the carried row engine-dependent).
+    """
+    by = list(by)
+    payload = [f"{prefix}{time_col}"] + [f"{prefix}{c}" for c in value_cols]
+    l_tagged = left.select(
+        *by, time_col,
+        *[F.col(c) for c in left.columns if c not in by + [time_col]],
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(dict(right.dtypes)[time_col])
+        .alias(f"{prefix}{time_col}"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
+          for c in value_cols],
+    )
+    r_tagged = right.select(
+        *by, time_col,
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
+          if c not in by + [time_col]],
+        F.lit(0).alias("_is_left"),
+        F.col(time_col).alias(f"{prefix}{time_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    # right sorts before left at the same timestamp => a right row is
+    # visible to a simultaneous left row (DuckDB ASOF `>=` semantics)
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(time_col).asc(), F.col("_is_left").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
+               for c in payload])
+    out = (carried.filter(F.col("_is_left") == 1)
+           .select(*[c for c in left.columns],
+                   *[F.col(f"_c_{c}").alias(c) for c in payload]))
+    if tolerance_seconds is not None:
+        # evaluate staleness ONCE into its own column — nullifying
+        # right_ts first would blind the predicate for the value cols
+        stale = F.coalesce(
+            F.unix_timestamp(F.col(time_col))
+            - F.unix_timestamp(F.col(f"{prefix}{time_col}"))
+            > tolerance_seconds, F.lit(False))
+        out = out.withColumn("_stale", stale)
+        for c in payload:
+            out = out.withColumn(
+                c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c)))
+        out = out.drop("_stale")
+    return out

@@ -1,0 +1,54 @@
+"""Backward as-of join composition (operators/asof.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from bigdata_event_stream_detection_spark.operators.asof import asof_join
+
+
+def _t(s):
+    return datetime(2024, 1, 1, 0, 0, int(s))
+
+
+def test_asof_join_picks_most_recent_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("e1", 1, _t(10)), ("e2", 1, _t(30)), ("e3", 1, _t(5)),
+         ("e4", 2, _t(20))],
+        "event_id string, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(8), 100.0), (1, _t(10), 200.0), (1, _t(25), 300.0),
+         (2, _t(21), 400.0)],
+        "user_id int, ts timestamp, value double")
+    got = {r["event_id"]: (r["right_ts"], r["right_value"])
+           for r in asof_join(left, right).collect()}
+    assert got["e1"] == (_t(10), 200.0)   # equal ts: right row visible
+    assert got["e2"] == (_t(25), 300.0)   # most recent prior, not first
+    assert got["e3"] == (None, None)      # nothing at or before: null
+    assert got["e4"] == (None, None)      # key 2's right row is later
+
+
+def test_asof_join_tolerance_nullifies_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("e1", 1, _t(50)), ("e2", 1, _t(12))],
+        "event_id string, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(10), 1.0)], "user_id int, ts timestamp, value double")
+    got = {r["event_id"]: r["right_value"]
+           for r in asof_join(left, right,
+                              tolerance_seconds=5).collect()}
+    assert got == {"e1": None, "e2": 1.0}  # 40 s stale vs 2 s fresh
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [(f"e{i}", i % 3, _t(i)) for i in range(30)],
+        "event_id string, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(0, _t(1), 9.0)], "user_id int, ts timestamp, value double")
+    out = asof_join(left, right)
+    assert out.count() == 30
+    # exactly one shuffle key: repartitioned input gives identical rows
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, asof_join(left.repartition(7), right).collect()))
+    assert a == b
