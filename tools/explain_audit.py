@@ -33,6 +33,8 @@ AUDIT = [
     "cube_counts", "salted_source_counts",
     "doc_cross_entropy", "repetition_stats", "contamination_overlap",
     "curated_mix", "pii_counts", "quality_gate", "corpus_stats",
+    "asof_purchase_click", "burst_windows", "chunked_contexts",
+    "embedding_centroids", "simhash_near_dups",
 ]
 
 
