@@ -97,6 +97,23 @@ def _q_background_model(spark, sf_dir):
         "word", "cnt", F.round(F.col("cnt") / F.col("_total"), 6).alias("p"))
 
 
+def _q_funnel_conversion(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.funnel import (
+        funnel_conversion,
+    )
+
+    return funnel_conversion(_t(spark, sf_dir, "events"),
+                             ["view", "click", "purchase"])
+
+
+def _q_pivot_event_values(spark, sf_dir):
+    # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id").pivot("event_type", types)
+            .agg(F.round(F.sum("value"), 6)))
+
+
 def _q_asof_purchase_click(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.asof import asof_join
 
@@ -715,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_event_counts,
         "burst_windows": _q_burst_windows,
         "asof_purchase_click": _q_asof_purchase_click,
+        "funnel_conversion": _q_funnel_conversion,
+        "pivot_event_values": _q_pivot_event_values,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
         "topk_event_types_per_user": _q_topk_event_types_per_user,
@@ -894,6 +913,36 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "funnel_conversion": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+            SELECT (SELECT count(*) FROM s0)::BIGINT AS n_step1,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_step2,
+                   (SELECT count(*) FROM s2)::BIGINT AS n_step3
+        """,
+        "pivot_event_values": """
+            SELECT user_id,
+              round(sum(CASE WHEN event_type = 'click' THEN value END), 6)
+                AS click,
+              round(sum(CASE WHEN event_type = 'error' THEN value END), 6)
+                AS error,
+              round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6)
+                AS purchase,
+              round(sum(CASE WHEN event_type = 'signup' THEN value END), 6)
+                AS signup,
+              round(sum(CASE WHEN event_type = 'view' THEN value END), 6)
+                AS view
+            FROM events GROUP BY user_id
         """,
         "asof_purchase_click": """
             WITH p AS (SELECT event_id, user_id, ts, value
