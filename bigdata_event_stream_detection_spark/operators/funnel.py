@@ -50,9 +50,13 @@ def funnel_times(
         joined = step_ev.join(out, user_col).filter(
             F.col("_ts") > F.col(f"t{i - 1}"))
         if within_seconds is not None:
+            # timestampdiff keeps sub-second precision (unix_timestamp
+            # truncates to seconds) and works on both TIMESTAMP and
+            # TIMESTAMP_NTZ columns, matching the streaming form's
+            # microsecond horizon arithmetic exactly
             joined = joined.filter(
-                F.unix_timestamp("_ts") - F.unix_timestamp("t0")
-                <= within_seconds)
+                F.expr("timestampdiff(MICROSECOND, t0, _ts)")
+                <= int(within_seconds) * 1_000_000)
         agg = joined.groupBy(user_col).agg(F.min("_ts").alias(f"t{i}"))
         out = out.join(agg, user_col, "left")
     return out
