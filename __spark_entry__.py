@@ -106,6 +106,21 @@ def _q_funnel_conversion(spark, sf_dir):
                              ["view", "click", "purchase"])
 
 
+def _q_funnel_times_within(spark, sf_dir):
+    # horizon-bounded per-user chain: every step within 2 days of t0
+    from bigdata_event_stream_detection_spark.operators.funnel import (
+        funnel_times,
+    )
+
+    ft = funnel_times(_t(spark, sf_dir, "events"),
+                      ["view", "click", "purchase"],
+                      within_seconds=2 * 86400)
+    return ft.select(
+        "user_id",
+        *[F.unix_micros(F.col(f"t{i}").cast("timestamp")).alias(f"t{i}_us")
+          for i in range(3)])
+
+
 def _q_pivot_event_values(spark, sf_dir):
     # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
     ev = _t(spark, sf_dir, "events")
@@ -733,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_windows": _q_burst_windows,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
+        "funnel_times_within": _q_funnel_times_within,
         "pivot_event_values": _q_pivot_event_values,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
@@ -929,6 +945,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM s0)::BIGINT AS n_step1,
                    (SELECT count(*) FROM s1)::BIGINT AS n_step2,
                    (SELECT count(*) FROM s2)::BIGINT AS n_step3
+        """,
+        "funnel_times_within": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s0.t0
+                AND epoch_us(e.ts) - epoch_us(s0.t0) <= 172800000000
+              GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                AND epoch_us(e.ts) - epoch_us(s0.t0) <= 172800000000
+              GROUP BY 1)
+            SELECT s0.user_id, epoch_us(t0) AS t0_us,
+                   epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us
+            FROM s0 LEFT JOIN s1 USING (user_id)
+                    LEFT JOIN s2 USING (user_id)
         """,
         "pivot_event_values": """
             SELECT user_id,
