@@ -84,3 +84,96 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert got == truth
     assert set(got) == {1, 4}          # u2 horizon, u3 order, u5 noise
     assert out.dropped_events_acc.value == 0
+
+
+def _write_chunk(path: str, name: str, pdf: pd.DataFrame,
+                 mtime_offset: int) -> None:
+    f = os.path.join(path, name)
+    pq.write_table(pa.Table.from_pandas(
+        pdf, schema=ARROW_SCHEMA, preserve_index=False), f)
+    os.utime(f, (time.time() + mtime_offset, time.time() + mtime_offset))
+
+
+def test_streaming_funnel_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the query mid-input with unresolved chains in state, restart
+    from the same checkpoint with the remaining files: buffered
+    (step, ts) state is recovered, post-restart completions still match
+    batch, and no user is emitted twice."""
+    pdf = _make_events().sort_values("ts").reset_index(drop=True)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    half = len(pdf) // 2
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, event_type string, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        q = (streaming_funnel_completions(stream, STEPS, WITHIN)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_chunk(in_dir, "c0.parquet", pdf.iloc[:half], 0)
+    run_once()                 # phase 1: chains buffered, nothing closed
+    _write_chunk(in_dir, "c1.parquet", pdf.iloc[half:], 1)
+    sent = pd.DataFrame({"user_id": [99], "event_type": ["view"],
+                         "ts": [pdf["ts"].max() + pd.Timedelta(days=30)]})
+    _write_chunk(in_dir, "zz.parquet", sent, 9)
+    run_once()                 # phase 2: resume, drain, close everything
+
+    final = spark.read.parquet(out_dir)
+    assert (final.groupBy("user_id").count()
+            .filter(F.col("count") > 1).count()) == 0
+    got = {r["user_id"]: (r["t0"], r["t1"], r["t2"])
+           for r in final.collect()}
+    batch = funnel_times(
+        spark.createDataFrame(pdf), STEPS, within_seconds=WITHIN)
+    truth = {r["user_id"]: (r["t0"], r["t1"], r["t2"])
+             for r in batch.filter(F.col("t2").isNotNull()).collect()}
+    assert got == truth and set(got) == {1, 4}
+
+
+def test_streaming_funnel_tombstone_counts_late_events(spark, tmp_path):
+    """An event that reaches a user's state AFTER the chain resolved
+    (tombstone) is dropped-and-counted, and never changes the emitted
+    completion."""
+    t0 = datetime(2024, 6, 1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    chain = pd.DataFrame(
+        [(1, "view", t0), (1, "click", t0 + timedelta(minutes=5)),
+         (1, "purchase", t0 + timedelta(minutes=20))],
+        columns=["user_id", "event_type", "ts"])
+    _write_chunk(d, "c0.parquet", chain, 0)
+    # two watermark movers: after c1 the watermark (30 min delay) is
+    # t0+1h31m > t0+WITHIN, so u1's chain resolves via timeout while
+    # processing c2; after c2 the watermark is t0+2h
+    mover = pd.DataFrame([(7, "view", t0 + timedelta(hours=2, minutes=1))],
+                         columns=["user_id", "event_type", "ts"])
+    _write_chunk(d, "c1.parquet", mover, 1)
+    mover2 = pd.DataFrame([(7, "view", t0 + timedelta(hours=2, minutes=30))],
+                          columns=["user_id", "event_type", "ts"])
+    _write_chunk(d, "c2.parquet", mover2, 2)
+    # straggler for the now-resolved u1: ts above the current watermark
+    # (so Spark admits it) but the chain already closed -> tombstone
+    straggler = pd.DataFrame(
+        [(1, "purchase", t0 + timedelta(hours=2, minutes=15))],
+        columns=["user_id", "event_type", "ts"])
+    _write_chunk(d, "c3.parquet", straggler, 3)
+    sent = pd.DataFrame({"user_id": [99], "event_type": ["view"],
+                         "ts": [t0 + pd.Timedelta(days=30)]})
+    _write_chunk(d, "zz.parquet", sent, 9)
+
+    stream = (spark.readStream
+              .schema("user_id long, event_type string, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = streaming_funnel_completions(stream, STEPS, WITHIN)
+    q = (out.writeStream.format("memory").queryName("funnel_tomb")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("funnel_tomb").collect()
+    assert [r["user_id"] for r in rows] == [1]
+    assert rows[0]["t2"] == t0 + timedelta(minutes=20)
+    assert out.dropped_events_acc.value == 1
