@@ -121,6 +121,14 @@ def _q_funnel_times_within(spark, sf_dir):
           for i in range(3)])
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _q_pivot_event_values(spark, sf_dir):
     # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
     ev = _t(spark, sf_dir, "events")
@@ -749,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "pivot_event_values": _q_pivot_event_values,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
@@ -945,6 +954,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM s0)::BIGINT AS n_step1,
                    (SELECT count(*) FROM s1)::BIGINT AS n_step2,
                    (SELECT count(*) FROM s2)::BIGINT AS n_step3
+        """,
+        "tfidf_top_terms": _WORDS_CTE + """
+            , wc AS (SELECT doc_id, word, count(*)::DOUBLE AS tf
+                     FROM words GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS len FROM wc GROUP BY 1),
+            dfx AS (SELECT word, count(*)::DOUBLE AS df FROM wc GROUP BY 1),
+            nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            scored AS (
+              SELECT wc.doc_id, wc.word,
+                     (wc.tf / dl.len)
+                     * (ln((nd.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0)
+                       AS score
+              FROM wc JOIN dl USING (doc_id)
+                      JOIN dfx USING (word) CROSS JOIN nd),
+            ranked AS (
+              SELECT doc_id, word, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, word) AS rank
+              FROM scored)
+            SELECT doc_id, rank::INTEGER AS rank, word,
+                   round(score, 6) AS score
+            FROM ranked WHERE rank <= 5
         """,
         "funnel_times_within": """
             WITH s0 AS (

@@ -327,3 +327,56 @@ def word_ngram_counts(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF keywords per document.
+
+    score = (tf / doc_len) * (ln((N + 1) / (df + 1)) + 1) — the
+    smoothed-idf variant that never divides by zero and keeps
+    corpus-wide terms at a positive floor. Generalizes the reference's
+    KL-salience ranking (Theme.java:186-219 ranks theme words against
+    the corpus background; TF-IDF ranks document words against the
+    corpus) into the per-document keyword extraction a curation
+    pipeline uses for clustering / topic tagging.
+
+    Scale shape: tokenize runs ONCE — the (doc_id, word) counts are
+    persisted (memory-and-disk) because Catalyst does not reuse the
+    count exchange between the score branch and the df branch, and
+    re-tokenizing the corpus is the dominant cost at scale. The
+    document-frequency aggregation then collapses map-side to vocab
+    size and is BROADCAST back (never a big-table shuffle); the corpus
+    doc count rides a broadcast 1-row crossJoin; doc length and the
+    top-k rank share ONE doc_id exchange (same Window partitioning,
+    WindowGroupLimit prunes before the final sort). No Python, no
+    driver collect.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    wc = (
+        documents.select("doc_id",
+                         F.explode(ascii_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = wc.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    by_doc = Window.partitionBy("doc_id")
+    scored = (
+        wc.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") / F.sum("tf").over(by_doc))
+            * (F.log((F.col("n_docs") + F.lit(1.0))
+                     / (F.col("df") + F.lit(1.0))) + F.lit(1.0)))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                by_doc.orderBy(F.desc("score"), F.asc("word"))))
+        .filter(F.col("rank") <= k)
+    )
+    return scored.select("doc_id", "rank", "word",
+                         F.round("score", 6).alias("score"))

@@ -126,3 +126,28 @@ def test_corpus_stats_card(spark):
     # n_chars sorted: 2,5,8,11 -> p50 = 5 + 0.5*(8-5) = 6.5
     assert row["p50_chars"] == 6.5
     assert row["p90_chars"] == 8 + 0.7 * 3
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from bigdata_event_stream_detection_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "apple apple banana"), ("d2", "banana cherry"),
+         ("d3", "cherry cherry cherry")],
+        "doc_id string, text string")
+    rows = {(r["doc_id"], r["rank"]): (r["word"], r["score"])
+            for r in tfidf_top_terms(docs, k=2).collect()}
+    idf = lambda df: math.log(4.0 / (df + 1.0)) + 1.0
+    # d1: apple tf 2/3, df 1; banana tf 1/3, df 2
+    assert rows[("d1", 1)] == ("apple", round(2 / 3 * idf(1), 6))
+    assert rows[("d1", 2)] == ("banana", round(1 / 3 * idf(2), 6))
+    # d2: equal scores (tf 1/2, df 2) -> alphabetical tiebreak
+    assert rows[("d2", 1)][0] == "banana"
+    assert rows[("d2", 2)][0] == "cherry"
+    # d3: single word, tf 1
+    assert rows[("d3", 1)] == ("cherry", round(1.0 * idf(2), 6))
+    assert ("d3", 2) not in rows
