@@ -129,6 +129,16 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_approx_distinct_users(spark, sf_dir):
+    # HLL++ sketch vs exact distinct, per-group tolerance verdict
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        approx_distinct_verified,
+    )
+
+    return approx_distinct_verified(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", rsd=0.05)
+
+
 def _q_pivot_event_values(spark, sf_dir):
     # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
     ev = _t(spark, sf_dir, "events")
@@ -758,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "approx_distinct_users": _q_approx_distinct_users,
         "pivot_event_values": _q_pivot_event_values,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
@@ -954,6 +965,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM s0)::BIGINT AS n_step1,
                    (SELECT count(*) FROM s1)::BIGINT AS n_step2,
                    (SELECT count(*) FROM s2)::BIGINT AS n_step3
+        """,
+        "approx_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_exact,
+                   true AS within_tol
+            FROM events GROUP BY 1
         """,
         "tfidf_top_terms": _WORDS_CTE + """
             , wc AS (SELECT doc_id, word, count(*)::DOUBLE AS tf
