@@ -1,0 +1,86 @@
+"""Streaming windowed HLL++ distinct == batch (exact register parity).
+
+Same harness contract as tests/test_streaming.py: chronological parquet
+chunks with increasing mtimes (maxFilesPerTrigger=1) plus a far-future
+sentinel row whose watermark closes every real window.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from bigdata_event_stream_detection_spark.streaming.sketches import (
+    batch_windowed_distinct,
+    streaming_windowed_distinct,
+)
+
+ARROW_SCHEMA = pa.schema([
+    ("ts", pa.timestamp("us")),
+    ("source", pa.string()),
+    ("user_id", pa.int64()),
+])
+
+
+def _make_events() -> pd.DataFrame:
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for h in range(6):
+        for m in range(60):
+            # per-hour distinct cardinality differs per source
+            rows.append((t0 + timedelta(hours=h, minutes=m), "web",
+                         (h * 7 + m) % 40))
+            rows.append((t0 + timedelta(hours=h, minutes=m, seconds=30),
+                         "app", m % (5 + h)))
+    return pd.DataFrame(rows, columns=["ts", "source", "user_id"])
+
+
+def test_streaming_windowed_distinct_matches_batch(spark, tmp_path):
+    pdf = _make_events().sort_values("ts").reset_index(drop=True)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    bounds = [round(i * len(pdf) / 3) for i in range(4)]
+    for i in range(3):
+        f = os.path.join(d, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            pdf.iloc[bounds[i]:bounds[i + 1]], schema=ARROW_SCHEMA,
+            preserve_index=False), f)
+        os.utime(f, (time.time() + i, time.time() + i))
+    sent = pd.DataFrame({"ts": [pdf["ts"].max() + pd.Timedelta(days=30)],
+                         "source": ["SENTINEL"], "user_id": [0]})
+    f = os.path.join(d, "zz.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        sent, schema=ARROW_SCHEMA, preserve_index=False), f)
+    os.utime(f, (time.time() + 9, time.time() + 9))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, source string, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = streaming_windowed_distinct(stream, ["source"], "user_id")
+    q = (out.writeStream.format("memory").queryName("hll_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["ws_epoch"], r["source"]): r["n_approx"]
+           for r in spark.table("hll_s").collect()}
+
+    truth = {(r["ws_epoch"], r["source"]): r["n_approx"]
+             for r in batch_windowed_distinct(
+                 spark.createDataFrame(pdf), ["source"], "user_id")
+             .collect()}
+    # every real window closed (sentinel's own window never does)
+    assert got == {k: v for k, v in truth.items() if k[1] != "SENTINEL"}
+    assert len(got) == 12  # 6 hours x 2 sources
+    # sanity: estimates track the exact per-window cardinalities
+    exact = {(r["ws_epoch"], r["source"]): r["n"]
+             for r in spark.createDataFrame(pdf).groupBy(
+                 F.unix_timestamp(F.window("ts", "1 hour").start)
+                 .alias("ws_epoch"), "source")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, exact[k] * 0.2)
