@@ -35,6 +35,7 @@ AUDIT = [
     "curated_mix", "pii_counts", "quality_gate", "corpus_stats",
     "asof_purchase_click", "burst_windows", "chunked_contexts",
     "embedding_centroids", "simhash_near_dups",
+    "funnel_times_within", "tfidf_top_terms", "approx_distinct_users",
 ]
 
 
