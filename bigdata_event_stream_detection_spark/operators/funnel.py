@@ -28,7 +28,7 @@ def funnel_times(
     time_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
-    within_seconds: int | None = None,
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Per-user earliest step-completion chain.
 
@@ -56,7 +56,7 @@ def funnel_times(
             # microsecond horizon arithmetic exactly
             joined = joined.filter(
                 F.expr("timestampdiff(MICROSECOND, t0, _ts)")
-                <= int(within_seconds) * 1_000_000)
+                <= int(round(float(within_seconds) * 1e6)))
         agg = joined.groupBy(user_col).agg(F.min("_ts").alias(f"t{i}"))
         out = out.join(agg, user_col, "left")
     return out

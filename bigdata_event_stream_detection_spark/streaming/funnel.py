@@ -41,7 +41,7 @@ FUNNEL_STATE_SCHEMA = StructType([
 def streaming_funnel_completions(
     stream: DataFrame,
     steps: list[str],
-    within_seconds: int,
+    within_seconds: float,
     time_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
@@ -56,7 +56,7 @@ def streaming_funnel_completions(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     k = len(steps)
-    horizon_us = int(within_seconds) * 1_000_000
+    horizon_us = int(round(float(within_seconds) * 1e6))
     dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
     out_schema = StructType(
         [StructField("user_id", LongType())]

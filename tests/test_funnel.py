@@ -65,3 +65,57 @@ def test_funnel_rejects_single_step(spark):
     ev = _events(spark, [(1, "view", 1)])
     with pytest.raises(ValueError):
         funnel_times(ev, ["view"])
+
+
+def test_funnel_randomized_vs_reference(spark):
+    """Randomized cross-check of the join/agg composition against an
+    independent per-step greedy reference, with microsecond-resolution
+    timestamps exercising the sub-second horizon arithmetic."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(20240817)
+    steps = ["a", "b", "c"]
+    base = datetime(2024, 1, 1)
+
+    def reference(events, horizon_us):
+        # per-user greedy: t0 = global earliest step-0; each later step
+        # = earliest event strictly after the previous completion and
+        # within horizon of t0 (no backtracking — the operator's spec)
+        out = {}
+        for u in {e[0] for e in events}:
+            ev = [(t, ts) for (uu, t, ts) in events if uu == u]
+            zeros = [ts for t, ts in ev if t == steps[0]]
+            if not zeros:
+                continue
+            chain = [min(zeros)]
+            for s in steps[1:]:
+                if chain[-1] is None:
+                    chain.append(None)
+                    continue
+                cands = [ts for t, ts in ev
+                         if t == s and ts > chain[-1]
+                         and (ts - chain[0]).total_seconds() * 1e6
+                         <= horizon_us]
+                chain.append(min(cands) if cands else None)
+            out[u] = tuple(chain)
+        return out
+
+    for trial in range(12):
+        n_users = rng.randint(1, 3)
+        events = []
+        for u in range(1, n_users + 1):
+            for _ in range(rng.randint(0, 10)):
+                typ = rng.choice(steps + ["noise"])
+                us = rng.randint(0, 60_000_000)  # within one minute
+                events.append((u, typ, base + timedelta(microseconds=us)))
+        if not events:
+            continue
+        horizon_s = rng.choice([0.5, 7.3, 45.0])
+        got = {r["user_id"]: (r["t0"], r["t1"], r["t2"])
+               for r in funnel_times(
+                   spark.createDataFrame(
+                       events, "user_id int, event_type string, ts timestamp"),
+                   steps, within_seconds=horizon_s).collect()}
+        want = reference(events, horizon_s * 1e6)
+        assert got == want, f"trial {trial}: {got} != {want}"
