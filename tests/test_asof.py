@@ -52,3 +52,46 @@ def test_asof_join_preserves_left_rowcount(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, asof_join(left.repartition(7), right).collect()))
     assert a == b
+
+
+def test_asof_join_randomized_vs_reference(spark):
+    """Randomized cross-check of the carry-forward window composition
+    against a brute-force per-row reference, covering equal timestamps
+    (right visible to a simultaneous left) and tolerance expiry."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(20240817)
+    base = datetime(2024, 1, 1)
+
+    for trial in range(10):
+        keys = list(range(1, rng.randint(2, 4)))
+        lrows, rrows = [], []
+        for u in keys:
+            for _ in range(rng.randint(0, 6)):
+                lrows.append((u, base + timedelta(
+                    seconds=rng.randint(0, 120))))
+            # unique right timestamps per key (operator precondition)
+            for s in rng.sample(range(0, 120), rng.randint(0, 6)):
+                rrows.append((u, base + timedelta(seconds=s),
+                              float(u * 1000 + s)))
+        if not lrows:
+            continue
+        tol = rng.choice([None, 10, 45])
+        left = spark.createDataFrame(lrows, "user_id int, ts timestamp")
+        right = spark.createDataFrame(
+            rrows, "user_id int, ts timestamp, value double")
+        got = [(r["user_id"], r["ts"], r["right_ts"], r["right_value"])
+               for r in asof_join(left, right,
+                                  tolerance_seconds=tol).collect()]
+
+        def ref_match(u, ts):
+            cands = [(rts, v) for (ru, rts, v) in rrows
+                     if ru == u and rts <= ts
+                     and (tol is None
+                          or (ts - rts).total_seconds() <= tol)]
+            return max(cands) if cands else (None, None)
+
+        want = [(u, ts) + ref_match(u, ts) for (u, ts) in lrows]
+        assert sorted(got, key=str) == sorted(want, key=str), \
+            f"trial {trial} tol={tol}"
