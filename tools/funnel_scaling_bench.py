@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Scaling evidence for the streaming funnel CEP (and its batch twin).
+
+Same method as tools/scaling_bench.py (which documents the rationale
+for every knob): identical job + deterministic synthetic input at
+local[N] vs local[4N], fresh JVM per run, taskset-pinned, fixed
+shuffle/state partitions, min wall over interleaved repeats,
+
+    efficiency = (throughput_4N / throughput_N) / 4
+
+The funnel is keyed by user_id (hundreds of thousands of tiny state
+groups), so unlike the window-keyed detector its parallelism is
+unbounded by design — this probe evidences that the per-group
+pandas/state overhead actually lets that parallelism materialize.
+
+Usage: python tools/funnel_scaling_bench.py [--n 4] [--events 5000000]
+           [--users 500000] [--repeats 2] [--local-dir /dev/shm/...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STEPS = ["view", "click", "purchase"]
+HORIZON_S = 6 * 3600          # 6h of the 24h event span
+WATERMARK = "30 minutes"
+
+GEN = r"""
+import glob, os, sys, time
+events, users, files, in_dir = (int(sys.argv[1]), int(sys.argv[2]),
+                                int(sys.argv[3]), sys.argv[4])
+from bigdata_event_stream_detection_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("gen-funnel", cores=32)
+span_us = 24 * 3600 * 1000000
+# deterministic: type and timestamp are pure hashes of the row id
+df = (spark.range(events)
+      .select((F.col("id") % users).alias("user_id"),
+              F.element_at(
+                  F.array(*[F.lit(s) for s in
+                            ["view", "click", "purchase", "noise"]]),
+                  ((F.xxhash64("id", F.lit(1)) % 4 + 4) % 4 + 1)
+                  .cast("int")
+              ).alias("event_type"),
+              F.timestamp_micros(
+                  (F.xxhash64("id", F.lit(2)) % span_us + span_us)
+                  % span_us).alias("ts")))
+(df.repartitionByRange(files, "ts").sortWithinPartitions("ts")
+   .write.mode("overwrite").parquet(in_dir))
+# far-future sentinel (its own file, newest mtime) closes every chain
+(spark.range(1)
+ .select(F.lit(-1).cast("long").alias("user_id"),
+         F.lit("view").alias("event_type"),
+         F.timestamp_micros(F.lit(10 * span_us)).alias("ts"))
+ .coalesce(1).write.mode("overwrite").parquet(in_dir + "_sentinel"))
+src = glob.glob(in_dir + "_sentinel/part-*.parquet")[0]
+os.replace(src, in_dir + "/zzz_sentinel.parquet")
+t = time.time()
+for i, f in enumerate(sorted(glob.glob(in_dir + "/part-*.parquet"))):
+    os.utime(f, (t + i, t + i))
+os.utime(in_dir + "/zzz_sentinel.parquet", (t + 9999, t + 9999))
+print("GENERATED", df.count())
+"""
+
+WORKER = r"""
+import json, sys, time
+mode, cores, in_dir, out_root, partitions, horizon = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    int(sys.argv[5]), int(sys.argv[6]))
+from bigdata_event_stream_detection_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("funnel-%s-%d" % (mode, cores), cores=cores,
+                  shuffle_partitions=partitions,
+                  extra_conf={
+                      "spark.sql.adaptive.coalescePartitions.enabled":
+                      "false"})
+steps = ["view", "click", "purchase"]
+n_events = spark.read.parquet(in_dir).count()
+if mode == "batch":
+    from bigdata_event_stream_detection_spark.operators.funnel import (
+        funnel_times)
+    ev = spark.read.parquet(in_dir)
+    t0 = time.perf_counter()
+    n_done = (funnel_times(ev, steps, within_seconds=horizon)
+              .filter(F.col("t%d" % (len(steps) - 1)).isNotNull())
+              .count())
+    wall = time.perf_counter() - t0
+else:
+    from bigdata_event_stream_detection_spark.streaming.funnel import (
+        streaming_funnel_completions)
+    stream = (spark.readStream
+              .schema("user_id long, event_type string, ts timestamp")
+              .parquet(in_dir))
+    out = out_root + "/out_%s_%d" % (mode, cores)
+    ckpt = out_root + "/ckpt_%s_%d" % (mode, cores)
+    comp = streaming_funnel_completions(
+        stream, steps, within_seconds=horizon,
+        watermark_delay="30 minutes")
+    t0 = time.perf_counter()
+    q = (comp.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(1800)
+    wall = time.perf_counter() - t0
+    n_done = spark.read.parquet(out).count()
+print("RESULT " + json.dumps({
+    "mode": mode, "cores": cores, "wall_sec": round(wall, 2),
+    "n_events": n_events, "n_completions": n_done,
+    "events_per_sec": round(n_events / wall, 2)}))
+"""
+
+
+def run_worker(mode, cores, in_dir, out_root, partitions):
+    env = dict(os.environ, PYTHONPATH=REPO,
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
+    env["SPARK_LOCAL_DIRS"] = out_root
+    cmd = [sys.executable, "-c", WORKER, mode, str(cores), in_dir,
+           out_root, str(partitions), str(HORIZON_S)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=REPO, timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker {mode}@{cores} no RESULT:\n"
+                       f"{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--events", type=int, default=5_000_000)
+    ap.add_argument("--users", type=int, default=500_000)
+    ap.add_argument("--files", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--modes", default="stream,batch")
+    ap.add_argument("--local-dir", default=None)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    args = ap.parse_args()
+
+    partitions = 6 * 4 * args.n
+    work = tempfile.mkdtemp(prefix="funnel_bench_", dir=args.local_dir)
+    in_dir = os.path.join(tempfile.gettempdir(),
+                          f"funnel_input_{args.events}_{args.users}",
+                          "events")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    if not os.path.exists(os.path.join(in_dir, "zzz_sentinel.parquet")):
+        subprocess.run([sys.executable, "-c", GEN, str(args.events),
+                        str(args.users), str(args.files), in_dir],
+                       check=True, env=env, cwd=REPO,
+                       capture_output=True, timeout=3600)
+
+    raw: dict[tuple, list] = {}
+    for _ in range(args.repeats):
+        for mode in args.modes.split(","):
+            for cores in (args.n, 4 * args.n):
+                r = run_worker(mode, cores, in_dir, work, partitions)
+                raw.setdefault((mode, cores), []).append(r)
+                print(json.dumps(r), flush=True)
+
+    lines = ["", "## Streaming funnel CEP scaling "
+             f"(N={args.n} vs 4N={4 * args.n} cores, min of "
+             f"{args.repeats} interleaved sweeps)", "",
+             f"Input: {args.events} synthetic events / {args.users} "
+             f"users (hash-deterministic), 6h horizon, "
+             f"{partitions} fixed shuffle/state partitions.", "",
+             "| job | cores | best wall (s) | events/s | completions | "
+             "all walls (s) |", "|---|---|---|---|---|---|"]
+    summaries = []
+    for mode in args.modes.split(","):
+        eff_tp = {}
+        for cores in (args.n, 4 * args.n):
+            rs = raw[(mode, cores)]
+            best = min(rs, key=lambda r: r["wall_sec"])
+            eff_tp[cores] = best["events_per_sec"]
+            walls = ", ".join(str(r["wall_sec"]) for r in rs)
+            comps = {r["n_completions"] for r in rs}
+            lines.append(
+                f"| {mode} | {cores} | {best['wall_sec']} | "
+                f"{best['events_per_sec']} | {sorted(comps)} | {walls} |")
+        eff = eff_tp[4 * args.n] / eff_tp[args.n] / 4
+        summaries.append(
+            f"- **{mode}**: {eff_tp[args.n]:.0f} ev/s @ local[{args.n}] "
+            f"-> {eff_tp[4 * args.n]:.0f} ev/s @ local[{4 * args.n}]; "
+            f"scaling efficiency **{eff:.2f}**")
+    lines.append("")
+    lines.extend(summaries)
+    report = "\n".join(lines) + "\n"
+    print(report)
+    with open(args.out, "a") as f:
+        f.write(report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
