@@ -13,10 +13,17 @@ resolved user are dropped and COUNTED).
 
 State per user is a bounded buffer of (step_idx, ts) pairs — funnel
 events inside the active horizon only, never the raw payload — packed
-as binary blobs like the engine's token buffers. An unbounded-horizon
-funnel is deliberately NOT offered in-stream: without the horizon the
-chain is never decidable and state never closes (run the batch
-operator over the accumulated table instead).
+as binary blobs like the engine's token buffers. State lifecycle:
+un-anchored buffers carry a timeout at their provably-dead point and
+are REMOVED once pruned empty (a user who only ever sends non-step-0
+events costs no permanent state); resolved users keep a ~30-byte
+tombstone FOREVER — that is inherent to the once-per-user batch
+semantics (t0 anchors at the user's global earliest step-0 event, so
+forgetting a resolved user would let a late second chain re-emit and
+break exactly-once/batch parity). An unbounded-horizon funnel is
+deliberately NOT offered in-stream: without the horizon the chain is
+never decidable and state never closes (run the batch operator over
+the accumulated table instead).
 """
 
 from __future__ import annotations
@@ -130,12 +137,25 @@ def streaming_funnel_completions(
                     step_arr = np.empty(0, np.int32)
                     us_arr = np.empty(0, np.int64)
 
-        state.update((step_arr.tobytes(), us_arr.tobytes(), resolved))
-        if not resolved and step_arr.size and (step_arr == 0).any():
-            t0 = int(us_arr[step_arr == 0].min())
-            # fire just after the horizon; clamp past the watermark
-            state.setTimeoutTimestamp(
-                max((t0 + horizon_us) // 1000 + 1, wm_us // 1000 + 1))
+        if not resolved and not step_arr.size:
+            # nothing buffered and nothing to remember: leaving an
+            # empty entry (or an un-anchored buffer with no timeout)
+            # would leak state for every noise-heavy user forever
+            if state.exists:
+                state.remove()
+        else:
+            state.update((step_arr.tobytes(), us_arr.tobytes(), resolved))
+            if not resolved:
+                if (step_arr == 0).any():
+                    # fire just after the horizon closes the chain
+                    fire_us = int(us_arr[step_arr == 0].min()) + horizon_us
+                else:
+                    # un-anchored: fire at the provably-dead point so
+                    # the prune above empties and removes this state
+                    # even if the user never sends another event
+                    fire_us = int(us_arr.max()) + horizon_us
+                state.setTimeoutTimestamp(
+                    max(fire_us // 1000 + 1, wm_us // 1000 + 1))
         if rows:
             yield pd.DataFrame(
                 rows, columns=["user_id"] + [f"t{i}" for i in range(k)])

@@ -177,3 +177,40 @@ def test_streaming_funnel_tombstone_counts_late_events(spark, tmp_path):
     assert [r["user_id"] for r in rows] == [1]
     assert rows[0]["t2"] == t0 + timedelta(minutes=20)
     assert out.dropped_events_acc.value == 1
+
+
+def test_streaming_funnel_state_lifecycle(spark, tmp_path):
+    """State accounting: a resolved user keeps exactly one tombstone; a
+    user who only ever sent un-anchored (non-step-0) events is REMOVED
+    from the store once provably dead — not leaked forever."""
+    t0 = datetime(2024, 6, 1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    chain = pd.DataFrame(
+        [(1, "view", t0), (1, "click", t0 + timedelta(minutes=5)),
+         (1, "purchase", t0 + timedelta(minutes=20)),
+         # u2: click only, never a view -> must not leak state
+         (2, "click", t0 + timedelta(minutes=3))],
+        columns=["user_id", "event_type", "ts"])
+    _write_chunk(d, "c0.parquet", chain, 0)
+    mover = pd.DataFrame([(7, "noise", t0 + timedelta(hours=3))],
+                         columns=["user_id", "event_type", "ts"])
+    _write_chunk(d, "c1.parquet", mover, 1)
+    sent = pd.DataFrame({"user_id": [99], "event_type": ["view"],
+                         "ts": [t0 + pd.Timedelta(days=30)]})
+    _write_chunk(d, "zz.parquet", sent, 9)
+
+    stream = (spark.readStream
+              .schema("user_id long, event_type string, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = streaming_funnel_completions(stream, STEPS, WITHIN)
+    q = (out.writeStream.format("memory").queryName("funnel_life")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r["user_id"] for r in spark.table("funnel_life").collect()] \
+        == [1]
+    # state rows: u1 tombstone + u99 (sentinel, anchored, never closes).
+    # u2 pruned-and-removed; u7 filtered before the state op entirely.
+    progress = q.lastProgress or q.recentProgress[-1]
+    n_state = progress["stateOperators"][0]["numRowsTotal"]
+    assert n_state == 2, f"state leak: {n_state} rows in store"
