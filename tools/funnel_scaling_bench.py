@@ -71,9 +71,9 @@ print("GENERATED", df.count())
 
 WORKER = r"""
 import json, sys, time
-mode, cores, in_dir, out_root, partitions, horizon = (
+mode, cores, in_dir, out_root, partitions, horizon, tag = (
     sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
-    int(sys.argv[5]), int(sys.argv[6]))
+    int(sys.argv[5]), int(sys.argv[6]), sys.argv[7])
 from bigdata_event_stream_detection_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark("funnel-%s-%d" % (mode, cores), cores=cores,
@@ -98,8 +98,10 @@ else:
     stream = (spark.readStream
               .schema("user_id long, event_type string, ts timestamp")
               .parquet(in_dir))
-    out = out_root + "/out_%s_%d" % (mode, cores)
-    ckpt = out_root + "/ckpt_%s_%d" % (mode, cores)
+    # tag makes sink+checkpoint unique PER RUN: a reused checkpoint
+    # would replay nothing and report a bogus near-zero wall
+    out = out_root + "/out_%s_%d_%s" % (mode, cores, tag)
+    ckpt = out_root + "/ckpt_%s_%d_%s" % (mode, cores, tag)
     comp = streaming_funnel_completions(
         stream, steps, within_seconds=horizon,
         watermark_delay="30 minutes")
@@ -117,13 +119,13 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_worker(mode, cores, in_dir, out_root, partitions):
+def run_worker(mode, cores, in_dir, out_root, partitions, tag):
     env = dict(os.environ, PYTHONPATH=REPO,
                OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
     env["SPARK_LOCAL_DIRS"] = out_root
     cmd = [sys.executable, "-c", WORKER, mode, str(cores), in_dir,
-           out_root, str(partitions), str(HORIZON_S)]
+           out_root, str(partitions), str(HORIZON_S), tag]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -160,10 +162,11 @@ def main():
                        capture_output=True, timeout=3600)
 
     raw: dict[tuple, list] = {}
-    for _ in range(args.repeats):
+    for rep in range(args.repeats):
         for mode in args.modes.split(","):
             for cores in (args.n, 4 * args.n):
-                r = run_worker(mode, cores, in_dir, work, partitions)
+                r = run_worker(mode, cores, in_dir, work, partitions,
+                               f"r{rep}")
                 raw.setdefault((mode, cores), []).append(r)
                 print(json.dumps(r), flush=True)
 
