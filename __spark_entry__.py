@@ -139,6 +139,20 @@ def _q_approx_distinct_users(spark, sf_dir):
         _t(spark, sf_dir, "events"), ["event_type"], "user_id", rsd=0.05)
 
 
+def _q_heavy_hitter_words(spark, sf_dir):
+    # two-pass Misra-Gries: provably equal to the exact HAVING filter
+    from bigdata_event_stream_detection_spark.functions.textfns import (
+        ascii_words,
+    )
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(ascii_words(F.col("text"))).alias("word"))
+    return heavy_hitters(words, "word", threshold_frac=0.005)
+
+
 def _q_pivot_event_values(spark, sf_dir):
     # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
     ev = _t(spark, sf_dir, "events")
@@ -769,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_times_within": _q_funnel_times_within,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "approx_distinct_users": _q_approx_distinct_users,
+        "heavy_hitter_words": _q_heavy_hitter_words,
         "pivot_event_values": _q_pivot_event_values,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
@@ -965,6 +980,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM s0)::BIGINT AS n_step1,
                    (SELECT count(*) FROM s1)::BIGINT AS n_step2,
                    (SELECT count(*) FROM s2)::BIGINT AS n_step3
+        """,
+        "heavy_hitter_words": _WORDS_CTE + """
+            SELECT word, count(*)::BIGINT AS cnt FROM words
+            GROUP BY 1
+            HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM words))
         """,
         "approx_distinct_users": """
             SELECT event_type,

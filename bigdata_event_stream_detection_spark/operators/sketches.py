@@ -64,3 +64,74 @@ def approx_distinct_verified(
         (F.abs(F.col("_n_approx") - F.col("n_exact"))
          <= F.col("n_exact") * tol).alias("within_tol"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float = 0.001,
+    capacity_factor: int = 4,
+) -> DataFrame:
+    """All values of ``col`` occurring in at least ``threshold_frac``
+    of the rows, with their EXACT counts — without ever shuffling the
+    full distinct set.
+
+    Two-pass Misra-Gries: pass 1 builds one bounded summary per
+    partition (``capacity_factor / threshold_frac`` counters,
+    vectorized batch-decrement via pandas value_counts), merges the
+    tiny summaries by key, and keeps the surviving candidates; pass 2
+    broadcast-semi-joins the candidates back and counts them exactly.
+    Summary math guarantees NO FALSE NEGATIVES: each partition summary
+    underestimates any value by at most n_p/k, so the merged
+    underestimate is at most N/k = N * threshold_frac /
+    capacity_factor < N * threshold_frac — every true heavy hitter
+    survives with a positive merged count, and the exact second pass
+    removes all false positives. The output is therefore provably
+    EQUAL to the exact ``GROUP BY ... HAVING count >= ceil(frac * N)``
+    (the DuckDB oracle), while shuffling only
+    O(partitions x k + |candidates|) rows instead of one row per
+    distinct value — the difference between a vocabulary-sized and a
+    corpus-sized exchange at 10^9+ distinct keys.
+
+    Reference analog: the min-count dictionary filter
+    (InputParser.java:204-223) is the threshold_count form of the same
+    ask; this is its scale-safe generalization.
+    """
+    import math
+
+    import pandas as pd
+
+    k = max(8, int(math.ceil(capacity_factor / threshold_frac)))
+
+    def partition_summary(pdf_iter):
+        counters = pd.Series(dtype="int64")
+        for pdf in pdf_iter:
+            vc = pdf[col].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                # batch Misra-Gries decrement: subtract the (k+1)-th
+                # largest count from EVERY counter and drop the
+                # non-positive — each trim's cut is charged against
+                # >= k+1 elements, so cumulative underestimate per
+                # element stays <= n_p/(k+1) (mergeable-summaries
+                # analysis, Agarwal et al., PODS'12)
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        if len(counters):
+            yield pd.DataFrame({col: counters.index.to_numpy(),
+                                "_lb": counters.to_numpy("int64")})
+
+    in_type = dict(df.dtypes)[col]
+    summaries = df.select(col).mapInPandas(
+        partition_summary, schema=f"`{col}` {in_type}, _lb long")
+    candidates = (summaries.groupBy(col).agg(F.sum("_lb").alias("_lb"))
+                  .filter(F.col("_lb") > 0).select(col))
+    total = df.select(F.count("*").alias("_n"))
+    return (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col).agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.col("_n") * F.lit(threshold_frac)))
+        .select(col, "cnt")
+    )

@@ -34,3 +34,42 @@ def test_approx_distinct_counts_close(spark):
                                    rsd=0.02).collect()}
     assert abs(rows["a"] - 2000) <= 2000 * 0.08
     assert abs(rows["b"] - 100) <= 100 * 0.08
+
+
+def test_heavy_hitters_equals_exact(spark):
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # zipf-ish skew: value v appears ~N/(v+1) times, plus a long tail
+    # of singletons; shuffled across many partitions
+    rows = []
+    for v in range(20):
+        rows += [f"hot{v}"] * (2000 // (v + 1))
+    rows += [f"tail{i}" for i in range(3000)]
+    df = (spark.createDataFrame([(r,) for r in rows], "v string")
+          .repartition(16))
+    n = len(rows)
+    thr = 0.01
+    got = {(r["v"], r["cnt"]) for r in
+           heavy_hitters(df, "v", threshold_frac=thr).collect()}
+    import math
+    from collections import Counter
+    c = Counter(rows)
+    want = {(v, cnt) for v, cnt in c.items()
+            if cnt >= math.ceil(thr * n)}
+    assert got == want and len(want) >= 5
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [("a",)] * 500 + [("b",)] * 100 + \
+           [(f"t{i}",) for i in range(1000)]
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "v string").repartition(parts)
+        got = {(r["v"], r["cnt"]) for r in
+               heavy_hitters(df, "v", threshold_frac=0.05).collect()}
+        assert got == {("a", 500), ("b", 100)}, parts
