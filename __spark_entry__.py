@@ -153,6 +153,18 @@ def _q_heavy_hitter_words(spark, sf_dir):
     return heavy_hitters(words, "word", threshold_frac=0.005)
 
 
+def _q_hash_split(spark, sf_dir):
+    # deterministic disjoint train/val/test assignment by key hash
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        hash_split,
+    )
+
+    return hash_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+
+
 def _q_pivot_event_values(spark, sf_dir):
     # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
     ev = _t(spark, sf_dir, "events")
@@ -784,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitter_words": _q_heavy_hitter_words,
+        "hash_split": _q_hash_split,
         "pivot_event_values": _q_pivot_event_values,
         "sliding_window_counts": _q_sliding_window_counts,
         "session_windows": _q_session_windows,
@@ -862,6 +875,25 @@ WITH w AS (
   FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
 )
 """
+
+
+def _hash_split_sql() -> str:
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        sample_threshold,
+    )
+
+    t1, t2 = sample_threshold(0.8), sample_threshold(0.8 + 0.1)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN h < {t1} THEN 'train'
+                    WHEN h < {t2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(
+                         concat_ws('|', 'split', CAST(doc_id AS VARCHAR))
+                     ), 1, 15)) AS BIGINT) AS h
+              FROM documents)
+    """
 
 
 def _stratified_sample_sql() -> str:
@@ -1497,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         # thresholds computed with the SAME sample_threshold() ints the
         # Spark operator uses; the salted md5 hash60 reproduces exactly
         "stratified_sample": _stratified_sample_sql(),
+        "hash_split": _hash_split_sql(),
         "curated_mix": _curated_mix_sql(),
         "pack_assignments": f"""
             SELECT doc_id, source,

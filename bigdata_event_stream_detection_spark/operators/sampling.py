@@ -151,3 +151,38 @@ def pack_assignments(
     return df.withColumn(
         "pack_id",
         F.floor((cum - F.col(size_col)) / F.lit(budget)).cast("int"))
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/val/test assignment.
+
+    Adds a ``split`` column: the salted key-hash is mapped onto
+    contiguous ranges of the hash space sized by ``fractions`` (which
+    must sum to ~1). Properties a training pipeline needs and random
+    splits don't give: REPRODUCIBLE (pure function of the key — rerun,
+    re-shard, or re-ingest and every doc keeps its split), DISJOINT
+    (ranges cannot overlap), and STABLE UNDER APPEND (new docs get
+    splits without moving old ones). One codegen'd CASE expression, no
+    shuffle, no state; same md5 hash60 the oracles reproduce in DuckDB.
+    """
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    expr = None
+    acc = 0.0
+    # deterministic range order: iterate in insertion order so the
+    # caller controls which split absorbs the rounding remainder (last)
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = h < F.lit(sample_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

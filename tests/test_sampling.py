@@ -131,3 +131,33 @@ def test_chunk_sequences_grid_invariants(spark):
             assert rows[-1]["tokens"][-1] == n - 1
             if len(rows) > 1:
                 assert rows[-2]["tokens"][-1] != n - 1
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(2000)], "doc_id string")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive + disjoint: every doc gets exactly one split
+    assert sum(counts.values()) == 2000
+    assert abs(counts["train"] - 1600) < 100
+    assert abs(counts["val"] - 200) < 60
+    # stable under append: adding docs never moves an existing one
+    more = spark.createDataFrame(
+        [(f"d{i}",) for i in range(3000)], "doc_id string")
+    first = dict(out.collect())
+    again = dict(hash_split(more,
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+                 .collect())
+    assert all(again[k] == v for k, v in first.items())
+
+    import pytest
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
