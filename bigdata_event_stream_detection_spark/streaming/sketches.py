@@ -16,6 +16,7 @@ O(windows x groups x 1.5 kB) state, closed by the watermark.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,4 +59,130 @@ def batch_windowed_distinct(
         .select(
             F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
             *keys, "n_approx")
+    )
+
+
+def streaming_windowed_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    time_col: str = "ts",
+    length: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    capacity: int = 256,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Per-window Misra-Gries heavy-hitter candidates over an unbounded
+    stream, emitted once when the watermark closes the window.
+
+    State is keyed by (window_start, hash-bucket of the VALUE) — not by
+    window alone — so a hot window spreads across ``num_buckets`` tasks
+    and state entries (the window-keyed-state bottleneck the engine's
+    round-1 review flagged, avoided by construction here). Every
+    occurrence of one value lands in one bucket, so per-value error
+    keeps the Misra-Gries bound within its bucket: emitted rows are
+    (ws_epoch, bucket, value, lb, n_bucket) with
+
+        lb <= true_count <= lb + n_bucket / (capacity + 1)
+
+    and NO FALSE NEGATIVES among values with true_count >
+    n_bucket/(capacity+1). A bucket whose counters all trim away
+    (pure long-tail) emits one NULL-value marker row so its n_bucket
+    still reaches consumers, who union buckets per window and apply
+    their threshold against sum(n_bucket); an exact recount (batch
+    ``operators.sketches.heavy_hitters`` pass 2) upgrades candidates
+    to exact counts when needed. State per key is bounded:
+    ``capacity`` (value, count) pairs + one total.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    state_schema = StructType([
+        StructField("vals", ArrayType(StringType())),
+        StructField("cnts", ArrayType(LongType())),
+        StructField("n_bucket", LongType()),
+        StructField("ws_us", LongType()),
+    ])
+    out_schema = StructType([
+        StructField("ws_epoch", LongType()),
+        StructField("bucket", LongType()),
+        StructField("value", StringType()),
+        StructField("lb", LongType()),
+        StructField("n_bucket", LongType()),
+    ])
+
+    def fn(key, pdf_iter, state: GroupState):
+        ws_us, bucket = key[0], key[1]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            vals, cnts, n_bucket, end_us = state.get
+            counters = pd.Series(list(cnts),
+                                 index=list(vals), dtype="int64")
+        else:
+            counters = pd.Series(dtype="int64")
+            n_bucket, end_us = 0, None
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n_bucket += len(pdf)
+            if end_us is None:
+                end_us = int(pdf["_we_us"].iloc[0])
+            vc = pdf[col].value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > capacity:
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+
+        if end_us is not None and (state.hasTimedOut or end_us <= wm_us):
+            if len(counters):
+                values = counters.index.to_numpy(dtype=object)
+                lbs = counters.to_numpy("int64")
+            else:
+                # all counters trimmed away (pure-tail bucket): emit a
+                # NULL-value marker so the bucket's row count still
+                # contributes to the window total downstream
+                values, lbs = [None], [0]
+            rows = pd.DataFrame({
+                "ws_epoch": ws_us // 1_000_000,
+                "bucket": bucket,
+                "value": values,
+                "lb": lbs,
+                "n_bucket": n_bucket,
+            })
+            state.remove()
+            yield rows
+        else:
+            state.update((list(counters.index.astype(str)),
+                          [int(c) for c in counters.to_numpy()],
+                          int(n_bucket),
+                          int(end_us if end_us is not None else 0)))
+            if end_us is not None:
+                state.setTimeoutTimestamp(
+                    max(end_us // 1000 + 1, wm_us // 1000 + 1))
+
+    w = F.window(time_col, length)
+    keyed = (
+        stream.withWatermark(time_col, watermark_delay)
+        .select(
+            F.unix_micros(w.start).alias("_ws_us"),
+            F.unix_micros(w.end).alias("_we_us"),
+            F.pmod(F.xxhash64(F.col(col).cast("string")),
+                   F.lit(num_buckets)).alias("_bucket"),
+            F.col(col).cast("string").alias(col),
+            # the watermarked event-time column must stay in the plan
+            # for EventTimeTimeout to attach
+            F.col(time_col),
+        )
+    )
+    return keyed.groupBy("_ws_us", "_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -84,3 +84,82 @@ def test_streaming_windowed_distinct_matches_batch(spark, tmp_path):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, exact[k] * 0.2)
+
+
+def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
+    """Per-window MG candidates: no false negatives among true heavy
+    values, lower bounds sandwich the exact counts, per-bucket totals
+    sum to the window size, and closed-window state is removed."""
+    from collections import Counter
+
+    from bigdata_event_stream_detection_spark.streaming.sketches import (
+        streaming_windowed_heavy_hitters,
+    )
+
+    t0 = datetime(2024, 5, 1)
+    # hot values per hour (descending counts) + a long singleton tail
+    rows = []
+    uid = 0
+    for h in range(3):
+        for v in range(4):
+            for i in range(120 - 25 * v):
+                rows.append((t0 + timedelta(hours=h, minutes=i % 60,
+                                            seconds=(i * 13) % 60),
+                             "web", f"hot{h}_{v}"))
+        for i in range(400):
+            uid += 1
+            rows.append((t0 + timedelta(hours=h, minutes=i % 60,
+                                        seconds=(i * 7) % 60),
+                         "web", f"tail{uid}"))
+    pdf = pd.DataFrame(rows, columns=["ts", "source", "user_id"]) \
+        .sort_values("ts").reset_index(drop=True)
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    schema3 = pa.schema([("ts", pa.timestamp("us")),
+                         ("source", pa.string()),
+                         ("user_id", pa.string())])
+    bounds = [round(i * len(pdf) / 3) for i in range(4)]
+    for i in range(3):
+        f = os.path.join(d, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            pdf.iloc[bounds[i]:bounds[i + 1]], schema=schema3,
+            preserve_index=False), f)
+        os.utime(f, (time.time() + i, time.time() + i))
+    sent = pd.DataFrame({"ts": [pdf["ts"].max() + pd.Timedelta(days=30)],
+                         "source": ["S"], "user_id": ["s"]})
+    f = os.path.join(d, "zz.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        sent, schema=schema3, preserve_index=False), f)
+    os.utime(f, (time.time() + 9, time.time() + 9))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, source string, user_id string")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = streaming_windowed_heavy_hitters(
+        stream, "user_id", length="1 hour", capacity=64, num_buckets=4)
+    q = (out.writeStream.format("memory").queryName("hh_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("hh_s").collect()
+
+    # exact per-window truth
+    pdf["ws"] = pdf["ts"].dt.floor("h")
+    for h in range(3):
+        ws_epoch = int((t0 + timedelta(hours=h)).timestamp())
+        win = pdf[pdf["ws"] == t0 + timedelta(hours=h)]
+        exact = Counter(win["user_id"])
+        cand = {r["value"]: r for r in got if r["ws_epoch"] == ws_epoch}
+        # per-bucket totals sum to the window row count
+        bucket_tot = {r["bucket"]: r["n_bucket"]
+                      for r in got if r["ws_epoch"] == ws_epoch}
+        assert sum(bucket_tot.values()) == len(win)
+        for v in (f"hot{h}_{x}" for x in range(4)):
+            r = cand.get(v)
+            assert r is not None, f"false negative {v}"
+            err_budget = r["n_bucket"] // (64 + 1) + 1
+            assert r["lb"] <= exact[v] <= r["lb"] + err_budget
+    # every state entry was emitted-and-removed (sentinel window has no
+    # closed state rows; its open key is the only remaining one)
+    progress = q.lastProgress or q.recentProgress[-1]
+    assert progress["stateOperators"][0]["numRowsTotal"] == 1
