@@ -194,6 +194,17 @@ def _q_burst_windows(spark, sf_dir):
     return burst_windows(_t(spark, sf_dir, "events"))
 
 
+def _q_cusum_changepoints(spark, sf_dir):
+    # slow-drift complement to burst_windows: Page's one-sided CUSUM as
+    # two stacked per-key ordered window aggregates (cumsum + running
+    # min), no driver loop
+    from bigdata_event_stream_detection_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     # A8/A4: tumbling 1h event-time window counts
     ev = _t(spark, sf_dir, "events")
@@ -790,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "background_model": _q_background_model,
         "windowed_event_counts": _q_windowed_event_counts,
         "burst_windows": _q_burst_windows,
+        "cusum_changepoints": _q_cusum_changepoints,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
@@ -1110,6 +1122,35 @@ def oracle_sql() -> dict[str, str]:
                    round(n / base, 6) AS lift
             FROM b
             WHERE base IS NOT NULL AND n >= base * 1.5
+        """,
+        "cusum_changepoints": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS ws_epoch,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ws_epoch) AS rn
+              FROM c),
+            m AS (
+              SELECT *, avg(CASE WHEN rn <= 6 THEN n END) OVER
+                          (PARTITION BY event_type) AS mu
+              FROM r),
+            p AS (
+              SELECT *, sum(n - mu * 1.25) OVER
+                          (PARTITION BY event_type ORDER BY ws_epoch
+                           ROWS UNBOUNDED PRECEDING) AS p
+              FROM m WHERE rn > 6),
+            s AS (
+              SELECT *, p - least(0.0, min(p) OVER
+                          (PARTITION BY event_type ORDER BY ws_epoch
+                           ROWS UNBOUNDED PRECEDING)) AS s
+              FROM p)
+            SELECT event_type, ws_epoch, n,
+                   round(s, 6) AS cusum, round(mu, 6) AS target
+            FROM s WHERE s > mu * 2.0
         """,
         "sliding_window_counts": """
             SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS ws_epoch,
