@@ -165,6 +165,18 @@ def _q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_value_quantile_sketch(spark, sf_dir):
+    # mergeable fixed-width-histogram quantiles (the streaming-safe
+    # sketch) next to the exact rank-ceil(q*n) value + bin verdict
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        histogram_quantiles_verified,
+    )
+
+    return histogram_quantiles_verified(
+        _t(spark, sf_dir, "events"), ["event_type"], "value",
+        [0.5, 0.9, 0.99], bin_width=1.0)
+
+
 def _q_pivot_event_values(spark, sf_dir):
     # §2.3 breadth: groupBy().pivot() — wide per-user event-type totals
     ev = _t(spark, sf_dir, "events")
@@ -802,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_event_counts,
         "burst_windows": _q_burst_windows,
         "cusum_changepoints": _q_cusum_changepoints,
+        "value_quantile_sketch": _q_value_quantile_sketch,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
@@ -1151,6 +1164,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, ws_epoch, n,
                    round(s, 6) AS cusum, round(mu, 6) AS target
             FROM s WHERE s > mu * 2.0
+        """,
+        "value_quantile_sketch": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(value / 1.0) AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            c AS (
+              SELECT *,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY bin
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum
+              FROM b),
+            qq AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+            e AS (
+              SELECT c.event_type, qq.q, c.n, c.bin,
+                     round(c.bin * 1.0
+                           + 1.0 * (qq.q * c.n - (c.cum - c.cnt))
+                             / c.cnt, 6) AS est
+              FROM c CROSS JOIN qq
+              WHERE c.cum >= qq.q * c.n
+                AND c.cum - c.cnt < qq.q * c.n),
+            x AS (
+              SELECT event_type,
+                     unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q,
+                     unnest(quantile_disc(value, [0.5, 0.9, 0.99]))
+                       AS exact
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, e.q, e.n, e.est,
+                   round(x.exact, 6) AS exact,
+                   CAST(floor(x.exact / 1.0) AS BIGINT) = e.bin
+                     AS within_bin
+            FROM e JOIN x USING (event_type, q)
         """,
         "sliding_window_counts": """
             SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS ws_epoch,

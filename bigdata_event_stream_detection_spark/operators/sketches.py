@@ -21,7 +21,7 @@ sketch form in production.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,123 @@ def approx_distinct_verified(
         "n_exact",
         (F.abs(F.col("_n_approx") - F.col("n_exact"))
          <= F.col("n_exact") * tol).alias("within_tol"),
+    )
+
+
+def binned_histogram(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-key fixed-width value histogram: (keys..., bin, cnt) with
+    ``bin = floor(col / bin_width)``.
+
+    This is the mergeable quantile sketch of choice when values have a
+    known scale: bin counts are exact longs whose merge is plain
+    addition — commutative, associative, order-insensitive — so the
+    SAME aggregation runs as a batch hash agg or a streaming windowed
+    agg in append mode with bit-identical results (unlike KLL/t-digest,
+    whose merges are order-sensitive and would break stream==batch
+    parity). Exchange size is O(keys x bins), never O(rows).
+    """
+    return (
+        df.groupBy(
+            *keys,
+            F.floor(F.col(col) / F.lit(float(bin_width))).alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    binned: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Reconstruct q-quantile estimates from ``binned_histogram``
+    output: for each q, the first bin (ascending) whose cumulative
+    count reaches ``q * n`` — i.e. the bin holding the value at
+    discrete rank ``ceil(q * n)`` — interpolated linearly inside the
+    bin. Emits (keys..., q, n, est).
+
+    Two per-key ordered window scans over bin rows (O(bins), not
+    O(rows)) plus a broadcast of the tiny q list; the estimate is
+    within ``bin_width`` of the true rank-``ceil(q*n)`` value by
+    construction (the emitted ``bin`` is the one holding that value).
+    """
+    w = float(bin_width)
+    by_key = Window.partitionBy(*keys)
+    run = by_key.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        binned.withColumn("n", F.sum("cnt").over(by_key))
+        .withColumn("cum", F.sum("cnt").over(run))
+    )
+    qdf = cum.select(
+        *keys, "bin", "cnt", "n", "cum",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("target", F.col("q") * F.col("n"))
+    return (
+        qdf.filter((F.col("cum") >= F.col("target"))
+                   & (F.col("cum") - F.col("cnt") < F.col("target")))
+        .select(
+            *keys, "q", "n", "bin",
+            F.round(
+                F.col("bin") * w
+                + w * (F.col("target") - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt"),
+                6).alias("est"),
+        )
+    )
+
+
+def histogram_quantiles_verified(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: list[float],
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Histogram quantile estimate next to the EXACT discrete quantile
+    (the value at rank ``ceil(q * n)``), with a ``within_bin`` verdict
+    that the two share a bin — guaranteed true by construction, so any
+    false verdict is a real plumbing regression (wrong cumsum frame,
+    broken bin math, rank drift).
+
+    Emits (keys..., q, n, est, exact, within_bin), where ``within_bin``
+    compares the exact value's bin against the CHOSEN bin (not
+    ``floor(est)``, whose interpolation legitimately touches the next
+    bin's boundary when ``q * n`` lands exactly on a cumulative count).
+    The exact side sorts
+    each key's values once (row_number window) — the verification
+    scaffold; production uses the histogram alone. The DuckDB oracle
+    reproduces ``exact`` via ``quantile_disc`` and ``est`` via the same
+    window SQL.
+    """
+    est = histogram_quantiles(
+        binned_histogram(df, keys, col, bin_width), keys, qs, bin_width)
+    rn = Window.partitionBy(*keys).orderBy(col)
+    ranked = (
+        df.select(*keys, col)
+        .withColumn("_rn", F.row_number().over(rn))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(*keys)))
+        .select(
+            *keys, F.col(col).alias("exact"), "_rn", "_n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .filter(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+        .select(*keys, "q", "exact")
+    )
+    return (
+        est.join(ranked, [*keys, "q"])
+        .select(
+            *keys, "q", "n", "est",
+            F.round("exact", 6).alias("exact"),
+            (F.floor(F.col("exact") / F.lit(float(bin_width)))
+             == F.col("bin")).alias("within_bin"),
+        )
     )
 
 

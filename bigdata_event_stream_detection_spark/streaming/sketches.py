@@ -62,6 +62,60 @@ def batch_windowed_distinct(
     )
 
 
+def streaming_windowed_histogram(
+    stream: DataFrame,
+    keys: list[str],
+    col: str,
+    time_col: str = "ts",
+    length: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-(window, keys) fixed-width value histogram in append mode —
+    the streaming quantile sketch (see ``operators.sketches.
+    binned_histogram``: exact mergeable bin counts, order-insensitive,
+    so stream == batch parity is EXACT, unlike KLL/t-digest whose
+    merges depend on arrival order). Each window's bins emit exactly
+    once when the watermark closes it; feed the closed rows to
+    ``operators.sketches.histogram_quantiles`` for per-window
+    quantile estimates within ``bin_width`` of the true discrete
+    quantile. State is O(windows x keys x occupied bins) longs.
+    """
+    return (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.window(time_col, length).alias("w"),
+            *keys,
+            F.floor(F.col(col) / F.lit(float(bin_width))).alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            *keys, "bin", "cnt")
+    )
+
+
+def batch_windowed_histogram(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    time_col: str = "ts",
+    length: str = "1 hour",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """The batch twin (same plan minus the watermark) — the parity
+    oracle for the streaming form."""
+    return (
+        df.groupBy(
+            F.window(time_col, length).alias("w"),
+            *keys,
+            F.floor(F.col(col) / F.lit(float(bin_width))).alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            *keys, "bin", "cnt")
+    )
+
+
 def streaming_windowed_heavy_hitters(
     stream: DataFrame,
     col: str,

@@ -73,3 +73,41 @@ def test_heavy_hitters_partition_invariant(spark):
         got = {(r["v"], r["cnt"]) for r in
                heavy_hitters(df, "v", threshold_frac=0.05).collect()}
         assert got == {("a", 500), ("b", 100)}, parts
+
+
+def test_histogram_quantiles_verified(spark):
+    """Histogram quantile estimate lands in the exact discrete
+    quantile's bin (guaranteed by construction) and within bin_width of
+    a numpy recomputation, including a planted q*n == cum boundary."""
+    import math
+
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        histogram_quantiles_verified,
+    )
+
+    rng = np.random.RandomState(7)
+    vals_a = rng.gamma(2.0, 20.0, size=2000)           # skewed, 0..~300
+    # key b: 100 values with a planted boundary — q=0.5 * 100 = 50 rows
+    # exactly fill the bins below the median bin
+    vals_b = np.concatenate([np.full(50, 3.25), np.full(50, 9.75)])
+    pdf_rows = ([("a", float(v)) for v in vals_a]
+                + [("b", float(v)) for v in vals_b])
+    df = spark.createDataFrame(pdf_rows, "g string, value double")
+
+    qs = [0.5, 0.9, 0.99]
+    out = histogram_quantiles_verified(df, ["g"], "value", qs,
+                                       bin_width=2.0)
+    rows = {(r["g"], r["q"]): r for r in out.collect()}
+    assert set(rows) == {(g, q) for g in "ab" for q in qs}
+    assert all(r["within_bin"] for r in rows.values())
+    for (g, q), r in rows.items():
+        vals = np.sort(vals_a if g == "a" else vals_b)
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert r["exact"] == round(float(exact), 6)
+        assert abs(r["est"] - exact) <= 2.0 + 1e-9
+    # the planted boundary: exact median of b is 3.25 (bin 1), interp
+    # est touches the bin's upper edge yet the verdict stays true
+    assert rows[("b", 0.5)]["exact"] == 3.25
+    assert rows[("b", 0.5)]["est"] == 4.0

@@ -163,3 +163,83 @@ def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
     # closed state rows; its open key is the only remaining one)
     progress = q.lastProgress or q.recentProgress[-1]
     assert progress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_streaming_windowed_histogram_matches_batch(spark, tmp_path):
+    """Windowed bin counts are exact mergeable longs, so stream ==
+    batch parity is EXACT; quantiles reconstructed from the closed
+    windows equal the batch reconstruction."""
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from bigdata_event_stream_detection_spark.streaming.sketches import (
+        batch_windowed_histogram,
+        streaming_windowed_histogram,
+    )
+
+    rng = np.random.RandomState(11)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for h in range(4):
+        for m in range(60):
+            for s in ("web", "app"):
+                rows.append((t0 + timedelta(hours=h, minutes=m),
+                             s, float(rng.gamma(2.0, 10.0 * (h + 1)))))
+    pdf = (pd.DataFrame(rows, columns=["ts", "source", "value"])
+           .sort_values("ts").reset_index(drop=True))
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    schema = pa.schema([("ts", pa.timestamp("us")),
+                        ("source", pa.string()),
+                        ("value", pa.float64())])
+    bounds = [round(i * len(pdf) / 3) for i in range(4)]
+    for i in range(3):
+        f = os.path.join(d, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            pdf.iloc[bounds[i]:bounds[i + 1]], schema=schema,
+            preserve_index=False), f)
+        os.utime(f, (time.time() + i, time.time() + i))
+    sent = pd.DataFrame({"ts": [pdf["ts"].max() + pd.Timedelta(days=30)],
+                         "source": ["SENTINEL"], "value": [0.0]})
+    f = os.path.join(d, "zz.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        sent, schema=schema, preserve_index=False), f)
+    os.utime(f, (time.time() + 9, time.time() + 9))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, source string, value double")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = streaming_windowed_histogram(stream, ["source"], "value",
+                                       bin_width=5.0)
+    q = (out.writeStream.format("memory").queryName("hist_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["ws_epoch"], r["source"], r["bin"]): r["cnt"]
+           for r in spark.table("hist_s").collect()}
+    truth = {(r["ws_epoch"], r["source"], r["bin"]): r["cnt"]
+             for r in batch_windowed_histogram(
+                 spark.createDataFrame(pdf), ["source"], "value",
+                 bin_width=5.0).collect()}
+    # exact equality: batch twin runs on the sentinel-free frame, and
+    # the sentinel's own (never-closing) window is its only stream row
+    # not emitted
+    assert got == truth
+    assert len({k[:2] for k in got}) == 8  # 4 hours x 2 sources
+
+    # quantile reconstruction on the emitted rows == batch twin's
+    stream_q = {(r["ws_epoch"], r["source"], r["q"]): (r["n"], r["est"])
+                for r in histogram_quantiles(
+                    spark.table("hist_s"),
+                    ["ws_epoch", "source"], [0.5, 0.95],
+                    bin_width=5.0).collect()}
+    batch_q = {(r["ws_epoch"], r["source"], r["q"]): (r["n"], r["est"])
+               for r in histogram_quantiles(
+                   batch_windowed_histogram(
+                       spark.createDataFrame(pdf), ["source"], "value",
+                       bin_width=5.0),
+                   ["ws_epoch", "source"], [0.5, 0.95],
+                   bin_width=5.0).collect()}
+    assert stream_q == batch_q
