@@ -165,6 +165,16 @@ def _q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    # substring-level dedup audit (Lee et al. ACL'22 shape): per-doc
+    # token coverage by cross-doc duplicated 8-grams
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 def _q_value_quantile_sketch(spark, sf_dir):
     # mergeable fixed-width-histogram quantiles (the streaming-safe
     # sketch) next to the exact rank-ceil(q*n) value + bin verdict
@@ -815,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_windows": _q_burst_windows,
         "cusum_changepoints": _q_cusum_changepoints,
         "value_quantile_sketch": _q_value_quantile_sketch,
+        "duplicate_spans": _q_duplicate_spans,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
@@ -1200,6 +1211,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(x.exact / 1.0) AS BIGINT) = e.bin
                      AS within_bin
             FROM e JOIN x USING (event_type, q)
+        """,
+        "duplicate_spans": """
+            WITH w AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS gpos,
+                     CAST(concat('0x', substr(md5(
+                       array_to_string(ws[i:i+7], ' ')), 1, 15))
+                       AS BIGINT) AS gram_h
+              FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+            dup AS (
+              SELECT gram_h FROM g GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2),
+            h AS (SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gram_h)),
+            cov AS (
+              SELECT doc_id, count(*) AS dup_tokens FROM (
+                SELECT DISTINCT doc_id, gpos + j AS pos
+                FROM h, unnest(range(0, 8)) AS u(j))
+              GROUP BY 1),
+            pg AS (SELECT doc_id, count(*) AS dup_grams FROM h GROUP BY 1),
+            tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+                    FROM w)
+            SELECT t.doc_id, t.n_tokens,
+                   coalesce(pg.dup_grams, 0) AS dup_grams,
+                   coalesce(cov.dup_tokens, 0) AS dup_tokens,
+                   CASE WHEN t.n_tokens > 0
+                        THEN round(coalesce(cov.dup_tokens, 0)
+                                   / t.n_tokens, 6)
+                        ELSE 0.0 END AS dup_fraction
+            FROM tot t LEFT JOIN pg USING (doc_id)
+                       LEFT JOIN cov USING (doc_id)
         """,
         "sliding_window_counts": """
             SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS ws_epoch,
