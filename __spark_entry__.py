@@ -572,6 +572,16 @@ def _q_doc_cross_entropy(spark, sf_dir):
     return cross_entropy_scores(_t(spark, sf_dir, "documents"), min_count=5)
 
 
+def _q_bigram_perplexity(spark, sf_dir):
+    # interpolated bigram-LM self-perplexity: next-order fluency signal
+    from bigdata_event_stream_detection_spark.operators.text import (
+        bigram_perplexity,
+    )
+
+    return bigram_perplexity(_t(spark, sf_dir, "documents"),
+                             min_count=2, lam=0.7)
+
+
 def _q_repetition_stats(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import (
         repetition_stats,
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_contexts": _q_chunked_contexts,
         "embedding_centroids": _q_embedding_centroids,
         "doc_cross_entropy": _q_doc_cross_entropy,
+        "bigram_perplexity": _q_bigram_perplexity,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "curated_mix": _q_curated_mix,
@@ -1711,6 +1722,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
                    round(-avg(ln(p)), 6) AS cross_entropy,
                    round(avg(oov), 6) AS oov_frac
+            FROM s GROUP BY doc_id
+        """,
+        "bigram_perplexity": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            uni AS (SELECT word, count(*) AS c1 FROM toks GROUP BY word),
+            tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni),
+            big AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c12
+              FROM w, unnest(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            trans AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM w, unnest(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2),
+            s AS (
+              SELECT tr.doc_id,
+                     0.7 * coalesce(b.c12::DOUBLE / u1.c1, 0.0)
+                     + 0.3 * u2.c1 / tot.total AS p,
+                     CASE WHEN b.c12 IS NULL THEN 0.0 ELSE 1.0 END AS hit
+              FROM trans tr
+              LEFT JOIN big b USING (w1, w2)
+              JOIN uni u1 ON u1.word = tr.w1
+              JOIN uni u2 ON u2.word = tr.w2
+              CROSS JOIN tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(-avg(ln(p)), 6) AS bigram_ce,
+                   round(exp(-avg(ln(p))), 2) AS bigram_ppl,
+                   round(avg(hit), 6) AS hit_frac
             FROM s GROUP BY doc_id
         """,
         "repetition_stats": """

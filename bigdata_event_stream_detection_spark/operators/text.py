@@ -250,6 +250,86 @@ def cross_entropy_scores(
     )
 
 
+def bigram_perplexity(
+    documents: DataFrame,
+    min_count: int = 2,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — the next-order
+    CCNet-style fluency signal after ``cross_entropy_scores``: a doc of
+    common words in an *unusual order* scores high here while the
+    unigram filter waves it through.
+
+    Model (trained on the scored corpus itself, the standard
+    self-perplexity sweep): ``p(w2|w1) = lam * c(w1 w2)/c(w1)
+    + (1-lam) * c(w2)/T`` where bigram counts below ``min_count`` are
+    dropped (back off to the unigram term — interpolation keeps every
+    transition probability strictly positive). Per doc over its n-1
+    transitions:
+
+    - ``n_transitions`` — word-bigram count
+    - ``bigram_ce``     — ``-avg(ln p)``
+    - ``bigram_ppl``    — ``exp(bigram_ce)``
+    - ``hit_frac``      — fraction of transitions with a kept bigram
+
+    Docs with fewer than 2 ascii words emit no row (no transitions —
+    consistent with cross_entropy_scores' empty-doc behavior).
+
+    Scale shape: two corpus scans (train + score); the unigram table is
+    vocab-bounded and the bigram table is min-count-bounded, so both
+    model joins are equi-joins against tables far smaller than the
+    corpus (AQE broadcasts them when they fit); the scalar token total
+    rides a broadcast crossJoin; one doc_id hash agg with map-side
+    partials. Pure Column expressions throughout — no Python, no
+    driver collect.
+    """
+    ws = ascii_words(F.col("text"))
+    toks = documents.select(
+        "doc_id", F.explode(ws).alias("word"))
+    uni = toks.groupBy("word").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("bigint").alias("_total"))
+    big = (
+        word_ngram_counts(documents, n=2, min_count=min_count)
+        .select(
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("cnt").alias("c12"),
+        )
+    )
+    trans = (
+        documents.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] as w1, ws[i] as w2))")).alias("t"))
+        .select("doc_id", "t.w1", "t.w2")
+    )
+    scored = (
+        trans
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .join(uni.select(F.col("word").alias("w2"),
+                         F.col("c1").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.lit(lam) * F.coalesce(F.col("c12") / F.col("c1"), F.lit(0.0))
+             + F.lit(1.0 - lam) * F.col("c2") / F.col("_total")).alias("p"),
+            F.when(F.col("c12").isNull(), F.lit(0.0))
+             .otherwise(F.lit(1.0)).alias("hit"),
+        )
+    )
+    ce = -F.avg(F.log("p"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(ce, 6).alias("bigram_ce"),
+        F.round(F.exp(ce), 2).alias("bigram_ppl"),
+        F.round(F.avg("hit"), 6).alias("hit_frac"),
+    )
+
+
 def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021
     repetition-removal rules, re-expressed as Spark aggregates):

@@ -151,3 +151,39 @@ def test_tfidf_top_terms_hand_computed(spark):
     # d3: single word, tf 1
     assert rows[("d3", 1)] == ("cherry", round(1.0 * idf(2), 6))
     assert ("d3", 2) not in rows
+
+
+def test_bigram_perplexity_matches_hand_computation(spark):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        bigram_perplexity,
+    )
+
+    # corpus: "a b" x2 and "a c" x1 -> bigram "a b" kept (c12=2),
+    # "a c" dropped by min_count=2. unigrams: a=3, b=2, c=1, z=1, T=7.
+    docs = _docs(spark, ["a b", "a b", "a c", "z"])
+    got = {r["doc_id"]: r for r in bigram_perplexity(
+        docs, min_count=2, lam=0.7).collect()}
+
+    # "z" has one word -> no transitions -> no row
+    assert set(got) == {"d0", "d1", "d2"}
+
+    # d0/d1 transition a->b: p = .7*(2/3) + .3*(2/7)
+    p_ab = 0.7 * (2 / 3) + 0.3 * (2 / 7)
+    ce_ab = -math.log(p_ab)
+    for d in ("d0", "d1"):
+        assert got[d]["n_transitions"] == 1
+        assert got[d]["bigram_ce"] == round(ce_ab, 6)
+        assert got[d]["bigram_ppl"] == round(math.exp(ce_ab), 2)
+        assert got[d]["hit_frac"] == 1.0
+
+    # d2 transition a->c: bigram dropped -> pure unigram backoff
+    p_ac = 0.3 * (1 / 7)
+    assert got["d2"]["bigram_ce"] == round(-math.log(p_ac), 6)
+    assert got["d2"]["hit_frac"] == 0.0
+
+    # ordering sensitivity: same bag of words, scrambled order ->
+    # strictly higher perplexity than the fluent original
+    fluent = ["the cat sat on the mat"] * 6 + ["mat the on sat cat the"]
+    scram = bigram_perplexity(_docs(spark, fluent), min_count=2, lam=0.7)
+    rows = {r["doc_id"]: r["bigram_ce"] for r in scram.collect()}
+    assert rows["d6"] > rows["d0"]

@@ -36,7 +36,7 @@ AUDIT = [
     "asof_purchase_click", "burst_windows", "chunked_contexts",
     "embedding_centroids", "simhash_near_dups",
     "funnel_times_within", "tfidf_top_terms", "approx_distinct_users",
-    "heavy_hitter_words", "hash_split",
+    "heavy_hitter_words", "hash_split", "duplicate_spans",
 ]
 
 
