@@ -494,6 +494,18 @@ def _q_ann_ivf_topk(spark, sf_dir):
                     n_centroids=8, n_probe=3)
 
 
+def _q_embedding_kmeans(spark, sf_dir):
+    # distributed spherical k-means (full-corpus Lloyd's; only kxd
+    # centroid state on the driver) — oracle is a single-node numpy
+    # recomputation with identical init/update semantics
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        embedding_kmeans,
+    )
+
+    return embedding_kmeans(_t(spark, sf_dir, "embeddings"),
+                            k=8, iterations=5)
+
+
 def _q_language_id(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import language_id
 
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_kmeans": _q_embedding_kmeans,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "token_counts": _q_token_counts,
@@ -1892,6 +1905,10 @@ def _model_oracles() -> dict[str, str]:
             lo.ann_ivf_rows(_ORACLE_SF_DIR, k=5, n_centroids=8, n_probe=3),
             [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
              ("rank", "INTEGER"), ("cos", "DOUBLE")]),
+        "embedding_kmeans": lo.values_sql(
+            lo.kmeans_rows(_ORACLE_SF_DIR, k=8, iterations=5),
+            [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
+             ("cos", "DOUBLE")]),
     }
     _MODEL_ORACLE_CACHE = out
     return out

@@ -419,3 +419,103 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def embedding_kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed spherical k-means over the FULL corpus (unlike the
+    IVF coarse quantizer, which trains on a driver-side sample): the
+    unsupervised twin of ``embedding_centroids``, used for corpus
+    bucketing / topic discovery / curation-mix balancing.
+
+    Per Lloyd iteration the corpus never moves: a broadcast k x d
+    centroid matrix rides to each Arrow batch, the batch assigns with
+    one GEMM and emits only its k x d partial sums + per-cluster counts
+    (map-side combine in pandas); one tiny groupBy((cluster, dim))
+    shuffle of #batches x k x d partial rows rebuilds the centroids on
+    the driver — the only driver-held state is the k x d matrix itself.
+    Empty clusters keep their previous centroid. Initialization is the
+    k lowest-id vectors (TakeOrderedAndProject — deterministic under
+    any partitioning, reproducible by the single-node oracle).
+
+    Returns one row per vector: (id, cluster, cos to its centroid
+    rounded 4dp — coarse enough that the ~1e-13 cross-engine float
+    drift of partial-sum ordering cannot flip it).
+    """
+    spark = embeddings.sparkSession
+    init = (embeddings.select(id_col, vec_col).orderBy(id_col)
+            .limit(k).toPandas())
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in init[vec_col]])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    src = embeddings.select(id_col, vec_col)
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            Ct = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+                assign = np.argmax(Mn @ Ct.T, axis=1)
+                for j in np.unique(assign):
+                    members = Mn[assign == j]
+                    yield pd.DataFrame({
+                        "cluster": int(j),
+                        "pos": np.arange(Ct.shape[1]),
+                        "s": members.sum(axis=0),
+                        "cnt": members.shape[0],
+                    })
+
+        agg = (
+            src.mapInPandas(
+                partials,
+                schema="cluster int, pos int, s double, cnt long")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = {}
+        for r in agg:
+            newC[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["cnt"]
+        for j, cnt in counts.items():
+            c = newC[j] / cnt
+            n = np.linalg.norm(c)
+            newC[j] = c / max(n, 1e-300) if n > 0 else C[j]
+        C = newC
+        bc.destroy()
+
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_final(batches):
+        Ct = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            S = Mn @ Ct.T
+            a = np.argmax(S, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cluster": a.astype(np.int32),
+                "cos": np.round(S[np.arange(S.shape[0]), a], 4),
+            })
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    return src.mapInPandas(
+        assign_final,
+        schema=f"{id_col} {id_type}, cluster int, cos double")

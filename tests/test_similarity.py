@@ -26,3 +26,37 @@ def test_embedding_centroids_dimension_wise_mean(spark):
         ("a", 0): 2.0, ("a", 1): 3.0, ("a", 2): 4.0,
         ("b", 0): 10.0, ("b", 1): 0.0, ("b", 2): -2.0,
     }
+
+
+def test_embedding_kmeans_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        embedding_kmeans,
+    )
+
+    # 3 planted directions in R^8, 40 vectors each with small seeded
+    # noise: spherical k-means must put every vector with its plant
+    rng = np.random.default_rng(7)
+    base = np.eye(8)[:3]
+    rows = []
+    for i in range(120):
+        v = base[i % 3] + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = embedding_kmeans(emb, k=3, iterations=5).collect()
+    assert len(out) == 120
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    # cluster labels are arbitrary but must be constant within a plant
+    # and distinct across plants
+    plants = [{got[i] for i in range(p, 120, 3)} for p in range(3)]
+    assert all(len(s) == 1 for s in plants)
+    assert len(plants[0] | plants[1] | plants[2]) == 3
+    # tight clusters: cosine to own centroid near 1
+    assert min(r["cos"] for r in out) > 0.95
+
+    # determinism under repartitioning (init is id-ordered, updates are
+    # full-cluster means): identical assignment rows
+    out2 = embedding_kmeans(emb.repartition(7), k=3, iterations=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

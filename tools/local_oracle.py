@@ -421,6 +421,31 @@ def ann_ivf_rows(sf_dir: str, k: int = 5, n_centroids: int = 8,
                       np.concatenate(cos_list), k)
 
 
+def kmeans_rows(sf_dir: str, k: int = 8,
+                iterations: int = 5) -> list[tuple]:
+    """similarity.embedding_kmeans: same lowest-id init, same spherical
+    Lloyd updates (mean of normalized members, empty cluster keeps its
+    centroid), same np.round(cos, 4) on the final assignment."""
+    ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    C = Mn[:k].copy()
+    for _ in range(iterations):
+        assign = np.argmax(Mn @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = Mn[assign == j]
+            if members.shape[0]:
+                c = members.sum(axis=0) / members.shape[0]
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / max(n, 1e-300)
+    S = Mn @ C.T
+    a = np.argmax(S, axis=1)
+    return [(int(i), int(j), float(np.round(s, 4)))
+            for i, j, s in zip(ids, a, S[np.arange(S.shape[0]), a])]
+
+
 def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
     """(doc_id, feature_sum) — the md5-seeded fake decode over the
     documents' utf-8 bytes, summed with the same left-fold order as
