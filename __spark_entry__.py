@@ -494,6 +494,17 @@ def _q_ann_ivf_topk(spark, sf_dir):
                     n_centroids=8, n_probe=3)
 
 
+def _q_ann_pq_topk(spark, sf_dir):
+    # product-quantization ANN: m-byte codes + ADC lookup-table scan
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                   k=5, m=8, ksub=16)
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     # distributed spherical k-means (full-corpus Lloyd's; only kxd
     # centroid state on the driver) — oracle is a single-node numpy
@@ -881,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
+        "ann_pq_topk": _q_ann_pq_topk,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "token_counts": _q_token_counts,
@@ -1909,6 +1921,10 @@ def _model_oracles() -> dict[str, str]:
             lo.kmeans_rows(_ORACLE_SF_DIR, k=8, iterations=5),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("cos", "DOUBLE")]),
+        "ann_pq_topk": lo.values_sql(
+            lo.ann_pq_rows(_ORACLE_SF_DIR, k=5, m=8, ksub=16),
+            [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+             ("rank", "INTEGER"), ("score", "DOUBLE")]),
     }
     _MODEL_ORACLE_CACHE = out
     return out

@@ -519,3 +519,136 @@ def embedding_kmeans(
     return src.mapInPandas(
         assign_final,
         schema=f"{id_col} {id_type}, cluster int, cos double")
+
+
+def _kmeans_l2(X: np.ndarray, k: int, iterations: int = 10,
+               seed: int = 0) -> np.ndarray:
+    """Seeded Euclidean Lloyd's — the PQ sub-quantizer trainer (the
+    cosine variant above is wrong for sub-vector codebooks: subspace
+    chunks are not unit vectors)."""
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=min(k, X.shape[0]),
+                        replace=False)].copy()
+    for _ in range(iterations):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(cent.shape[0]):
+            members = X[assign == j]
+            if members.shape[0]:
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def _pq_codebooks(Sn: np.ndarray, m: int, ksub: int) -> list[np.ndarray]:
+    """Per-subspace codebooks from an L2-normalized training matrix.
+    Contiguous dim chunks via np.array_split; seeds derive from the
+    subspace index so executors and the single-node oracle train
+    identical books."""
+    from .kernels import stable_seed
+
+    chunks = np.array_split(np.arange(Sn.shape[1]), m)
+    return [
+        _kmeans_l2(np.ascontiguousarray(Sn[:, ch]), ksub,
+                   seed=stable_seed("pq", j))
+        for j, ch in enumerate(chunks)
+    ]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11): the corpus is
+    compressed to ``m`` uint8-sized codes per vector and searched with
+    asymmetric-distance lookup tables — the memory-bound scale path
+    where even the raw float vectors no longer fit the cluster
+    (d floats -> m bytes is a 32x shrink at d=64, m=8).
+
+    Train: sub-codebooks on a driver-side id-ordered sample (bounded,
+    deterministic — the IVF pattern). Encode: one mapInPandas pass,
+    per-batch argmin GEMM per subspace; ONLY the (id, m-byte code) table
+    shuffles/persists downstream, never the embeddings. Search: each
+    query precomputes an m x ksub inner-product LUT; scoring a code is
+    m gathers + a sum (no floats from the corpus touched), with
+    map-side partial top-k per batch and an exact global top-k window
+    over #batches x q x k candidate rows.
+
+    Emits (query_id, neighbor_id, rank, score): ``score`` is the ADC
+    approximation of the cosine (both sides L2-normalized before
+    quantization), ties broken by neighbor_id.
+    """
+    spark = corpus.sparkSession
+    samp = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).toPandas())
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in samp[vec_col]])
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    books = _pq_codebooks(Sn, m, ksub)
+    chunks = np.array_split(np.arange(Sn.shape[1]), m)
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    q_ids = q_pdf[id_col].to_numpy()
+    # m x n_q x ksub inner-product tables: LUT[j][q][c] = <q_chunk, book_c>
+    luts = [Qn[:, ch] @ books[j].T for j, ch in enumerate(chunks)]
+
+    bc = spark.sparkContext.broadcast((books, chunks, luts, q_ids, k))
+
+    def score_batches(batches):
+        bks, chs, lts, qids, kk = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            n_ids = pdf[id_col].to_numpy()
+            # encode: per subspace argmin ||x_j - c||^2
+            scores = np.zeros((len(qids), Mn.shape[0]))
+            for j, ch in enumerate(chs):
+                Xj = Mn[:, ch]
+                d2 = ((Xj[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes = np.argmin(d2, axis=1)
+                scores += lts[j][:, codes]
+            # map-side partial top-k per query within this batch
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = n_ids != qids[qi]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                s = scores[qi, idx]
+                # ties by neighbor id asc — identical codes (near-dup
+                # vectors) tie exactly, and the boundary cut must agree
+                # with the global window's (score desc, id asc) order
+                top = idx[np.lexsort((n_ids[idx], -s))[:kk]]
+                out_q.append(np.repeat(qids[qi], top.size))
+                out_n.append(n_ids[top])
+                out_s.append(scores[qi, top])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+            })
+
+    id_type = dict(corpus.dtypes)[id_col]
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("score", 6).alias("score"))
+    )

@@ -60,3 +60,38 @@ def test_embedding_kmeans_recovers_planted_clusters(spark):
     # full-cluster means): identical assignment rows
     out2 = embedding_kmeans(emb.repartition(7), k=3, iterations=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    # 200 vectors in R^16 from 4 planted directions + noise: PQ at
+    # m=8, ksub=16 must recover most of the exact top-5 neighborhood
+    rng = np.random.default_rng(11)
+    base = np.eye(16)[:4]
+    rows = [(i, [float(x) for x in base[i % 4] + 0.1 * rng.standard_normal(16)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 5")
+
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = pq_topk(emb, q, k=5, m=8, ksub=16).collect()
+
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"PQ recall {recall} too low"
+    # every query answered with a full k list
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in approx)
+    assert all(v == 5 for v in per_q.values())
+
+    # determinism under repartitioning (codebooks from id-ordered
+    # sample; partial top-k tie-broken by neighbor id)
+    approx2 = pq_topk(emb.repartition(7), q, k=5, m=8, ksub=16).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))

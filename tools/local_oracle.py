@@ -446,6 +446,41 @@ def kmeans_rows(sf_dir: str, k: int = 8,
             for i, j, s in zip(ids, a, S[np.arange(S.shape[0]), a])]
 
 
+def ann_pq_rows(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16,
+                sample_size: int = 10_000, query_max: int = 10) -> list[tuple]:
+    """similarity.pq_topk: same id-ordered training sample, same seeded
+    per-subspace L2 k-means, same ADC lookup-table scoring."""
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _pq_codebooks,
+    )
+
+    ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    Sn = Mn[:sample_size]
+    books = _pq_codebooks(Sn, m, ksub)
+    chunks = np.array_split(np.arange(Mn.shape[1]), m)
+    qm = ids < query_max
+    Qn, q_ids = Mn[qm], ids[qm]
+    scores = np.zeros((Qn.shape[0], Mn.shape[0]))
+    for j, ch in enumerate(chunks):
+        Xj = Mn[:, ch]
+        d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes = np.argmin(d2, axis=1)
+        lut = Qn[:, ch] @ books[j].T
+        scores += lut[:, codes]
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        mask = ids != qid
+        n_ids, s = ids[mask], scores[qi, mask]
+        ordk = np.lexsort((n_ids, -s))[:k]
+        for r, idx in enumerate(ordk, start=1):
+            rows.append((int(qid), int(n_ids[idx]), r,
+                         spark_round(float(s[idx]), 6)))
+    return rows
+
+
 def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
     """(doc_id, feature_sum) — the md5-seeded fake decode over the
     documents' utf-8 bytes, summed with the same left-fold order as
