@@ -517,6 +517,27 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    # distributed BPE training over the vocab-bounded word table
+    from bigdata_event_stream_detection_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"),
+                     num_merges=20, min_word_count=2)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    # train + encode: per-doc subword counts and an order-exact md5
+    # fingerprint of the token sequence
+    from bigdata_event_stream_detection_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, num_merges=20,
+                                      min_word_count=2))
+
+
 def _q_language_id(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import language_id
 
@@ -893,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "ann_pq_topk": _q_ann_pq_topk,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "token_counts": _q_token_counts,
@@ -1925,6 +1948,17 @@ def _model_oracles() -> dict[str, str]:
             lo.ann_pq_rows(_ORACLE_SF_DIR, k=5, m=8, ksub=16),
             [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
              ("rank", "INTEGER"), ("score", "DOUBLE")]),
+        "bpe_merges": lo.values_sql(
+            lo.bpe_merge_rows(_ORACLE_SF_DIR, num_merges=20,
+                              min_word_count=2),
+            [("rank", "INTEGER"), ("left", "VARCHAR"),
+             ("right", "VARCHAR"), ("merged", "VARCHAR"),
+             ("pair_count", "BIGINT")]),
+        "bpe_encode": lo.values_sql(
+            lo.bpe_encode_rows(_ORACLE_SF_DIR, num_merges=20,
+                               min_word_count=2),
+            [("doc_id", "BIGINT"), ("n_words", "BIGINT"),
+             ("n_bpe", "BIGINT"), ("token_fingerprint", "VARCHAR")]),
     }
     _MODEL_ORACLE_CACHE = out
     return out

@@ -1,0 +1,65 @@
+"""Distributed BPE trainer/encoder (operators/bpe.py).
+
+The driver-contract gate cross-checks the full corpus against an
+independent dict-based single-node trainer (tools/local_oracle.py);
+this file pins the classic hand-computable merge sequence and the
+greedy left-to-right overlap rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from bigdata_event_stream_detection_spark.operators.bpe import (
+    _merge_symbols,
+    bpe_encode,
+    bpe_train,
+    encode_word,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_merge_overlap_is_greedy_left_to_right():
+    assert _merge_symbols(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _merge_symbols(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert _merge_symbols(["ab", "c"], "ab", "c") == ["abc"]
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    # corpus: abab x3, abc x2 -> pair counts round 1:
+    # (a,b): 2*3 + 1*2 = 8  (b,a): 3  (b,c): 2 -> merge 'ab'
+    # round 2: (ab,ab): 3  (ab,c): 2 -> merge 'abab'
+    docs = _docs(spark, ["abab abab abab", "abc abc"])
+    merges = bpe_train(docs, num_merges=2, min_word_count=1).collect()
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in sorted(merges, key=lambda r: r["rank"])]
+    assert got == [(1, "a", "b", 8), (2, "ab", "ab", 3)]
+
+
+def test_bpe_ties_break_lexicographically(spark):
+    # "xy" and "xz" both count 2: (x,y) < (x,z) must win
+    docs = _docs(spark, ["xy xy xz xz"])
+    merges = bpe_train(docs, num_merges=1, min_word_count=1).collect()
+    assert (merges[0]["left"], merges[0]["right"]) == ("x", "y")
+
+
+def test_bpe_encode_fingerprint_and_counts(spark):
+    docs = _docs(spark, ["abab abc", "zzz"])
+    # round 1: (a,b)=3 wins; round 2: (z,z)=2 beats (ab,ab)=1/(ab,c)=1
+    merges = bpe_train(docs, num_merges=2, min_word_count=1)
+    ms = [(r["left"], r["right"]) for r in
+          sorted(merges.collect(), key=lambda r: r["rank"])]
+    assert ms == [("a", "b"), ("z", "z")]
+
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    # abab->[ab,ab], abc->[ab,c], zzz->[zz,z]
+    assert out[0]["n_words"] == 2 and out[0]["n_bpe"] == 4
+    assert out[1]["n_words"] == 1 and out[1]["n_bpe"] == 2
+    assert out[0]["token_fingerprint"] == hashlib.md5(b"ab ab ab c").hexdigest()
+    assert out[1]["token_fingerprint"] == hashlib.md5(b"zz z").hexdigest()
+
+    assert encode_word("ababab", ms) == ["ab", "ab", "ab"]

@@ -481,6 +481,92 @@ def ann_pq_rows(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16,
     return rows
 
 
+def _bpe_word_counts(sf_dir: str, min_word_count: int):
+    import re
+    from collections import Counter
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    wc: Counter = Counter()
+    for t in docs["text"]:
+        wc.update(w for w in re.split(r"[^a-z]+", str(t).lower()) if w)
+    return docs, {w: c for w, c in wc.items() if c >= min_word_count}
+
+
+def _bpe_learn(word_counts: dict, num_merges: int) -> list[tuple]:
+    """Independent dict-based BPE trainer (Counter over adjacent pairs,
+    ties by (count desc, left, right)) — deliberately NOT the engine's
+    DataFrame path."""
+    from collections import Counter
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, left + right, int(n)))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def bpe_merge_rows(sf_dir: str, num_merges: int = 30,
+                   min_word_count: int = 2) -> list[tuple]:
+    _, wc = _bpe_word_counts(sf_dir, min_word_count)
+    return _bpe_learn(wc, num_merges)
+
+
+def bpe_encode_rows(sf_dir: str, num_merges: int = 30,
+                    min_word_count: int = 2) -> list[tuple]:
+    import hashlib
+    import re
+    docs, wc = _bpe_word_counts(sf_dir, min_word_count)
+    merges = [(l, r) for _, l, r, _, _ in _bpe_learn(wc, num_merges)]
+    memo: dict = {}
+
+    def enc(w):
+        if w in memo:
+            return memo[w]
+        syms = list(w)
+        for left, right in merges:
+            if len(syms) < 2:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[w] = syms
+        return syms
+
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in re.split(r"[^a-z]+", str(t).lower()) if w]
+        toks = [s for w in ws for s in enc(w)]
+        rows.append((int(doc_id), len(ws), len(toks),
+                     hashlib.md5(" ".join(toks).encode()).hexdigest()))
+    return rows
+
+
 def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
     """(doc_id, feature_sum) — the md5-seeded fake decode over the
     documents' utf-8 bytes, summed with the same left-fold order as
