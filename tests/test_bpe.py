@@ -63,3 +63,33 @@ def test_bpe_encode_fingerprint_and_counts(spark):
     assert out[1]["token_fingerprint"] == hashlib.md5(b"zz z").hexdigest()
 
     assert encode_word("ababab", ms) == ["ab", "ab", "ab"]
+
+
+def test_bpe_encode_streams_with_batch_parity(spark, tmp_path):
+    """bpe_encode is a stateless Arrow map stage, so the SAME operator
+    runs on a readStream of documents (train on the static corpus,
+    encode continuously); streamed rows must equal the batch rows."""
+    import os
+    import time
+
+    texts = ["abab abc abab", "zzz abab", "abc zz zzz"]
+    docs = _docs(spark, texts)
+    merges = bpe_train(docs, num_merges=2, min_word_count=1)
+    batch = {tuple(r) for r in bpe_encode(docs, merges).collect()}
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    for i, t in enumerate(texts):
+        spark.createDataFrame(
+            [(i, t)], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(os.path.join(d, f"c{i}"))
+        os.utime(os.path.join(d, f"c{i}"), (time.time() + i, time.time() + i))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(d + "/*"))
+    out = bpe_encode(stream, merges)
+    q = (out.writeStream.format("memory").queryName("bpe_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("bpe_stream").collect()}
+    assert got == batch

@@ -37,6 +37,7 @@ AUDIT = [
     "embedding_centroids", "simhash_near_dups",
     "funnel_times_within", "tfidf_top_terms", "approx_distinct_users",
     "heavy_hitter_words", "hash_split", "duplicate_spans",
+    "bigram_perplexity", "embedding_kmeans", "ann_pq_topk", "bpe_encode",
 ]
 
 
