@@ -175,6 +175,16 @@ def _q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def _q_remove_duplicate_spans(spark, sf_dir):
+    # the cut half of substring dedup: rewrite docs with cross-doc
+    # duplicated 8-gram spans removed; fingerprint checks exact content
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 def _q_value_quantile_sketch(spark, sf_dir):
     # mergeable fixed-width-histogram quantiles (the streaming-safe
     # sketch) next to the exact rank-ceil(q*n) value + bin verdict
@@ -880,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": _q_cusum_changepoints,
         "value_quantile_sketch": _q_value_quantile_sketch,
         "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
@@ -1304,6 +1315,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_fraction
             FROM tot t LEFT JOIN pg USING (doc_id)
                        LEFT JOIN cov USING (doc_id)
+        """,
+        "remove_duplicate_spans": """
+            WITH w AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS gpos,
+                     CAST(concat('0x', substr(md5(
+                       array_to_string(ws[i:i+7], ' ')), 1, 15))
+                       AS BIGINT) AS gram_h
+              FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+            dup AS (
+              SELECT gram_h FROM g GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, gpos + j AS pos
+              FROM g JOIN dup USING (gram_h), unnest(range(0, 8)) AS u(j)),
+            toks AS (
+              SELECT doc_id, i - 1 AS pos, ws[i] AS word
+              FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+            kept AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     md5(string_agg(t.word, ' ' ORDER BY t.pos))
+                       AS clean_fingerprint
+              FROM toks t ANTI JOIN cov
+                ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+              GROUP BY t.doc_id)
+            SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+                   coalesce(kept.n_kept, 0) AS n_kept,
+                   coalesce(kept.clean_fingerprint, md5(''))
+                     AS clean_fingerprint
+            FROM w LEFT JOIN kept USING (doc_id)
         """,
         "sliding_window_counts": """
             SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS ws_epoch,

@@ -474,3 +474,82 @@ def duplicate_spans(
             .otherwise(F.lit(0.0)).alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicate_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The CUT half of the Lee et al. (ACL'22) substring dedup pass:
+    ``duplicate_spans`` measures cross-doc duplicated n-gram coverage;
+    this rewrites each document with those token spans removed.
+
+    Emits for every document (including untouched ones):
+
+    - ``n_tokens`` / ``n_kept`` — before/after token counts
+    - ``clean_fingerprint``     — md5 of the space-joined kept tokens
+                                  in original order (order-exact content
+                                  check without shipping rebuilt text)
+
+    Scale shape: identical to ``duplicate_spans`` up to the covered-
+    position set (one 60-bit hash per gram, doc-frequency hash agg,
+    equi-join back, bounded n-row explode), then ONE anti-join of the
+    posexploded token table against covered positions and one doc_id
+    agg re-assembling kept tokens by position. Every exchange is
+    bounded by total token count; nothing is ever doc-pair-shaped.
+    """
+    ws = ascii_words(F.col("text"))
+    grams = F.expr(
+        f"if(size(ws) >= {n}, "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> array_join(slice(ws, i, {n}), ' ')), "
+        f"cast(array() as array<string>))")
+    base = documents.select(
+        "doc_id", ws.alias("ws")).select(
+        "doc_id", F.size("ws").cast("long").alias("n_tokens"),
+        "ws", grams.alias("grams"))
+    doc_grams = base.select(
+        "doc_id",
+        F.posexplode("grams").alias("gpos", "gram"),
+    ).select("doc_id", "gpos", hash60(F.col("gram")).alias("gram_h"))
+    dup_grams = (
+        doc_grams.groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("gram_h")
+    )
+    covered = (
+        doc_grams.join(dup_grams, "gram_h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"),
+                           F.col("gpos") + F.lit(n - 1))).alias("pos"))
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word"))
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"]),
+                " ")).alias("clean_fingerprint"),
+        )
+    )
+    empty_fp = F.md5(F.lit(""))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_fingerprint", empty_fp)
+            .alias("clean_fingerprint"),
+        )
+    )

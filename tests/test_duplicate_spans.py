@@ -69,3 +69,40 @@ def test_duplicate_spans_matches_brute_force(spark):
     # overlap merge: doc 0 has 4 duplicated grams over the 7-word
     # boilerplate -> 7 covered tokens, not 4*N
     assert truth[0][1] * N > truth[0][2]
+
+
+def test_remove_duplicate_spans_cuts_exactly_the_covered_tokens(spark):
+    import hashlib
+
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in remove_duplicate_spans(df, n=N).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+
+    grams = {}
+    for doc_id, text in DOCS:
+        ws = _words(text)
+        for i in range(len(ws) - N + 1):
+            grams.setdefault(" ".join(ws[i:i + N]), set()).add(doc_id)
+    dup = {g for g, d in grams.items() if len(d) >= 2}
+    for doc_id, text in DOCS:
+        ws = _words(text)
+        hit = set()
+        for i in range(len(ws) - N + 1):
+            if " ".join(ws[i:i + N]) in dup:
+                hit.update(range(i, i + N))
+        kept = [w for p, w in enumerate(ws) if p not in hit]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_kept"] == len(kept)
+        assert r["clean_fingerprint"] == hashlib.md5(
+            " ".join(kept).encode()).hexdigest()
+
+    # the boilerplate carriers lost tokens; the clean doc lost none
+    assert got[0]["n_kept"] < got[0]["n_tokens"]
+    assert got[3]["n_kept"] == got[3]["n_tokens"]
+    assert got[5]["n_kept"] == 0
