@@ -626,6 +626,16 @@ def _q_doc_cross_entropy(spark, sf_dir):
     return cross_entropy_scores(_t(spark, sf_dir, "documents"), min_count=5)
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    # top-k collocations by pointwise mutual information
+    from bigdata_event_stream_detection_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"),
+                            min_pair_count=5, k=20)
+
+
 def _q_bigram_perplexity(spark, sf_dir):
     # interpolated bigram-LM self-perplexity: next-order fluency signal
     from bigdata_event_stream_detection_spark.operators.text import (
@@ -939,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "bigram_perplexity": _q_bigram_perplexity,
+        "pmi_collocations": _q_pmi_collocations,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "curated_mix": _q_curated_mix,
@@ -1816,6 +1827,34 @@ def oracle_sql() -> dict[str, str]:
                    round(-avg(ln(p)), 6) AS cross_entropy,
                    round(avg(oov), 6) AS oov_frac
             FROM s GROUP BY doc_id
+        """,
+        "pmi_collocations": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            toks AS (SELECT unnest(ws) AS word FROM w),
+            uni AS (SELECT word, count(*) AS c1 FROM toks GROUP BY word),
+            t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t1 FROM uni),
+            big AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c12
+              FROM w, unnest(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+            t2 AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT)
+                     AS t2 FROM w),
+            s AS (
+              SELECT w1, w2, c12,
+                     round(ln((c12 / t2.t2)
+                              / ((u1.c1 / t1.t1) * (u2.c1 / t1.t1))), 6)
+                       AS pmi
+              FROM big
+              JOIN uni u1 ON u1.word = big.w1
+              JOIN uni u2 ON u2.word = big.w2
+              CROSS JOIN t1 CROSS JOIN t2)
+            SELECT w1, w2, c12, pmi FROM s
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         "bigram_perplexity": """
             WITH w AS (

@@ -460,3 +460,62 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     )
     return scored.select("doc_id", "rank", "word",
                          F.round("score", 6).alias("score"))
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    min_pair_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    phrase-mining sweep (Church & Hanks 1990) a pipeline runs before
+    multi-word tokenization or entity normalization:
+
+    ``pmi(w1,w2) = ln( (c12/T2) / ((c1/T1)*(c2/T1)) )`` with c12 over
+    adjacent in-doc pairs (T2 pairs total), c1/c2 unigram counts
+    (T1 tokens total). Pairs below ``min_pair_count`` are dropped
+    (low-count PMI is noise by construction).
+
+    Scale shape: the pair table is min-count-bounded and the unigram
+    table vocab-bounded, so both joins run against small sides (AQE
+    broadcasts); the two scalar totals ride 1-row broadcasts; ranking
+    is a TakeOrderedAndProject over the surviving pair table. One
+    corpus scan feeds both count tables.
+    """
+    ws = ascii_words(F.col("text"))
+    toks = documents.select(F.explode(ws).alias("word"))
+    uni = toks.groupBy("word").agg(F.count("*").alias("c1"))
+    t1 = uni.agg(F.sum("c1").cast("bigint").alias("_t1"))
+    big = (
+        word_ngram_counts(documents, n=2, min_count=min_pair_count)
+        .select(
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("cnt").alias("c12"),
+        )
+    )
+    t2 = (
+        documents.select(ws.alias("ws"))
+        .agg(F.sum(F.greatest(F.size("ws") - 1, F.lit(0)))
+             .cast("bigint").alias("_t2"))
+    )
+    scored = (
+        big
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .join(uni.select(F.col("word").alias("w2"),
+                         F.col("c1").alias("c2")), "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                F.log((F.col("c12") / F.col("_t2"))
+                      / ((F.col("c1") / F.col("_t1"))
+                         * (F.col("c2") / F.col("_t1")))), 6).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+        .limit(k)
+    )

@@ -187,3 +187,28 @@ def test_bigram_perplexity_matches_hand_computation(spark):
     scram = bigram_perplexity(_docs(spark, fluent), min_count=2, lam=0.7)
     rows = {r["doc_id"]: r["bigram_ce"] for r in scram.collect()}
     assert rows["d6"] > rows["d0"]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    # "strong coffee" always together (perfect association);
+    # "the cat" co-occurs but both words are everywhere (low PMI)
+    docs = _docs(spark, [
+        "strong coffee the cat", "strong coffee cat the",
+        "the cat strong coffee", "cat the strong coffee",
+    ])
+    got = pmi_collocations(docs, min_pair_count=2, k=3).collect()
+    rows = {(r["w1"], r["w2"]): (r["c12"], r["pmi"]) for r in got}
+
+    # totals: T1 = 16 tokens (each word x4), T2 = 12 adjacent pairs
+    # (strong,coffee): c12=4 -> pmi = ln((4/12)/((4/16)^2)) = ln(16/3)
+    assert ("strong", "coffee") in rows
+    c12, pmi = rows[("strong", "coffee")]
+    assert c12 == 4
+    assert pmi == round(math.log((4 / 12) / ((4 / 16) * (4 / 16))), 6)
+    # the perfect collocation outranks the incidental one
+    top = max(rows.items(), key=lambda kv: kv[1][1])[0]
+    assert top == ("strong", "coffee")
