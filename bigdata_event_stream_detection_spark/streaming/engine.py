@@ -149,89 +149,25 @@ def streaming_session_doc_counts(
 # stateful EM + HMM detection (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
-def streaming_detect_events(
+def _windowed_state_stream(
     stream: DataFrame,
-    background_pdf: pd.DataFrame,
-    params: Params = DEFAULTS,
-    max_docs_in_state: int = 100_000,
-    state_chunks: int = 1,
+    params: Params,
+    close_window,
+    out_schema: StructType,
+    out_columns: list[str],
+    *,
+    min_tokens: int,
+    max_docs_in_state: int,
+    state_chunks: int,
+    dropped_acc,
 ) -> DataFrame:
-    """Continuous event detection: grouped state per event-time window.
-
-    Each window key buffers its docs across micro-batches; when the
-    event-time watermark passes the window end, the state times out and
-    the full EM -> theme filter -> HMM assemble/train -> Viterbi ->
-    strength-count kernel runs on the buffered window. The kernel IS
-    the batch code (``operators.em.em_window`` +
-    ``operators.hmm._decode_window``) — same seeds, same doc order —
-    so the emitted rows are identical to the batch pipeline for the
-    same input and watermark (the north-rule invariant).
-
-    ``state_chunks=1`` (default) keys state by window: EM pools all
-    sources per window, exactly like the reference's TimePartition, and
-    parallelism comes from the many concurrently-open windows. For a
-    HOT window (an event burst — the case this engine exists for) that
-    single key pins one state partition, so ``state_chunks=N`` fans the
-    window out over N deterministic doc-hash chunks — each chunk
-    buffers, trains, and decodes independently, which is exactly the
-    reference's split-large-window semantics (M4,
-    ``ThemeFromLargeTimePeriod.java:50-98``) applied to state: N tasks
-    per window, state per key bounded by window_size/N. Chunking
-    changes which docs pool together (as M4 does in batch), so the
-    byte-parity invariant vs the batch pipeline holds for
-    ``state_chunks=1``; for N>1 the invariant is vs the chunked batch
-    plan.
-
-    Docs beyond ``max_docs_in_state`` per key are dropped (the
-    reference's per-window doc cap) — COUNTED, never silent: the
-    returned DataFrame carries a ``dropped_docs_acc`` attribute (a
-    SparkContext accumulator) that sinks/monitoring should report.
-
-    Output mode is append: rows are emitted exactly once per closed
-    window, keyed (window_start, source, theme_id) — the sink's
-    idempotency key.
-    """
-    b = background_pdf.sort_values("word_id")
-    bg_ids = b["word_id"].to_numpy(np.int64)
-    bg_p = b["p"].to_numpy(np.float64)
-    spark = stream.sparkSession
-    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
-    dropped_acc = spark.sparkContext.accumulator(0)
-
-    k = params.num_themes
-    em_iters = params.em_iterations
-    lambda_b = params.lambda_background
-    score_floor = params.theme_score_floor_factor / k
-    bw_iters = params.bw_max_iterations
-    pi_thr = params.bw_pi_threshold
-    a_thr = params.bw_a_threshold
-    min_tokens = params.min_doc_tokens
-
-    def close_window(window_start, chunk, doc_ids, sources, event_ms,
-                     doc_lens, flat):
-        """Run the shared fused per-window kernel on the buffered docs.
-
-        The payload is ``hmm.detect_window_events`` — the SAME function
-        the fused batch plan runs, which is what makes streaming output
-        rows identical to the batch pipeline. With ``state_chunks > 1``
-        the emitted theme_id is namespaced as ``chunk * num_themes +
-        em_theme_id`` so (window, source, theme_id) stays a unique
-        exactly-once sink key across chunks (chunk EMs are independent,
-        like M4's per-chunk runs)."""
-        ids, p_all = bcast.value
-        offs = np.concatenate([[0], np.cumsum(doc_lens)])
-        toks = [flat[offs[i]:offs[i + 1]] for i in range(len(doc_ids))]
-        seq_pdf = pd.DataFrame({
-            "source": sources, "doc_id": doc_ids,
-            "event_time": np.asarray(event_ms, dtype=np.int64),
-            "tokens": toks,
-        })
-        return detect_window_events(
-            window_start, seq_pdf, ids, p_all, k=k,
-            em_iterations=em_iters, lambda_b=lambda_b,
-            score_floor=score_floor, max_iterations=bw_iters,
-            pi_threshold=pi_thr, a_threshold=a_thr,
-            theme_id_offset=chunk * k)
+    """Shared buffering skeleton for per-window grouped-state operators:
+    watermarked window assignment, binary-packed doc buffering across
+    micro-batches, bounded state with counted drops, and watermark-close
+    via event-time timeout. The payload differs per operator —
+    ``close_window(window_start, chunk, doc_ids, sources, event_ms,
+    doc_lens, flat) -> rows`` — so the detector and the theme emitter
+    (streaming/evolution.py) ride ONE state machine."""
 
     def fn(key, pdf_iter, state: GroupState):
         window_start, window_end = key[0], key[1]
@@ -251,8 +187,7 @@ def streaming_detect_events(
                     np.frombuffer(flat, dtype=np.int32))
                 state.remove()
                 if rows:
-                    yield pd.DataFrame(rows, columns=[
-                        "window_start", "source", "theme_id", "strength"])
+                    yield pd.DataFrame(rows, columns=out_columns)
             else:
                 state.remove()
             return
@@ -345,13 +280,104 @@ def streaming_detect_events(
         "window_start", "window_end", "_chunk"
     ).applyInPandasWithState(
         fn,
-        outputStructType=EVENT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     out.dropped_docs_acc = dropped_acc
     return out
+
+
+def streaming_detect_events(
+    stream: DataFrame,
+    background_pdf: pd.DataFrame,
+    params: Params = DEFAULTS,
+    max_docs_in_state: int = 100_000,
+    state_chunks: int = 1,
+) -> DataFrame:
+    """Continuous event detection: grouped state per event-time window.
+
+    Each window key buffers its docs across micro-batches; when the
+    event-time watermark passes the window end, the state times out and
+    the full EM -> theme filter -> HMM assemble/train -> Viterbi ->
+    strength-count kernel runs on the buffered window. The kernel IS
+    the batch code (``operators.em.em_window`` +
+    ``operators.hmm._decode_window``) — same seeds, same doc order —
+    so the emitted rows are identical to the batch pipeline for the
+    same input and watermark (the north-rule invariant).
+
+    ``state_chunks=1`` (default) keys state by window: EM pools all
+    sources per window, exactly like the reference's TimePartition, and
+    parallelism comes from the many concurrently-open windows. For a
+    HOT window (an event burst — the case this engine exists for) that
+    single key pins one state partition, so ``state_chunks=N`` fans the
+    window out over N deterministic doc-hash chunks — each chunk
+    buffers, trains, and decodes independently, which is exactly the
+    reference's split-large-window semantics (M4,
+    ``ThemeFromLargeTimePeriod.java:50-98``) applied to state: N tasks
+    per window, state per key bounded by window_size/N. Chunking
+    changes which docs pool together (as M4 does in batch), so the
+    byte-parity invariant vs the batch pipeline holds for
+    ``state_chunks=1``; for N>1 the invariant is vs the chunked batch
+    plan.
+
+    Docs beyond ``max_docs_in_state`` per key are dropped (the
+    reference's per-window doc cap) — COUNTED, never silent: the
+    returned DataFrame carries a ``dropped_docs_acc`` attribute (a
+    SparkContext accumulator) that sinks/monitoring should report.
+
+    Output mode is append: rows are emitted exactly once per closed
+    window, keyed (window_start, source, theme_id) — the sink's
+    idempotency key.
+    """
+    b = background_pdf.sort_values("word_id")
+    bg_ids = b["word_id"].to_numpy(np.int64)
+    bg_p = b["p"].to_numpy(np.float64)
+    spark = stream.sparkSession
+    bcast = spark.sparkContext.broadcast((bg_ids, bg_p))
+    dropped_acc = spark.sparkContext.accumulator(0)
+
+    k = params.num_themes
+    em_iters = params.em_iterations
+    lambda_b = params.lambda_background
+    score_floor = params.theme_score_floor_factor / k
+    bw_iters = params.bw_max_iterations
+    pi_thr = params.bw_pi_threshold
+    a_thr = params.bw_a_threshold
+    min_tokens = params.min_doc_tokens
+
+    def close_window(window_start, chunk, doc_ids, sources, event_ms,
+                     doc_lens, flat):
+        """Run the shared fused per-window kernel on the buffered docs.
+
+        The payload is ``hmm.detect_window_events`` — the SAME function
+        the fused batch plan runs, which is what makes streaming output
+        rows identical to the batch pipeline. With ``state_chunks > 1``
+        the emitted theme_id is namespaced as ``chunk * num_themes +
+        em_theme_id`` so (window, source, theme_id) stays a unique
+        exactly-once sink key across chunks (chunk EMs are independent,
+        like M4's per-chunk runs)."""
+        ids, p_all = bcast.value
+        offs = np.concatenate([[0], np.cumsum(doc_lens)])
+        toks = [flat[offs[i]:offs[i + 1]] for i in range(len(doc_ids))]
+        seq_pdf = pd.DataFrame({
+            "source": sources, "doc_id": doc_ids,
+            "event_time": np.asarray(event_ms, dtype=np.int64),
+            "tokens": toks,
+        })
+        return detect_window_events(
+            window_start, seq_pdf, ids, p_all, k=k,
+            em_iterations=em_iters, lambda_b=lambda_b,
+            score_floor=score_floor, max_iterations=bw_iters,
+            pi_threshold=pi_thr, a_threshold=a_thr,
+            theme_id_offset=chunk * k)
+
+    return _windowed_state_stream(
+        stream, params, close_window, EVENT_SCHEMA,
+        ["window_start", "source", "theme_id", "strength"],
+        min_tokens=min_tokens, max_docs_in_state=max_docs_in_state,
+        state_chunks=state_chunks, dropped_acc=dropped_acc)
 
 
 # Session state uses the same binary packing as STATE_SCHEMA (one
