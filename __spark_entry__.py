@@ -677,6 +677,17 @@ def _q_curated_mix(spark, sf_dir):
     )
 
 
+def _q_sample_k_per_lang(spark, sf_dir):
+    # exact-k deterministic per-stratum reservoir (hash-rank)
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        topk_hash_sample,
+    )
+
+    return topk_hash_sample(
+        _t(spark, sf_dir, "documents"), k=30, strata_col="lang",
+    ).select("doc_id", "lang")
+
+
 def _q_stratified_sample(spark, sf_dir):
     # deterministic training-mix construction (per-language keep rates)
     from bigdata_event_stream_detection_spark.operators.sampling import (
@@ -952,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
+        "sample_k_per_lang": _q_sample_k_per_lang,
         "curated_mix": _q_curated_mix,
         "pack_assignments": _q_pack_assignments,
         "intersect_users": _q_intersect_users,
@@ -1779,6 +1791,15 @@ def oracle_sql() -> dict[str, str]:
         # thresholds computed with the SAME sample_threshold() ints the
         # Spark operator uses; the salted md5 hash60 reproduces exactly
         "stratified_sample": _stratified_sample_sql(),
+        "sample_k_per_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY
+                       CAST(concat('0x', substr(md5(concat(
+                         CAST(doc_id AS VARCHAR), 'reservoir')), 1, 15))
+                         AS BIGINT) ASC, doc_id ASC) AS rk
+              FROM documents) WHERE rk <= 30
+        """,
         "hash_split": _hash_split_sql(),
         "curated_mix": _curated_mix_sql(),
         "pack_assignments": f"""

@@ -186,3 +186,35 @@ def hash_split(
     last = F.lit(items[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def topk_hash_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "reservoir",
+) -> DataFrame:
+    """EXACT-k deterministic sample per stratum, single pass: rank rows
+    within each stratum by the salted content hash and keep the k
+    smallest (hash order is a uniform permutation in expectation — the
+    distributed, replay-stable equivalent of per-group reservoir
+    sampling). Use this when the mix spec demands exact counts;
+    ``stratified_hash_sample`` (Bernoulli) when it demands exact
+    per-row independence.
+
+    Scale shape: one hash shuffle on the stratum key + a rank window —
+    and the window never single-partitions because it is partitioned by
+    the stratum. For heavily-skewed strata, pre-trim with a per-
+    partition LIMIT-style local rank (any row globally in the top k is
+    in the top k of its partition) before the shuffle; at k << rows
+    that cuts the exchange to ~k x partitions rows per stratum.
+    """
+    h = hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

@@ -161,3 +161,32 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
     import pytest
     with pytest.raises(ValueError):
         hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_topk_hash_sample_exact_counts_and_determinism(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        topk_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(200)],
+        "doc_id long, lang string")
+    out = topk_hash_sample(df, k=10, strata_col="lang").collect()
+    from collections import Counter
+    by = Counter(r["lang"] for r in out)
+    assert by == {"en": 10, "fr": 10}          # EXACT k per stratum
+
+    # replay/partitioning stability: identical selection
+    out2 = topk_hash_sample(df.repartition(7), k=10,
+                            strata_col="lang").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    # a stratum smaller than k returns all its rows, never pads
+    small = spark.createDataFrame(
+        [(1, "de"), (2, "de")], "doc_id long, lang string")
+    assert topk_hash_sample(small, k=10).count() == 2
+
+    # the salt changes the selection (independent reservoirs)
+    alt = topk_hash_sample(df, k=10, strata_col="lang", salt="other")
+    assert {r["doc_id"] for r in alt.collect()} != {
+        r["doc_id"] for r in out}

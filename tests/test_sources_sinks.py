@@ -92,3 +92,32 @@ def test_strength_csv_sink(spark, tmp_path):
     write_strength_csv(ev, out)
     themes = {d for d in os.listdir(out) if d.startswith("theme_id=")}
     assert themes == {"theme_id=1", "theme_id=2"}
+
+
+def test_jsonl_documents_reader_quarantines_corrupt_lines(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.jsonl import (
+        read_jsonl_documents,
+        read_jsonl_documents_stream,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "a"}\n'
+        'THIS IS NOT JSON {{{\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "b"}\n'
+        '{"doc_id": 3, "text": "broken\n')
+    good, bad = read_jsonl_documents(spark, str(p))
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "hello world" and rows[2]["lang"] == "fr"
+    bad_lines = [r["line"] for r in bad.collect()]
+    assert len(bad_lines) == 2                      # counted, not dropped
+    assert any("NOT JSON" in b for b in bad_lines)
+
+    # streaming ingest of the same directory parses the same good rows
+    stream = read_jsonl_documents_stream(spark, str(tmp_path) + "/*.jsonl")
+    q = (stream.writeStream.format("memory").queryName("jsonl_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("jsonl_stream").collect()}
+    assert got == {1, 2}
