@@ -515,6 +515,17 @@ def _q_ann_pq_topk(spark, sf_dir):
                    k=5, m=8, ksub=16)
 
 
+def _q_ann_pq_rescored(spark, sf_dir):
+    # ADC shortlist -> exact cosine rerank (the accuracy knob)
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                   k=5, m=8, ksub=16, rescore_factor=4)
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     # distributed spherical k-means (full-corpus Lloyd's; only kxd
     # centroid state on the driver) — oracle is a single-node numpy
@@ -946,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "language_id": _q_language_id,
@@ -2051,6 +2063,11 @@ def _model_oracles() -> dict[str, str]:
              ("cos", "DOUBLE")]),
         "ann_pq_topk": lo.values_sql(
             lo.ann_pq_rows(_ORACLE_SF_DIR, k=5, m=8, ksub=16),
+            [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+             ("rank", "INTEGER"), ("score", "DOUBLE")]),
+        "ann_pq_rescored": lo.values_sql(
+            lo.ann_pq_rescored_rows(_ORACLE_SF_DIR, k=5, m=8, ksub=16,
+                                    rescore_factor=4),
             [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
              ("rank", "INTEGER"), ("score", "DOUBLE")]),
         "bpe_merges": lo.values_sql(

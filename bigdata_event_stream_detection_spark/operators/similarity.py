@@ -97,6 +97,23 @@ def _topk_candidates(corpus: DataFrame, q_ids, Qn, k: int,
         schema=f"query_id {id_type}, neighbor_id {id_type}, cos_raw double")
 
 
+def _make_pair_cos_udf():
+    """Row-aligned exact cosine over two vector columns (Arrow-batched;
+    used by the rescoring joins). Factory form: decorating at import
+    time needs an active session for the return-type parse."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def pair_cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return pair_cos
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -561,6 +578,7 @@ def pq_topk(
     m: int = 8,
     ksub: int = 16,
     sample_size: int = 10_000,
+    rescore_factor: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -598,7 +616,10 @@ def pq_topk(
     # m x n_q x ksub inner-product tables: LUT[j][q][c] = <q_chunk, book_c>
     luts = [Qn[:, ch] @ books[j].T for j, ch in enumerate(chunks)]
 
-    bc = spark.sparkContext.broadcast((books, chunks, luts, q_ids, k))
+    # the per-batch partial top-k must keep as many candidates as the
+    # final consumer ranks: k plain, R*k when an exact rescore follows
+    eff_k = max(1, int(rescore_factor)) * k if rescore_factor else k
+    bc = spark.sparkContext.broadcast((books, chunks, luts, q_ids, eff_k))
 
     def score_batches(batches):
         bks, chs, lts, qids, kk = bc.value
@@ -646,8 +667,38 @@ def pq_topk(
         schema=f"query_id {id_type}, neighbor_id {id_type}, score double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
+    if not rescore_factor:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("score", 6).alias("score"))
+        )
+    # ADC shortlist -> exact rerank: keep rescore_factor*k candidates by
+    # approximate score, fetch ONLY those vectors back by equi-join
+    # (q x R rows, never the corpus), score exact cosine, take top-k.
+    # The standard accuracy knob: recall approaches brute force as R
+    # grows while the scan stays code-sized.
+    shortlist = (
         cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(rescore_factor) * k)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        pd.DataFrame({"query_id": q_pdf[id_col],
+                      "qv": [list(map(float, v))
+                             for v in q_pdf[vec_col]]}))
+    rescored = (
+        shortlist
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv")), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("score", _make_pair_cos_udf()(F.col("qv"), F.col("cv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
                 F.round("score", 6).alias("score"))

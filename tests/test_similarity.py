@@ -95,3 +95,42 @@ def test_pq_topk_recall_vs_brute_force(spark):
     # sample; partial top-k tie-broken by neighbor id)
     approx2 = pq_topk(emb.repartition(7), q, k=5, m=8, ksub=16).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_pq_rescoring_recovers_exact_neighbors(spark):
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    base = np.eye(16)[:4]
+    rows = [(i, [float(x) for x in base[i % 4] + 0.1 * rng.standard_normal(16)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 5")
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    plain = recall(pq_topk(emb, q, k=5, m=4, ksub=16))
+    rescored_df = pq_topk(emb, q, k=5, m=4, ksub=16, rescore_factor=8)
+    rescored = recall(rescored_df)
+    # the exact rerank can only help, and with an 8x shortlist over a
+    # 200-vector corpus it should be near-perfect
+    assert rescored >= plain
+    assert rescored >= 0.9, f"rescored recall {rescored}"
+    # rescored scores are EXACT cosines: they must match cosine_topk's
+    # values for every (query, neighbor) both return
+    exact_vals = {(r["query_id"], r["neighbor_id"]): r["cos"]
+                  for r in cosine_topk(emb, q, k=5).collect()}
+    for r in rescored_df.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_vals:
+            assert r["score"] == exact_vals[key]

@@ -567,6 +567,46 @@ def bpe_encode_rows(sf_dir: str, num_merges: int = 30,
     return rows
 
 
+def ann_pq_rescored_rows(sf_dir: str, k: int = 5, m: int = 8,
+                         ksub: int = 16, rescore_factor: int = 4,
+                         sample_size: int = 10_000,
+                         query_max: int = 10) -> list[tuple]:
+    """similarity.pq_topk(rescore_factor=R): ADC shortlist of R*k by
+    (score desc, id asc), then exact cosine rerank of the shortlist."""
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _pq_codebooks,
+    )
+
+    ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    books = _pq_codebooks(Mn[:sample_size], m, ksub)
+    chunks = np.array_split(np.arange(Mn.shape[1]), m)
+    qm = ids < query_max
+    Qn, q_ids = Mn[qm], ids[qm]
+    scores = np.zeros((Qn.shape[0], Mn.shape[0]))
+    for j, ch in enumerate(chunks):
+        d2 = ((Mn[:, ch][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes = np.argmin(d2, axis=1)
+        scores += (Qn[:, ch] @ books[j].T)[:, codes]
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        mask = ids != qid
+        n_ids, s = ids[mask], scores[qi, mask]
+        short = np.lexsort((n_ids, -s))[:rescore_factor * k]
+        cand_ids = n_ids[short]
+        cand_vecs = M[mask][short]
+        qv = M[ids == qid][0]
+        cos = _pair_cos(np.broadcast_to(qv, cand_vecs.shape).copy(),
+                        cand_vecs)
+        ordk = np.lexsort((cand_ids, -cos))[:k]
+        for r, idx in enumerate(ordk, start=1):
+            rows.append((int(qid), int(cand_ids[idx]), r,
+                         spark_round(float(cos[idx]), 6)))
+    return rows
+
+
 def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
     """(doc_id, feature_sum) — the md5-seeded fake decode over the
     documents' utf-8 bytes, summed with the same left-fold order as
