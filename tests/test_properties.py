@@ -113,3 +113,65 @@ def test_viterbi_path_is_valid_and_paths_agree(k, T, seed):
     finally:
         K._VITERBI_SMALL_N_LIMIT = old
     assert np.array_equal(path, path2)
+
+
+# --- BPE primitives (operators/bpe.py) -------------------------------------
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=12)
+_pair = st.tuples(st.text(alphabet="abcd", min_size=1, max_size=3),
+                  st.text(alphabet="abcd", min_size=1, max_size=3))
+
+
+@given(_word, st.lists(_pair, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_bpe_encode_reconstructs_the_word(word, merges):
+    from bigdata_event_stream_detection_spark.operators.bpe import (
+        encode_word,
+    )
+
+    toks = encode_word(word, merges)
+    # merging only concatenates adjacent symbols: the word is always
+    # recoverable and tokens are never empty
+    assert "".join(toks) == word
+    assert all(toks)
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=2),
+                min_size=0, max_size=12),
+       st.text(alphabet="ab", min_size=1, max_size=2),
+       st.text(alphabet="ab", min_size=1, max_size=2))
+@settings(max_examples=100, deadline=None)
+def test_merge_pass_leaves_no_adjacent_pair(syms, left, right):
+    from bigdata_event_stream_detection_spark.operators.bpe import (
+        _merge_symbols,
+    )
+
+    out = _merge_symbols(list(syms), left, right)
+    assert "".join(out) == "".join(syms)
+    # the greedy left-to-right pass consumes every (left, right)
+    # adjacency present in its input
+    assert not any(a == left and b == right
+                   for a, b in zip(out, out[1:]))
+
+
+# --- PQ sub-quantizer (operators/similarity.py) -----------------------------
+
+@given(st.integers(2, 6), st.integers(4, 32), st.integers(0, 3))
+@settings(max_examples=25, deadline=None)
+def test_kmeans_l2_centroids_shape_and_assignment_cost(k, n, seed):
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _kmeans_l2,
+    )
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, 4))
+    cent = _kmeans_l2(X, k, iterations=5, seed=seed)
+    assert cent.shape == (min(k, n), 4)
+    assert np.isfinite(cent).all()
+    # trained centroids never cost more than the init choice
+    def cost(C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+    rng2 = np.random.default_rng(seed)   # the trainer's own init draw
+    init = X[rng2.choice(n, size=min(k, n), replace=False)]
+    assert cost(cent) <= cost(init) + 1e-9
