@@ -66,8 +66,8 @@ def bpe_train(
     Each round: explode adjacent symbol pairs weighted by word count,
     one hash agg, take the (count desc, left, right) argmax, apply the
     merge to the symbol table with a vectorized pandas pass. The table
-    is persisted and replaced per round — ``num_merges`` tiny jobs over
-    a vocab-bounded table, zero corpus rescans.
+    is localCheckpointed and replaced per round — ``num_merges`` tiny
+    jobs over a vocab-bounded table, zero corpus rescans.
     """
     spark = documents.sparkSession
     # localCheckpoint (not persist): each round's table must TRUNCATE
