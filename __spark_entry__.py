@@ -538,6 +538,18 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup: spherical k-means buckets + within-cluster blocked GEMM
+    # pair scan; keep the least-centroid-similar member of a dup group.
+    # Oracle is a single-node numpy recompute with identical semantics.
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                          k=8, iterations=5, threshold=0.4)
+
+
 def _q_bpe_merges(spark, sf_dir):
     # distributed BPE training over the vocab-bounded word table
     from bigdata_event_stream_detection_spark.operators.bpe import bpe_train
@@ -956,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2061,6 +2074,11 @@ def _model_oracles() -> dict[str, str]:
             lo.kmeans_rows(_ORACLE_SF_DIR, k=8, iterations=5),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("cos", "DOUBLE")]),
+        "semantic_dedup": lo.values_sql(
+            lo.semantic_dedup_rows(_ORACLE_SF_DIR, k=8, iterations=5,
+                                   threshold=0.4),
+            [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
+             ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
         "ann_pq_topk": lo.values_sql(
             lo.ann_pq_rows(_ORACLE_SF_DIR, k=5, m=8, ksub=16),
             [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),

@@ -553,3 +553,134 @@ def remove_duplicate_spans(
             .alias("clean_fingerprint"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_target: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus embeddings with spherical k-means, then within each cluster
+    drop near-duplicate members, keeping the example LEAST similar to
+    its centroid (the most diverse representative survives).
+
+    One row per input vector: (id, cluster, centroid_cos, kept 0/1).
+    A vector is dropped when some same-cluster partner has pairwise
+    cosine >= threshold and a strictly smaller (centroid_cos, id) —
+    a single-pass pairwise-dominance rule (deterministic; in a fully
+    connected duplicate group exactly the min-(centroid_cos, id)
+    member survives, the paper's per-group rule, with no iterative
+    component step). Centroid cosines compare at the 4dp rounding the
+    k-means assignment emits, so the rule is reproducible bit-for-bit
+    by a single-node recompute.
+
+    Scale shape: k-means is the corpus-stationary Lloyd loop of
+    ``similarity.embedding_kmeans`` (only the k x d centroid matrix on
+    the driver). The candidate scan never leaves cluster boundaries —
+    members hash into ceil(n_c / block_target) blocks per cluster and
+    each (cluster, b1 <= b2) block pair GEMMs in one task, the
+    within-cluster restriction of ``similarity.embedding_all_pairs``;
+    the fan-out table is k x B^2 rows built from a k-row count collect.
+    Losers shuffle once for the distinct + verdict join. This is the
+    point of SemDeDup at 10^9 vectors: all-pairs work shrinks by the
+    cluster-count factor and clusters scan independently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import embedding_kmeans
+
+    spark = embeddings.sparkSession
+    assign = embedding_kmeans(
+        embeddings, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    ).withColumnRenamed("cos", "centroid_cos")
+    members = assign.join(
+        embeddings.select(id_col, vec_col), id_col).persist()
+
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in members.groupBy("cluster")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    pair_rows = []
+    for c, n in sizes.items():
+        nb = max(1, -(-int(n) // int(block_target)))
+        pair_rows += [(int(c), b1, b2)
+                      for b1 in range(nb) for b2 in range(b1, nb)]
+    pairs = spark.createDataFrame(pair_rows, "cluster int, b1 int, b2 int")
+
+    # per-cluster block id uses that cluster's own block count, riding
+    # in on a broadcast k-row table (skewed clusters get more blocks)
+    nb_rows = [(int(c), max(1, -(-int(n) // int(block_target))))
+               for c, n in sizes.items()]
+    nb_df = spark.createDataFrame(nb_rows, "cluster int, _nb int")
+    blocked = (
+        members.join(F.broadcast(nb_df), "cluster")
+        .withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)),
+                                 F.col("_nb")).cast("int"))
+    )
+
+    def fan(join_key: str, tag: int):
+        return (
+            blocked.join(
+                F.broadcast(pairs),
+                (blocked["cluster"] == pairs["cluster"])
+                & (F.col("_b") == F.col(join_key)))
+            .select(blocked["cluster"], "b1", "b2", id_col, vec_col,
+                    "centroid_cos", F.lit(tag).alias("_side"))
+        )
+
+    both = fan("b1", 0).unionByName(fan("b2", 1))
+
+    def losers_fn(key, pdf):
+        out_cols = ["loser"]
+        lp = pdf[pdf["_side"] == 0]
+        rp = pdf[pdf["_side"] == 1]
+        if lp.empty or rp.empty:
+            return pd.DataFrame(columns=out_cols)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in lp[vec_col]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in rp[vec_col]])
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        S = An @ Bn.T
+        l_ids = lp[id_col].to_numpy()
+        r_ids = rp[id_col].to_numpy()
+        l_cc = lp["centroid_cos"].to_numpy()
+        r_cc = rp["centroid_cos"].to_numpy()
+        if key[1] == key[2]:
+            # same block both sides: every unordered pair shows twice;
+            # keep one orientation
+            mask = (S >= threshold) & (l_ids[:, None] < r_ids[None, :])
+        else:
+            mask = (S >= threshold) & (l_ids[:, None] != r_ids[None, :])
+        li, rj = np.nonzero(mask)
+        if li.size == 0:
+            return pd.DataFrame(columns=out_cols)
+        lcc, rcc = l_cc[li], r_cc[rj]
+        lid, rid = l_ids[li], r_ids[rj]
+        # loser = greater (centroid_cos, id); survivor = least diverse-
+        # from-centroid wins is the SemDeDup keep-low-cos rule
+        l_loses = (lcc > rcc) | ((lcc == rcc) & (lid > rid))
+        return pd.DataFrame({"loser": np.where(l_loses, lid, rid)})
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    losers = (
+        both.groupBy("cluster", "b1", "b2")
+        .applyInPandas(losers_fn, schema=f"loser {id_type}")
+        .select(F.col("loser").alias(id_col)).distinct()
+        .withColumn("_lost", F.lit(1))
+    )
+    return (
+        members.join(losers, id_col, "left")
+        .select(
+            id_col, "cluster", "centroid_cos",
+            F.when(F.col("_lost").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).alias("kept"),
+        )
+    )

@@ -465,8 +465,12 @@ def embedding_kmeans(
     drift of partial-sum ordering cannot flip it).
     """
     spark = embeddings.sparkSession
+    id_type = dict(embeddings.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, cluster int, cos double"
     init = (embeddings.select(id_col, vec_col).orderBy(id_col)
             .limit(k).toPandas())
+    if init.empty:
+        return spark.createDataFrame([], out_schema)
     C = np.stack([np.asarray(v, dtype=np.float64) for v in init[vec_col]])
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
@@ -532,10 +536,7 @@ def embedding_kmeans(
                 "cos": np.round(S[np.arange(S.shape[0]), a], 4),
             })
 
-    id_type = dict(embeddings.dtypes)[id_col]
-    return src.mapInPandas(
-        assign_final,
-        schema=f"{id_col} {id_type}, cluster int, cos double")
+    return src.mapInPandas(assign_final, schema=out_schema)
 
 
 def _kmeans_l2(X: np.ndarray, k: int, iterations: int = 10,

@@ -134,3 +134,60 @@ def test_pq_rescoring_recovers_exact_neighbors(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_vals:
             assert r["score"] == exact_vals[key]
+
+def test_semantic_dedup_keeps_least_central_member(spark):
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # two well-separated plants; plant 0 carries a near-duplicate group
+    # of three (ids 0,4,6: same direction, tilts 0/0.02/0.04 along e1 —
+    # a mutually-connected clique at threshold 0.998, pairwise cos
+    # >= cos(0.04) ~ 0.9992); plant 1 has only singletons
+    rng = np.random.default_rng(11)
+    base = np.eye(8)[:2]
+    tilt = {0: 0.0, 4: 0.02, 6: 0.04}
+    rows = []
+    for i in range(40):
+        p = i % 2
+        if i in tilt:
+            v = base[0] + tilt[i] * np.eye(8)[1]
+        else:
+            v = base[p] + 0.2 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(emb, k=2, iterations=5, threshold=0.998).toPandas()
+    assert len(out) == 40                      # verdict row per vector
+    by_id = out.set_index("vec_id")
+    group = by_id.loc[[0, 4, 6]]
+    assert set(group["cluster"]) == {group["cluster"].iloc[0]}
+    # exactly one survivor: the member LEAST similar to its centroid
+    survivor = group["centroid_cos"].idxmin()
+    assert group.loc[survivor, "kept"] == 1
+    assert group["kept"].sum() == 1
+    # everything outside the planted dup group survives
+    others = by_id.drop([0, 4, 6])
+    assert (others["kept"] == 1).all()
+
+
+def test_semantic_dedup_blocked_matches_single_block(spark):
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=3, iterations=4, threshold=0.6)
+    # block_target small enough to force multi-block clusters: the
+    # within-cluster block x block fan-out must agree with the
+    # single-GEMM-per-cluster answer, at any partitioning
+    a = semantic_dedup(emb, block_target=7, **kw).collect()
+    b = semantic_dedup(emb.repartition(5), block_target=4096, **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -446,6 +446,46 @@ def kmeans_rows(sf_dir: str, k: int = 8,
             for i, j, s in zip(ids, a, S[np.arange(S.shape[0]), a])]
 
 
+def semantic_dedup_rows(sf_dir: str, k: int = 8, iterations: int = 5,
+                        threshold: float = 0.95) -> list[tuple]:
+    """dedup.semantic_dedup: same spherical k-means as kmeans_rows, then
+    within each cluster the pairwise-dominance rule — a member loses
+    when some same-cluster partner has raw pair cosine >= threshold and
+    a strictly smaller (centroid_cos@4dp, id)."""
+    ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    C = Mn[:k].copy()
+    for _ in range(iterations):
+        assign = np.argmax(Mn @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = Mn[assign == j]
+            if members.shape[0]:
+                c = members.sum(axis=0) / members.shape[0]
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / max(n, 1e-300)
+    S = Mn @ C.T
+    a = np.argmax(S, axis=1)
+    ccos = np.round(S[np.arange(S.shape[0]), a], 4)
+    rows = []
+    for c in np.unique(a):
+        idx = np.where(a == c)[0]
+        P = Mn[idx] @ Mn[idx].T
+        cc, cid = ccos[idx], ids[idx]
+        dup = P >= threshold
+        np.fill_diagonal(dup, False)
+        # loses to partner j: dup AND (cc_j, id_j) < (cc_i, id_i)
+        smaller = (cc[None, :] < cc[:, None]) | (
+            (cc[None, :] == cc[:, None]) & (cid[None, :] < cid[:, None]))
+        lost = (dup & smaller).any(axis=1)
+        rows += [(int(i), int(c), float(x), int(not l))
+                 for i, x, l in zip(cid, cc, lost)]
+    rows.sort()
+    return rows
+
+
 def ann_pq_rows(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16,
                 sample_size: int = 10_000, query_max: int = 10) -> list[tuple]:
     """similarity.pq_topk: same id-ordered training sample, same seeded
