@@ -538,6 +538,20 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_nb_lang_classify(spark, sf_dir):
+    # trainable quality/label classifier (CCNet/fastText pattern):
+    # multinomial NB trained on the doc_id%5!=0 slice's lang labels,
+    # scoring the held-out slice. Training is pure counting, so the
+    # oracle is plain DuckDB SQL over the same parquet.
+    from bigdata_event_stream_detection_spark.operators.classifier import (
+        nb_classify, nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cond, priors = nb_train(docs.filter(F.col("doc_id") % 5 != 0))
+    return nb_classify(docs.filter(F.col("doc_id") % 5 == 0), cond, priors)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     # SemDeDup: spherical k-means buckets + within-cluster blocked GEMM
     # pair scan; keep the least-centroid-similar member of a dup group.
@@ -969,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "nb_lang_classify": _q_nb_lang_classify,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1672,6 +1687,59 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "nb_lang_classify": """
+            WITH tw AS (
+              SELECT lang AS label,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[^a-z]+'), w -> w <> '')) AS word
+              FROM documents WHERE doc_id % 5 <> 0),
+            wc AS (SELECT label, word, count(*) AS c FROM tw GROUP BY 1, 2),
+            v AS (SELECT count(DISTINCT word) AS v FROM wc),
+            den AS (
+              SELECT label, sum(c)::DOUBLE + 1.0 * (SELECT v FROM v) AS den
+              FROM wc GROUP BY label),
+            cond AS (
+              SELECT wc.label, word, ln((c + 1.0) / den) AS log_cond
+              FROM wc JOIN den ON wc.label = den.label),
+            dc AS (SELECT lang AS label, count(*)::DOUBLE AS nd
+                   FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+            priors AS (
+              SELECT dc.label,
+                     ln(nd / (SELECT sum(nd) FROM dc)) AS log_prior,
+                     ln(1.0 / den) AS log_default
+              FROM dc JOIN den ON dc.label = den.label),
+            dwc AS (
+              SELECT doc_id, word, count(*) AS n
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split_regex(lower(text),
+                                  '[^a-z]+'), w -> w <> '')) AS word
+                    FROM documents WHERE doc_id % 5 = 0)
+              GROUP BY 1, 2),
+            vw AS (SELECT DISTINCT word FROM cond),
+            scores AS (
+              SELECT dwc.doc_id, p.label,
+                     sum(dwc.n * coalesce(cond.log_cond, p.log_default))
+                     + any_value(p.log_prior) AS score
+              FROM dwc
+              JOIN vw ON dwc.word = vw.word
+              CROSS JOIN priors p
+              LEFT JOIN cond ON cond.label = p.label
+                            AND cond.word = dwc.word
+              GROUP BY 1, 2),
+            all_scores AS (
+              SELECT * FROM scores
+              UNION ALL
+              SELECT d.doc_id, p.label, p.log_prior AS score
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+                    AND doc_id NOT IN (SELECT DISTINCT doc_id
+                                       FROM scores)) d
+              CROSS JOIN priors p)
+            SELECT doc_id, label AS pred_label, round(score, 4) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rk
+                  FROM all_scores)
+            WHERE rk = 1
         """,
         "language_id": """
             WITH w AS (
