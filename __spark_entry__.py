@@ -538,6 +538,23 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_dsir_sample(spark, sf_dir):
+    # DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    # bigram bag models on raw vs exemplar slices -> per-doc log
+    # importance weight -> deterministic Gumbel top-k selection. All
+    # hashes/noise derive from the portable md5 hash60, so the oracle
+    # is plain DuckDB SQL.
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        dsir_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=50, n_buckets=2048)
+
+
 def _q_nb_lang_classify(spark, sf_dir):
     # trainable quality/label classifier (CCNet/fastText pattern):
     # multinomial NB trained on the doc_id%5!=0 slice's lang labels,
@@ -984,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "nb_lang_classify": _q_nb_lang_classify,
+        "dsir_sample": _q_dsir_sample,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1687,6 +1705,62 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "dsir_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z]+'), x -> x <> '') AS ws,
+                     doc_id % 10 = 0 AS is_t
+              FROM documents),
+            feats AS (
+              SELECT doc_id, is_t, word AS feat
+              FROM (SELECT doc_id, is_t, unnest(ws) AS word
+                    FROM w WHERE len(ws) > 0)
+              UNION ALL
+              SELECT doc_id, is_t,
+                     CASE WHEN len(ws) < 2 THEN array_to_string(ws, ' ')
+                          ELSE ws[i] || ' ' || ws[i+1] END AS feat
+              FROM w, UNNEST(range(1, greatest(len(ws), 2))) AS t(i)
+              WHERE len(ws) > 0),
+            b AS (
+              SELECT doc_id, is_t,
+                     CAST(concat('0x', substr(md5(feat), 1, 15))
+                          AS BIGINT) % 2048 AS bucket
+              FROM feats),
+            rc AS (SELECT bucket, count(*) AS cr FROM b
+                   WHERE NOT is_t GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS ct FROM b
+                   WHERE is_t GROUP BY 1),
+            model AS (
+              SELECT bucket,
+                     ln((coalesce(ct, 0) + 1.0)
+                        / ((SELECT sum(ct)::DOUBLE FROM tc)
+                           + 1.0 * 2048))
+                   - ln((coalesce(cr, 0) + 1.0)
+                        / ((SELECT sum(cr)::DOUBLE FROM rc)
+                           + 1.0 * 2048)) AS log_ratio
+              FROM rc FULL OUTER JOIN tc USING (bucket)),
+            db AS (SELECT doc_id, bucket, count(*) AS n FROM b
+                   WHERE NOT is_t GROUP BY 1, 2),
+            scored AS (
+              SELECT doc_id, sum(n * log_ratio) AS lw
+              FROM db JOIN model USING (bucket) GROUP BY 1),
+            weights AS (
+              SELECT d.doc_id,
+                     round(coalesce(lw, 0.0), 6) AS log_weight
+              FROM (SELECT doc_id FROM documents
+                    WHERE doc_id % 10 <> 0) d
+              LEFT JOIN scored USING (doc_id))
+            SELECT doc_id, log_weight,
+                   round(log_weight - ln(-ln(
+                     (CAST(CAST(concat('0x', substr(md5(
+                        'dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS DOUBLE) + 1.0)
+                     / 1152921504606846977.0)), 6) AS sample_key
+            FROM weights
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT 50
         """,
         "nb_lang_classify": """
             WITH tw AS (

@@ -218,3 +218,114 @@ def topk_hash_sample(
         .filter(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def _hashed_ngram_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, bucket) per word-unigram and word-bigram occurrence, hashed
+    into ``n_buckets`` via the engine-portable md5 hash60."""
+    from ..functions.textfns import ascii_words, shingles
+
+    ws = ascii_words(F.col(text_col))
+    feats = F.concat(ws, shingles(ws, 2))
+    return (
+        df.filter(F.size(ws) > 0)
+        .select(F.col(id_col), F.explode(feats).alias("feat"))
+        .select(
+            id_col,
+            F.pmod(hash60(F.col("feat")), F.lit(int(n_buckets)))
+            .alias("bucket"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    fit hashed-ngram (unigram+bigram) bag models on the raw corpus and
+    the small target/exemplar corpus, then score every raw doc with
+    ``logw = sum_b count_b * (ln p_target[b] - ln p_raw[b])`` under
+    Laplace smoothing ``alpha``. High logw = looks like the target.
+
+    One row per raw doc: (id, log_weight rounded 6dp). Docs with no
+    word features weight 0 (neutral).
+
+    Scale shape: both model fits are one explode + bucket hash agg
+    (<= n_buckets result rows each); the scoring join broadcasts the
+    merged n_buckets-row log-ratio table onto the raw docs' bucket
+    counts and finishes with ONE doc_id hash agg. Nothing corpus-sized
+    shuffles more than once and the whole plan is codegen.
+    """
+    B = int(n_buckets)
+    rb = _hashed_ngram_buckets(raw, B, id_col, text_col)
+    tb = _hashed_ngram_buckets(target, B, id_col, text_col)
+    rc = rb.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tc = tb.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rtot = rc.agg(F.sum("cr").alias("rt"))
+    ttot = tc.agg(F.sum("ct").alias("tt"))
+    model = (
+        rc.join(tc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(rtot)).crossJoin(F.broadcast(ttot))
+        .select(
+            "bucket",
+            (F.log((F.coalesce("ct", F.lit(0)) + F.lit(float(alpha)))
+                   / (F.col("tt") + F.lit(float(alpha) * B)))
+             - F.log((F.coalesce("cr", F.lit(0)) + F.lit(float(alpha)))
+                     / (F.col("rt") + F.lit(float(alpha) * B))))
+            .alias("log_ratio"),
+        )
+    )
+    doc_buckets = rb.groupBy(id_col, "bucket").agg(F.count("*").alias("n"))
+    scored = (
+        doc_buckets.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n") * F.col("log_ratio")).alias("_lw"))
+    )
+    return (
+        raw.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("_lw", F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: Gumbel top-k over the importance weights —
+    sampling WITHOUT replacement proportional to exp(log_weight), made
+    deterministic/replay-stable by deriving the Gumbel noise from the
+    salted content hash instead of rand(). Returns the k selected rows
+    as (id, log_weight, sample_key rounded 6dp), sorted by key desc.
+
+    Scale shape: weights as in ``dsir_log_weights``; selection is a
+    global TakeOrderedAndProject (per-partition top-k then a k-row
+    merge on the driver side of the exchange — never a full sort).
+    """
+    w = dsir_log_weights(raw, target, n_buckets, alpha, id_col, text_col)
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    u = (h + F.lit(1).cast("double")) / F.lit(float(HASH_SPACE + 1))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.withColumn("sample_key", F.round(key, 6))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

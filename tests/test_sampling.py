@@ -190,3 +190,53 @@ def test_topk_hash_sample_exact_counts_and_determinism(spark):
     alt = topk_hash_sample(df, k=10, strata_col="lang", salt="other")
     assert {r["doc_id"] for r in alt.collect()} != {
         r["doc_id"] for r in out}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    # target speaks "alpha beta gamma"; half the raw docs do too, the
+    # other half speak "delta epsilon zeta"
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma alpha beta") for i in range(20)],
+        "doc_id long, text string")
+    raw_rows = []
+    for i in range(40):
+        txt = ("alpha beta gamma beta" if i % 2 == 0
+               else "delta epsilon zeta epsilon")
+        raw_rows.append((i, txt))
+    raw_rows.append((99, ""))            # featureless: neutral weight 0
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_log_weights(raw, target, n_buckets=512).collect()}
+    assert len(w) == 41
+    assert w[99] == 0.0
+    assert min(w[i] for i in range(0, 40, 2)) > max(
+        w[i] for i in range(1, 40, 2))
+
+
+def test_dsir_sample_is_deterministic_and_biased(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        dsir_sample,
+    )
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma alpha beta") for i in range(20)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma beta" if i % 2 == 0
+          else "delta epsilon zeta epsilon") for i in range(100)],
+        "doc_id long, text string")
+
+    sel = dsir_sample(raw, target, k=20, n_buckets=512).collect()
+    assert len(sel) == 20
+    # importance resampling must overrepresent target-like (even) docs
+    n_even = sum(1 for r in sel if r["doc_id"] % 2 == 0)
+    assert n_even >= 15
+    # replay-stable: same selection at any partitioning
+    sel2 = dsir_sample(raw.repartition(7), target.repartition(3),
+                       k=20, n_buckets=512).collect()
+    assert sorted(map(tuple, sel)) == sorted(map(tuple, sel2))
