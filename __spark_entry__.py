@@ -538,6 +538,22 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_bloom_contamination(spark, sf_dir):
+    # bounded-memory decontamination twin: eval shingles collapse to a
+    # <=m-row Bloom bit-position relation; a training shingle flags iff
+    # all its hash positions are set (never misses a true overlap).
+    # m=4096 here is deliberately small so false positives are live.
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        bloom_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        m=4096, num_hashes=3, shingle_k=3)
+
+
 def _q_dsir_sample(spark, sf_dir):
     # DSIR importance resampling (Xie et al. 2023): hashed unigram+
     # bigram bag models on raw vs exemplar slices -> per-doc log
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "nb_lang_classify": _q_nb_lang_classify,
         "dsir_sample": _q_dsir_sample,
+        "bloom_contamination": _q_bloom_contamination,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1674,6 +1691,35 @@ def oracle_sql() -> dict[str, str]:
                        WHERE doc_id % 20 = 0) e
               ON t.shingle = e.shingle
             GROUP BY t.doc_id
+        """,
+        "bloom_contamination": _SHINGLES_CTE + """
+            , hp AS (
+              SELECT doc_id, shingle,
+                CAST(concat('0x', substr(md5('bloom0|' || shingle),
+                     1, 15)) AS BIGINT) % 4096 AS p0,
+                CAST(concat('0x', substr(md5('bloom1|' || shingle),
+                     1, 15)) AS BIGINT) % 4096 AS p1,
+                CAST(concat('0x', substr(md5('bloom2|' || shingle),
+                     1, 15)) AS BIGINT) % 4096 AS p2
+              FROM sh),
+            bits AS (
+              SELECT DISTINCT pos FROM (
+                SELECT p0 AS pos FROM hp WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT p1 FROM hp WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT p2 FROM hp WHERE doc_id % 20 = 0))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(flag) AS BIGINT) AS n_flagged,
+                   round(sum(flag)::DOUBLE / count(*), 6)
+                   AS flagged_frac
+            FROM (SELECT doc_id,
+                         CASE WHEN p0 IN (SELECT pos FROM bits)
+                               AND p1 IN (SELECT pos FROM bits)
+                               AND p2 IN (SELECT pos FROM bits)
+                              THEN 1 ELSE 0 END AS flag
+                  FROM hp WHERE doc_id % 20 <> 0)
+            GROUP BY doc_id
         """,
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id,

@@ -684,3 +684,73 @@ def semantic_dedup(
             .otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+def bloom_positions(shingle: "F.Column", m: int, k: int) -> list:
+    """k engine-portable bit positions for a shingle: independent md5
+    hash60 draws (salted per hash index) mod the filter size m."""
+    return [
+        F.pmod(hash60(F.concat(F.lit(f"bloom{i}|"), shingle)),
+               F.lit(int(m))).alias(f"p{i}")
+        for i in range(int(k))
+    ]
+
+
+def bloom_contamination(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    m: int = 1 << 20,
+    num_hashes: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination — the bounded-memory twin of
+    ``contamination_overlap`` for when even the DISTINCT eval-shingle
+    set is too large to broadcast as strings: the eval side collapses
+    to <= m set-bit POSITIONS (the Bloom filter itself, as a relation),
+    and a training shingle counts as (maybe-)contaminated iff all
+    ``num_hashes`` of its positions are set. One-sided error by
+    construction: never misses a true overlap, false-positives at the
+    standard (1 - e^(-kn/m))^k rate, tunable via m.
+
+    Emits (doc_id, n_shingles, n_flagged, flagged_frac) — same shape
+    as the exact operator so callers can swap them.
+
+    Scale shape: the filter is ``<= m`` long rows (distinct positions),
+    broadcast to a map-side semi-probe of the corpus's shingle
+    positions; corpus rows never shuffle for the probe and the only
+    corpus-wide exchange is the final doc_id hash agg. The positions
+    relation is also the natural persisted artifact: building it once
+    per eval-suite release and reusing it across pipeline runs is the
+    production pattern.
+    """
+    pos_cols = bloom_positions(F.col("shingle"), m, num_hashes)
+    bits = (
+        doc_shingles(eval_docs, shingle_k)
+        .select(F.explode(F.array(*[p for p in pos_cols])).alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    train = doc_shingles(documents, shingle_k).select(
+        "doc_id", "shingle", *pos_cols)
+    probed = train
+    for i in range(int(num_hashes)):
+        probed = (
+            probed.join(
+                F.broadcast(bits.withColumnRenamed("pos", f"p{i}")
+                            .withColumnRenamed("_set", f"_s{i}")),
+                f"p{i}", "left")
+        )
+    all_set = None
+    for i in range(int(num_hashes)):
+        c = F.col(f"_s{i}").isNotNull()
+        all_set = c if all_set is None else (all_set & c)
+    flagged = F.when(all_set, 1).otherwise(0)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(flagged).alias("n_flagged"),
+            F.round(F.sum(flagged) / F.count("*"), 6)
+            .alias("flagged_frac"),
+        )
+    )

@@ -139,3 +139,29 @@ def test_simhash_candidate_pairs_rejects_bad_params(spark):
         simhash_candidate_pairs(docs, bits=16, bands=5)
     with _pytest.raises(ValueError):
         simhash_candidate_pairs(docs, bits=16, bands=4, max_hamming=4)
+
+
+def test_bloom_contamination_one_sided_vs_exact(spark):
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        bloom_contamination, contamination_overlap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+
+    exact = {r["doc_id"]: r["n_contaminated"]
+             for r in contamination_overlap(train, ev, k=3).collect()}
+    # tiny filter: false positives live, but NEVER a false negative
+    small = {r["doc_id"]: r["n_flagged"]
+             for r in bloom_contamination(
+                 train, ev, m=512, num_hashes=3).collect()}
+    assert set(small) == set(exact)
+    assert all(small[d] >= exact[d] for d in exact)
+    assert sum(small.values()) > sum(exact.values())   # FPs present
+
+    # huge filter: FP rate ~0 -> Bloom == exact, bit for bit
+    big = {r["doc_id"]: r["n_flagged"]
+           for r in bloom_contamination(
+               train, ev, m=1 << 26, num_hashes=3).collect()}
+    assert big == exact
