@@ -538,6 +538,20 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_temperature_mix(spark, sf_dir):
+    # multilingual p^alpha mix balancing (Conneau & Lample 2019):
+    # per-stratum counts -> temperature fractions -> replay-stable
+    # hash sample. alpha=0.5 upweights the small langs vs 'en'.
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix_sample(
+        docs, alpha=0.5, strata_col="lang").select(
+        "doc_id", "lang", "source")
+
+
 def _q_bloom_contamination(spark, sf_dir):
     # bounded-memory decontamination twin: eval shingles collapse to a
     # <=m-row Bloom bit-position relation; a training shingle flags iff
@@ -1019,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "dsir_sample": _q_dsir_sample,
         "bloom_contamination": _q_bloom_contamination,
+        "temperature_mix": _q_temperature_mix,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1079,6 +1094,32 @@ WITH w AS (
   FROM w, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
 )
 """
+
+
+def _temperature_mix_sql() -> str:
+    # fractions derive from the SAME Python math the query path runs
+    # (temperature_mix_fractions), over counts read from the identical
+    # parquet — thresholds match by construction
+    import duckdb
+
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        sample_threshold, temperature_mix_fractions,
+    )
+
+    counts = dict(duckdb.sql(
+        f"SELECT lang, count(*) FROM "
+        f"'{_ORACLE_SF_DIR}/documents.parquet' GROUP BY 1").fetchall())
+    fracs = temperature_mix_fractions(counts, alpha=0.5)
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {sample_threshold(f)}"
+        for v, f in sorted(fracs.items()))
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST(concat('0x', substr(md5(
+                  concat_ws('|', 'tmix', CAST(doc_id AS VARCHAR))
+              ), 1, 15)) AS BIGINT)
+              < (CASE {cases} ELSE 0 END)
+    """
 
 
 def _hash_split_sql() -> str:
@@ -2004,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         # thresholds computed with the SAME sample_threshold() ints the
         # Spark operator uses; the salted md5 hash60 reproduces exactly
         "stratified_sample": _stratified_sample_sql(),
+        "temperature_mix": _temperature_mix_sql(),
         "sample_k_per_lang": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,

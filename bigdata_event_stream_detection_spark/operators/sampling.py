@@ -329,3 +329,50 @@ def dsir_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def temperature_mix_fractions(
+    counts: dict[str, int],
+    alpha: float = 0.7,
+    budget_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep-fractions for temperature-based mix balancing
+    (the multilingual p^alpha resampling rule, Conneau & Lample 2019):
+    target share_i ~ n_i^alpha, so alpha < 1 upweights small strata.
+
+    With ``budget_rows`` the fractions target that expected total row
+    count (capped at 1 per stratum); without it the most-upweighted
+    stratum keeps everything and the rest scale relative to it. Pure
+    driver math over the (tiny) per-stratum counts — the heavy
+    lifting stays in ``stratified_hash_sample``'s codegen filter.
+    """
+    pos = {k: n for k, n in counts.items() if n > 0}
+    if not pos:
+        return {k: 0.0 for k in counts}
+    if budget_rows is None:
+        scale = max(n ** (alpha - 1.0) for n in pos.values())
+        return {k: min(1.0, (n ** (alpha - 1.0)) / scale)
+                for k, n in pos.items()}
+    tot = sum(n ** alpha for n in pos.values())
+    return {k: min(1.0, budget_rows * (n ** alpha) / tot / n)
+            for k, n in pos.items()}
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    budget_rows: int | None = None,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Deterministic temperature-balanced mix: one tiny per-stratum
+    count agg (collected — strata cardinality, never rows), fractions
+    via ``temperature_mix_fractions``, selection via the replay-stable
+    ``stratified_hash_sample`` codegen filter. Two corpus scans, zero
+    corpus shuffles."""
+    counts = {r["k"]: r["n"] for r in
+              df.groupBy(F.col(strata_col).alias("k"))
+              .agg(F.count("*").alias("n")).collect()}
+    fracs = temperature_mix_fractions(counts, alpha, budget_rows)
+    return stratified_hash_sample(df, fracs, strata_col, key_col, salt)

@@ -240,3 +240,45 @@ def test_dsir_sample_is_deterministic_and_biased(spark):
     sel2 = dsir_sample(raw.repartition(7), target.repartition(3),
                        k=20, n_buckets=512).collect()
     assert sorted(map(tuple, sel)) == sorted(map(tuple, sel2))
+
+
+def test_temperature_mix_fraction_math():
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        temperature_mix_fractions,
+    )
+
+    counts = {"en": 800, "fr": 100, "zh": 50}
+    # alpha=1: natural distribution, keep everything
+    assert temperature_mix_fractions(counts, alpha=1.0) == {
+        "en": 1.0, "fr": 1.0, "zh": 1.0}
+    # alpha=0: uniform target -> expected kept rows equal per stratum
+    f0 = temperature_mix_fractions(counts, alpha=0.0)
+    kept = {k: f0[k] * counts[k] for k in counts}
+    assert abs(kept["en"] - kept["fr"]) < 1e-9
+    assert abs(kept["fr"] - kept["zh"]) < 1e-9
+    # budget: expected total ~ budget (caps allowed)
+    fb = temperature_mix_fractions(counts, alpha=0.5, budget_rows=300)
+    assert abs(sum(fb[k] * counts[k] for k in counts) - 300) < 1e-6
+    # degenerate inputs
+    assert temperature_mix_fractions({"x": 0}, 0.5) == {"x": 0.0}
+
+
+def test_temperature_mix_sample_rebalances(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    rows = ([(i, "en") for i in range(800)]
+            + [(800 + i, "fr") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix_sample(df, alpha=0.5).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    # fr (most upweighted) keeps everything; en keeps ~sqrt ratio
+    assert got["fr"] == 100
+    expect_en = 800 * (800 ** -0.5) / (100 ** -0.5)   # ~283
+    assert abs(got["en"] - expect_en) < 60            # hash-sample noise
+    # replay-stable
+    out2 = temperature_mix_sample(df.repartition(5), alpha=0.5)
+    assert (sorted(map(tuple, temperature_mix_sample(df, alpha=0.5)
+                       .collect()))
+            == sorted(map(tuple, out2.collect())))
