@@ -27,13 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import contamination_overlap, exact_dedup
-from ..operators.sampling import pack_assignments, stratified_hash_sample
+from ..operators.sampling import (
+    pack_assignments, stratified_hash_sample, temperature_mix_sample,
+)
 from ..operators.text import quality_scores
 
 
 def curate_training_mix(
     documents: DataFrame,
-    fractions: dict[str, float],
+    fractions: dict[str, float] | None = None,
     *,
     quality_min: float = 0.5,
     eval_docs: DataFrame | None = None,
@@ -41,6 +43,9 @@ def curate_training_mix(
     shingle_k: int = 3,
     pack_budget: int = 4000,
     salt: str = "mix",
+    label_model: tuple[DataFrame, DataFrame] | None = None,
+    keep_labels: frozenset[str] | set[str] | None = None,
+    temperature_alpha: float | None = None,
 ) -> DataFrame:
     """Curated, sampled, packed training mix over a documents table.
 
@@ -51,7 +56,23 @@ def curate_training_mix(
     ``shingle_k``-shingles, and (4) lands in the per-``lang``
     deterministic sample defined by ``fractions`` — then assigned to
     fixed-``pack_budget`` packs per source in doc_id order.
+
+    Optional model-based stages (both default-off; the oracle-checked
+    query runs the base chain):
+
+    * ``label_model=(cond, priors)`` + ``keep_labels`` — gate by the
+      trained NB classifier's predicted label (the CCNet distillation
+      pattern, operators/classifier.py): docs predicted outside
+      ``keep_labels`` drop before sampling. One more semi-join; the
+      model tables are vocab-bounded.
+    * ``temperature_alpha`` — replace the explicit ``fractions`` mix
+      with the p^alpha temperature rule over post-curation stratum
+      counts (exactly one of ``fractions`` / ``temperature_alpha``
+      must be given).
     """
+    if (fractions is None) == (temperature_alpha is None):
+        raise ValueError(
+            "give exactly one of fractions / temperature_alpha")
     keep_quality = (
         quality_scores(documents)
         .filter(F.col("quality_score") >= quality_min)
@@ -70,8 +91,23 @@ def curate_training_mix(
             .select("doc_id")
         )
         curated = curated.join(contaminated, "doc_id", "anti")
-    sampled = stratified_hash_sample(
-        curated, fractions, strata_col="lang", salt=salt)
+    if label_model is not None:
+        from ..operators.classifier import nb_classify
+
+        cond, priors = label_model
+        keep_pred = (
+            nb_classify(documents, cond, priors)
+            .filter(F.col("pred_label").isin(*sorted(keep_labels or ())))
+            .select("doc_id")
+        )
+        curated = curated.join(keep_pred, "doc_id", "semi")
+    if temperature_alpha is not None:
+        sampled = temperature_mix_sample(
+            curated, alpha=temperature_alpha, strata_col="lang",
+            salt=salt)
+    else:
+        sampled = stratified_hash_sample(
+            curated, fractions, strata_col="lang", salt=salt)
     return pack_assignments(
         sampled, pack_budget, size_col="n_chars",
         order_col="doc_id", group_col="source",

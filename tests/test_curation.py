@@ -48,3 +48,39 @@ def test_no_eval_set_skips_decontamination(spark):
     docs = _docs(spark, [(1, EVAL, "en", "A", 30)])
     out = curate_training_mix(docs, {"en": 1.0}, quality_min=0.5).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_classifier_gate_and_temperature_mix(spark):
+    from bigdata_event_stream_detection_spark.operators.classifier import (
+        nb_train,
+    )
+
+    d_ham = "the quick dog runs over a green hill to find water"
+    d_spam = "buy cheap pills now before the offer ends forever today"
+    docs = _docs(spark, [
+        (1, d_ham, "en", "A", 30),
+        (2, d_spam, "en", "A", 30),   # classifier-gated out
+        (3, "a small bird flies on the tall tree and sings loudly",
+         "fr", "A", 30),
+    ])
+    labeled = spark.createDataFrame(
+        [(100 + i, "green hill water dog tree bird", "keep")
+         for i in range(10)]
+        + [(200 + i, "buy cheap pills offer today", "drop")
+           for i in range(10)],
+        "doc_id long, text string, lang string")
+    model = nb_train(labeled)
+
+    out = curate_training_mix(
+        docs, quality_min=0.0, label_model=model,
+        keep_labels={"keep"}, temperature_alpha=1.0, pack_budget=30,
+    ).collect()
+    # alpha=1 keeps every surviving doc; spam-predicted doc 2 is gone
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+    # exactly-one-sampler contract
+    import pytest
+    with pytest.raises(ValueError):
+        curate_training_mix(docs, {"en": 1.0}, temperature_alpha=0.5)
+    with pytest.raises(ValueError):
+        curate_training_mix(docs)
