@@ -538,6 +538,24 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_dup_graph_pagerank(spark, sf_dir):
+    # centrality over the LSH candidate-pair graph: PageRank picks the
+    # canonical copy of a duplicated template and ranks boilerplate
+    # hubs. Fixed power iterations -> exactly reproducible by the
+    # single-node recompute (tools/local_oracle.pagerank_rows).
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from bigdata_event_stream_detection_spark.operators.graph import (
+        pagerank,
+    )
+
+    pairs = lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, rows_per_band=2)
+    return pagerank(pairs, damping=0.85, iterations=10).select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
 def _q_temperature_mix(spark, sf_dir):
     # multilingual p^alpha mix balancing (Conneau & Lample 2019):
     # per-stratum counts -> temperature fractions -> replay-stable
@@ -1034,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "bloom_contamination": _q_bloom_contamination,
         "temperature_mix": _q_temperature_mix,
+        "dup_graph_pagerank": _q_dup_graph_pagerank,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2304,6 +2323,9 @@ def _model_oracles() -> dict[str, str]:
             lo.kmeans_rows(_ORACLE_SF_DIR, k=8, iterations=5),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("cos", "DOUBLE")]),
+        "dup_graph_pagerank": lo.values_sql(
+            lo.pagerank_rows(_ORACLE_SF_DIR, damping=0.85, iterations=10),
+            [("node", "BIGINT"), ("rank", "DOUBLE")]),
         "semantic_dedup": lo.values_sql(
             lo.semantic_dedup_rows(_ORACLE_SF_DIR, k=8, iterations=5,
                                    threshold=0.4),

@@ -486,6 +486,73 @@ def semantic_dedup_rows(sf_dir: str, k: int = 8, iterations: int = 5,
     return rows
 
 
+def _hash60_py(s: str) -> int:
+    """Python twin of functions.textfns.hash60 (md5 first 15 hex)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _lsh_pairs_local(sf_dir: str, num_hashes: int = 8,
+                     rows_per_band: int = 2,
+                     shingle_k: int = 3) -> list[tuple[int, int]]:
+    """Single-node twin of dedup.lsh_candidate_pairs (same md5 hash60,
+    multiply-mod minhash family, band signature join)."""
+    import re
+
+    M = 35184372088832  # MINHASH_BASE_MOD = 2^45
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in re.split("[^a-z]+", str(text).lower()) if w]
+        if len(ws) < shingle_k:
+            sh = {" ".join(ws)}
+        else:
+            sh = {" ".join(ws[i:i + shingle_k])
+                  for i in range(len(ws) - shingle_k + 1)}
+        hs = [_hash60_py(s) % M for s in sh]
+        sig = [min((h * ((2 * seed + 1) * 12347) + seed * 7919) % M
+                   for h in hs) for seed in range(num_hashes)]
+        for band in range(num_hashes // rows_per_band):
+            key = (band, tuple(sig[band * rows_per_band:
+                                   (band + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(int(doc_id))
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return sorted(pairs)
+
+
+def pagerank_rows(sf_dir: str, damping: float = 0.85,
+                  iterations: int = 10) -> list[tuple]:
+    """operators.graph.pagerank over the LSH candidate-pair graph:
+    same symmetrized edges, same fixed power iterations, rank 6dp."""
+    pairs = _lsh_pairs_local(sf_dir)
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return []
+    nbrs: list[list[int]] = [[] for _ in range(n)]
+    for a, b in pairs:
+        nbrs[idx[a]].append(idx[b])
+        nbrs[idx[b]].append(idx[a])
+    deg = np.array([len(x) for x in nbrs], dtype=np.float64)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        out = r / deg
+        c = np.zeros(n)
+        for i, ns in enumerate(nbrs):
+            c[i] = sum(out[j] for j in ns)
+        r = base + damping * c
+    return [(int(v), float(np.round(r[idx[v]], 6))) for v in nodes]
+
+
 def ann_pq_rows(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16,
                 sample_size: int = 10_000, query_max: int = 10) -> list[tuple]:
     """similarity.pq_topk: same id-ordered training sample, same seeded
