@@ -36,7 +36,7 @@ except Exception:  # pragma: no cover - version-dependent, best-effort
 
 try:  # our kernels: .so load (content-cached) happens once, pre-fork
     from bigdata_event_stream_detection_spark.operators import (  # noqa
-        em, hmm, kernels, kernels_native)
+        dedup, em, hmm, kernels, kernels_native, multimodal, similarity)
 except Exception:  # pragma: no cover - package not on worker path
     pass
 
