@@ -38,6 +38,8 @@ AUDIT = [
     "funnel_times_within", "tfidf_top_terms", "approx_distinct_users",
     "heavy_hitter_words", "hash_split", "duplicate_spans",
     "bigram_perplexity", "embedding_kmeans", "ann_pq_topk", "bpe_encode",
+    "nb_lang_classify", "dsir_sample", "bloom_contamination",
+    "temperature_mix", "semantic_dedup", "dup_graph_pagerank",
 ]
 
 
