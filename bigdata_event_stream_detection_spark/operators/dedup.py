@@ -91,6 +91,31 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_sig): the LSH band-signature relation —
+    the joinable (and PERSISTABLE) form of a document's near-dup
+    identity. ``lsh_candidate_pairs`` self-joins it; the streaming
+    history dedup stores it and probes new batches against it."""
+    sig = minhash_signatures(documents, num_hashes, shingle_k).withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    # collect_list order is nondeterministic — sort by seed before joining
+    return sig.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_sig")
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     num_hashes: int = 8,
@@ -102,19 +127,7 @@ def lsh_candidate_pairs(
     band signature = concat of the band's minhashes; a self-equi-join on
     (band, signature) produces candidates — the classic LSH bucket join.
     """
-    sig = minhash_signatures(documents, num_hashes, shingle_k).withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
-    )
-    # collect_list order is nondeterministic — sort by seed before joining
-    bands = sig.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("band_sig")
-    )
+    bands = band_signatures(documents, num_hashes, rows_per_band, shingle_k)
     left = bands.select(
         F.col("doc_id").alias("doc1"), "band", "band_sig")
     right = bands.select(

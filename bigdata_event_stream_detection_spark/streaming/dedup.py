@@ -139,3 +139,78 @@ def dedup_clusters_stream(
                     else {"processingTime": "30 seconds"}))
         .start()
     )
+
+
+def dedup_history_stream(
+    stream: DataFrame,
+    signature_store_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    rows_per_band: int = 2,
+    available_now: bool = False,
+):
+    """Cross-batch near-dup detection against ALL history — the real
+    production ingest question ("is this new doc a near-copy of
+    anything among the 10^9 docs already ingested?"), which the
+    within-batch LSH (``dedup_minhash_stream``) cannot answer.
+
+    Per micro-batch: compute the batch's LSH band signatures, probe
+    the persistent signature store for collisions (flagged rows emit
+    (doc_id, dup_of) with the smallest colliding historical doc), then
+    append this batch's signatures as a ``batch=<id>`` partition.
+    Exactly-once under replay by construction: a replayed batch
+    re-probes exactly the batches BEFORE it (``batch < batch_id``
+    filter) and both writes are batch_id-keyed overwrites.
+
+    Scale shape: the store is the band-signature relation — a few
+    rows per doc, partitioned by batch; the probe is a (band,
+    band_sig) equi-join, i.e. only docs colliding in some bucket ever
+    meet (at 10^9 docs the store side would be bucketed/Z-ordered on
+    the join key via sinks/maintenance so the probe prunes to the
+    touched buckets; the relational shape here is already that one).
+    """
+    import os
+
+    from ..operators.dedup import band_signatures
+
+    def process(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        sig = band_signatures(
+            batch_df, num_hashes=num_hashes,
+            rows_per_band=rows_per_band, shingle_k=shingle_k,
+        ).localCheckpoint(eager=True)
+        if os.path.isdir(signature_store_dir) and any(
+                e.startswith("batch=")
+                for e in os.listdir(signature_store_dir)):
+            store = (spark.read.option("basePath", signature_store_dir)
+                     .parquet(signature_store_dir + "/batch=*")
+                     .filter(F.col("batch") < batch_id))
+            dups = (
+                sig.join(
+                    store.select(F.col("doc_id").alias("dup_of"),
+                                 "band", "band_sig"),
+                    ["band", "band_sig"])
+                .groupBy("doc_id")
+                .agg(F.min("dup_of").alias("dup_of"))
+            )
+        else:
+            dups = (sig.select("doc_id").limit(0)
+                    .withColumn("dup_of", F.col("doc_id")))
+        dups.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}")
+        sig.write.mode("overwrite").parquet(
+            f"{signature_store_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(**({"availableNow": True} if available_now
+                    else {"processingTime": "30 seconds"}))
+        .start()
+    )

@@ -16,6 +16,7 @@ import pyarrow.parquet as pq
 
 from bigdata_event_stream_detection_spark.streaming.dedup import (
     dedup_exact_stream,
+    dedup_history_stream,
     dedup_minhash_stream,
     with_content_hash,
 )
@@ -162,3 +163,57 @@ def test_dedup_clusters_stream_assigns_transitive_clusters(spark, tmp_path):
     assert rows["d1"] == ("d1", 1)
     assert rows["d2"][0] == "d1" and rows["d3"][0] == "d1"
     assert rows["d4"] == ("d4", 1)
+
+
+def test_dedup_history_stream_flags_cross_batch_dups(spark, tmp_path):
+    d = str(tmp_path / "hist_docs")
+    os.makedirs(d)
+    A = "the quick brown fox jumps over the lazy dog near the river bank"
+    B = "a completely different story about ships sailing the open sea"
+    C = "yet another unrelated text describing mountains and snow"
+
+    def _wdocs(rows, name, mtime):
+        f = os.path.join(d, name)
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            schema=pa.schema([("doc_id", pa.string()),
+                              ("text", pa.string())]),
+            preserve_index=False), f)
+        os.utime(f, (mtime, mtime))
+
+    t0 = time.time()
+    _wdocs([("d1", A), ("d2", B)], "b1.parquet", t0)
+    # d3 duplicates d1 ACROSS batches; d4/d4b duplicate WITHIN the batch
+    _wdocs([("d3", A), ("d4", C), ("d4b", C)], "b2.parquet", t0 + 10)
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out_dir = str(tmp_path / "dups")
+    store = str(tmp_path / "sigstore")
+    q = dedup_history_stream(stream, store, out_dir,
+                             str(tmp_path / "ckpt_hist"),
+                             available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    flagged = dict(zip(got["doc_id"], got["dup_of"]))
+    # cross-batch dup flagged against its historical original...
+    assert flagged == {"d3": "d1"}
+    # ...and the signature store now covers every ingested doc
+    sigs = spark.read.parquet(store + "/batch=*")
+    assert (set(r["doc_id"] for r in sigs.select("doc_id")
+                .distinct().collect())
+            == {"d1", "d2", "d3", "d4", "d4b"})
+
+    # late third batch: duplicates of BOTH earlier batches are found,
+    # with the smallest historical id as the canonical ancestor
+    _wdocs([("d5", A), ("d6", C)], "b3.parquet", t0 + 20)
+    q2 = dedup_history_stream(
+        (spark.readStream.schema("doc_id string, text string")
+         .option("maxFilesPerTrigger", "1").parquet(d)),
+        store, out_dir, str(tmp_path / "ckpt_hist"),
+        available_now=True)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(out_dir).toPandas()
+    flagged2 = dict(zip(got2["doc_id"], got2["dup_of"]))
+    assert flagged2 == {"d3": "d1", "d5": "d1", "d6": "d4"}
