@@ -175,3 +175,70 @@ def test_kmeans_l2_centroids_shape_and_assignment_cost(k, n, seed):
     rng2 = np.random.default_rng(seed)   # the trainer's own init draw
     init = X[rng2.choice(n, size=min(k, n), replace=False)]
     assert cost(cent) <= cost(init) + 1e-9
+
+
+@given(st.dictionaries(st.text("abcde", min_size=1, max_size=4),
+                       st.integers(0, 10_000), min_size=1, max_size=12),
+       st.floats(0.0, 1.0))
+@settings(max_examples=80, deadline=None)
+def test_temperature_fractions_are_valid_and_ordered(counts, alpha):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        temperature_mix_fractions,
+    )
+
+    fr = temperature_mix_fractions(counts, alpha)
+    assert set(fr) >= {k for k, n in counts.items() if n > 0}
+    assert all(0.0 <= v <= 1.0 for v in fr.values())
+    # alpha < 1 never favors a LARGER stratum with a HIGHER fraction
+    pos = sorted(((n, k) for k, n in counts.items() if n > 0))
+    for (n1, k1), (n2, k2) in zip(pos, pos[1:]):
+        if n1 < n2:
+            assert fr[k1] >= fr[k2] - 1e-12
+
+
+@given(st.dictionaries(st.text("abc", min_size=1, max_size=3),
+                       st.integers(1, 10_000), min_size=1, max_size=8),
+       st.floats(0.0, 1.0), st.integers(1, 20_000))
+@settings(max_examples=80, deadline=None)
+def test_temperature_budget_is_met_or_capped(counts, alpha, budget):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        temperature_mix_fractions,
+    )
+
+    fr = temperature_mix_fractions(counts, alpha, budget_rows=budget)
+    expected = sum(fr[k] * n for k, n in counts.items())
+    total = sum(counts.values())
+    # expected kept rows == budget, unless some stratum capped at 1.0
+    # (then we can only undershoot, never overshoot)
+    assert expected <= budget + 1e-6 * max(budget, 1)
+    if all(v < 1.0 for v in fr.values()):
+        assert abs(expected - min(budget, total)) < 1e-6 * max(budget, 1)
+
+
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1, max_size=80),
+       st.floats(0.05, 0.95))
+@settings(max_examples=40, deadline=None)
+def test_local_pagerank_mass_conservation(pairs, damping):
+    # the same recursion tools/local_oracle.pagerank_rows runs (and
+    # operators/graph.pagerank matches by oracle): mass must conserve
+    # on ANY undirected graph at ANY damping
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    nbrs = [set() for _ in nodes]
+    for a, b in pairs:
+        nbrs[idx[a]].add(idx[b])
+        nbrs[idx[b]].add(idx[a])
+    deg = np.array([len(s) for s in nbrs], dtype=float)
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        out = r / deg
+        r = (1 - damping) / n + damping * np.array(
+            [sum(out[j] for j in s) for s in nbrs])
+    # undirected graph, no dangling mass: total rank conserves to 1
+    assert abs(r.sum() - 1.0) < 1e-9
+    assert (r > 0).all()
