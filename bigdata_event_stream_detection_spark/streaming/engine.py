@@ -626,6 +626,57 @@ def correlate_events_across_sources(
     )
 
 
+def uncorroborated_events(
+    events: DataFrame,
+    join_watermark: str = "1 hour",
+    min_strength: int = 1,
+) -> DataFrame:
+    """Complement of ``correlate_events_across_sources``: events NO
+    other source saw in the same window (single-source detections are
+    the ones an analyst audits first).
+
+    Stream-stream LEFT OUTER self-join with the event-time equality in
+    the join condition: Spark holds each left row in state until the
+    watermark passes its window, then emits it with nulls if nothing
+    matched — the supported streaming form of an anti-join
+    (stream-stream ``left_anti`` itself is unsupported). The final
+    filter keeps exactly the null-padded rows. Works on batch
+    DataFrames with the same plan.
+
+    Rows inside the still-open watermark horizon are by definition
+    not yet decided and do not emit — the same late-data contract as
+    every windowed operator here.
+    """
+    a = events.filter(F.col("strength") >= min_strength)
+    b = events.filter(F.col("strength") >= min_strength)
+    if events.isStreaming:
+        a = a.withWatermark("window_start", join_watermark)
+        b = b.withWatermark("window_start", join_watermark)
+    left = a.select(
+        F.col("window_start").alias("ws_l"),
+        F.col("source").alias("source1"),
+        F.col("theme_id").alias("theme_l"),
+        F.col("strength").alias("strength1"))
+    right = b.select(
+        F.col("window_start").alias("ws_r"),
+        F.col("source").alias("source2"),
+        F.col("theme_id").alias("theme_r"),
+        F.col("strength").alias("strength2"))
+    return (
+        left.join(
+            right,
+            (F.col("ws_l") == F.col("ws_r"))
+            & (F.col("theme_l") == F.col("theme_r"))
+            & (F.col("source1") != F.col("source2")),
+            "left_outer")
+        .filter(F.col("source2").isNull())
+        .select(F.col("ws_l").alias("window_start"),
+                F.col("theme_l").alias("theme_id"),
+                F.col("source1").alias("source"),
+                F.col("strength1").alias("strength"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exactly-once sink
 # ---------------------------------------------------------------------------

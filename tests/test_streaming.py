@@ -33,6 +33,7 @@ from bigdata_event_stream_detection_spark.streaming.engine import (
     streaming_detect_events,
     streaming_session_doc_counts,
     streaming_windowed_doc_counts,
+    uncorroborated_events,
 )
 from bigdata_event_stream_detection_spark.streaming.metrics import (
     MetricsListener,
@@ -346,6 +347,57 @@ def test_correlate_events_streaming(spark, stream_fixture, tmp_path):
     out = _run_to_memory(spark, joined, "corr_stream")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["combined_strength"] == 17
+
+
+def test_uncorroborated_events_streaming_left_outer(spark, tmp_path):
+    """Stream-stream LEFT OUTER: single-source events emit with nulls
+    only after the watermark passes their window (batch 2's far-future
+    sentinel advances it); the sentinel itself stays inside the open
+    horizon and must NOT emit."""
+    ev_schema = pa.schema([
+        ("window_start", pa.timestamp("us")), ("source", pa.string()),
+        ("theme_id", pa.int32()), ("strength", pa.int64())])
+    d = str(tmp_path / "ev_outer")
+    os.makedirs(d)
+
+    def _w(rows, name, mtime):
+        f = os.path.join(d, name)
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+            rows, columns=["window_start", "source", "theme_id",
+                           "strength"]),
+            schema=ev_schema, preserve_index=False), f)
+        os.utime(f, (mtime, mtime))
+
+    w1 = pd.Timestamp("2015-01-01 00:00:00")
+    t0 = time.time()
+    _w([(w1, "GDL", 1, 10), (w1, "JDG", 1, 7),   # corroborated pair
+        (w1, "GDL", 2, 3)],                       # single-source
+       "b1.parquet", t0)
+    _w([(pd.Timestamp("2015-01-10 00:00:00"), "GDL", 9, 1)],
+       "b2.parquet", t0 + 10)                     # watermark sentinel
+
+    stream = (spark.readStream
+              .schema("window_start timestamp, source string, "
+                      "theme_id int, strength long")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = _run_to_memory(
+        spark, uncorroborated_events(stream, join_watermark="1 hour"),
+        "uncorr_stream")
+    rows = out.collect()
+    assert [(r["window_start"], r["theme_id"], r["source"], r["strength"])
+            for r in rows] == [(w1.to_pydatetime(), 2, "GDL", 3)]
+
+    # batch path: same plan, same single row (plus the sentinel, whose
+    # horizon never closes in streaming but which batch fully decides)
+    batch = spark.createDataFrame(
+        [(w1.to_pydatetime(), "GDL", 1, 10),
+         (w1.to_pydatetime(), "JDG", 1, 7),
+         (w1.to_pydatetime(), "GDL", 2, 3)],
+        "window_start timestamp, source string, theme_id int, "
+        "strength long")
+    got = [(r["theme_id"], r["source"])
+           for r in uncorroborated_events(batch).collect()]
+    assert got == [(2, "GDL")]
 
 
 def test_metrics_listener_records_progress(spark, stream_fixture, tmp_path):
