@@ -165,3 +165,63 @@ def nb_classify(
             F.coalesce("score", "_bs").alias("score"),
         )
     )
+
+
+def nb_gate_expr(
+    cond: DataFrame,
+    priors: DataFrame,
+    keep_label: str,
+    drop_label: str,
+    text_col: str = "text",
+    max_terms: int = 20_000,
+):
+    """The two-class NB decision as ONE stateless Column expression:
+    log-odds(keep vs drop) = prior difference + sum over the text's
+    words of the per-word log-likelihood ratio, looked up in a map
+    literal and reduced with an in-row array aggregate. No explode, no
+    per-doc shuffle, no window function — so the gate composes into
+    pure append-mode STREAMING queries (and any batch filter) where
+    the relational ``nb_classify`` plan cannot.
+
+    The model collapses to at most ``max_terms`` (word -> ratio)
+    entries, keeping the highest |ratio| words — chi-square-flavored
+    feature selection that also bounds the broadcast literal. Words
+    outside the kept vocabulary contribute 0, matching
+    ``nb_classify``'s OOV rule (exactly equal when max_terms covers
+    the vocabulary; a documented approximation below it).
+
+    Driver cost: one collect of the vocab-bounded model tables — same
+    contract as ``tokenize.documents_to_sequences``'s map-literal path.
+    """
+    from ..functions.textfns import ascii_words
+
+    rows = {(r["label"], r["word"]): r["log_cond"]
+            for r in cond.filter(
+                F.col("label").isin([keep_label, drop_label])).collect()}
+    pri = {r["label"]: (r["log_prior"], r["log_default"])
+           for r in priors.filter(
+               F.col("label").isin([keep_label, drop_label])).collect()}
+    if keep_label not in pri or drop_label not in pri:
+        raise ValueError(
+            f"model lacks labels {keep_label!r}/{drop_label!r}")
+    k_prior, k_def = pri[keep_label]
+    d_prior, d_def = pri[drop_label]
+    vocab = {w for (lbl, w) in rows}
+    ratios = {
+        w: (rows.get((keep_label, w), k_def)
+            - rows.get((drop_label, w), d_def))
+        for w in vocab
+    }
+    kept = sorted(ratios.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+    kept = kept[:int(max_terms)]
+    lr_map = F.create_map(
+        *[F.lit(x) for w, r in kept for x in (w, float(r))])
+    words = ascii_words(F.col(text_col))
+    return (
+        F.lit(float(k_prior - d_prior))
+        + F.aggregate(
+            F.transform(words, lambda w: F.coalesce(
+                F.element_at(lr_map, w), F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, x: acc + x)
+    )

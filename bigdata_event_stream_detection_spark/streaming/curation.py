@@ -41,6 +41,8 @@ def curate_document_stream(
     watermark_delay: str = "30 minutes",
     strata_col: str = "lang",
     salt: str = "mix",
+    gate_expr=None,
+    gate_threshold: float = 0.0,
 ) -> DataFrame:
     """Curated continuous document stream.
 
@@ -52,12 +54,19 @@ def curate_document_stream(
     Append-mode safe; replay/retry-stable (every decision is a pure
     function of row content except dedup, whose exactly-once dedup key
     is the content hash itself).
+
+    ``gate_expr`` adds a MODEL-based filter in the same stateless
+    spirit: pass ``classifier.nb_gate_expr(cond, priors, keep, drop)``
+    (the trained NB two-class log-odds as one in-row expression) and
+    rows scoring below ``gate_threshold`` drop before sampling.
     """
     s = (
         stream.withWatermark(time_col, watermark_delay)
         .filter(quality_score_col() >= F.lit(quality_min))
-        .withColumn("content_md5", F.md5(F.col("text")))
     )
+    if gate_expr is not None:
+        s = s.filter(gate_expr >= F.lit(float(gate_threshold)))
+    s = s.withColumn("content_md5", F.md5(F.col("text")))
     # deterministic sample keyed by the CONTENT hash: all copies of a
     # duplicate share the decision, so sampling before dedup cannot
     # split a dup group — and sampled-out docs never touch dedup state

@@ -54,3 +54,34 @@ def test_nb_classify_deterministic_and_total(spark):
         test.repartition(3), cond2, priors2).collect()))
     assert a == b
     assert len(a) == 4            # verdict row per input doc, always
+
+
+def test_nb_gate_expr_sign_matches_classifier(spark):
+    from bigdata_event_stream_detection_spark.operators.classifier import (
+        nb_gate_expr,
+    )
+
+    train = spark.createDataFrame(
+        _train_rows(), "doc_id long, text string, lang string")
+    cond, priors = nb_train(train)
+    test = spark.createDataFrame(
+        [(0, "buy now"), (1, "notes agenda"), (2, "zzz unseen"),
+         (3, "shared"), (4, "cheap agenda shared pills meeting"),
+         (5, "")],
+        "doc_id long, text string")
+
+    pred = {r["doc_id"]: r["pred_label"]
+            for r in nb_classify(test, cond, priors).collect()}
+    gate = {r["doc_id"]: r["lo"] for r in test.select(
+        "doc_id",
+        nb_gate_expr(cond, priors, "spam", "ham").alias("lo")).collect()}
+    for d, lo in gate.items():
+        # classifier ties break toward 'ham' (label asc); the gate's
+        # log-odds is 0 exactly there
+        assert pred[d] == ("spam" if lo > 0 else "ham")
+
+    # max_terms=1 keeps only the single most discriminative word:
+    # still a working (coarser) gate, and the literal stays tiny
+    g1 = test.select("doc_id", nb_gate_expr(
+        cond, priors, "spam", "ham", max_terms=1).alias("lo")).collect()
+    assert all(isinstance(r["lo"], float) for r in g1)

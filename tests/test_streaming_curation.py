@@ -65,3 +65,40 @@ def test_curate_document_stream(spark, tmp_path):
     assert "alice@example.com" not in rows["keep-email"]["text"]
     # untouched columns pass through
     assert rows["keep-2"]["lang"] == "en"
+
+
+def test_curate_stream_with_model_gate(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.operators.classifier import (
+        nb_gate_expr, nb_train,
+    )
+
+    SPAM = "buy cheap pills now offer " * 20
+    train = spark.createDataFrame(
+        [(i, GOOD, "keep") for i in range(10)]
+        + [(100 + i, SPAM, "drop") for i in range(10)],
+        "doc_id long, text string, lang string")
+    cond, priors = nb_train(train)
+    gate = nb_gate_expr(cond, priors, "keep", "drop")
+
+    t0 = datetime(2024, 5, 1)
+    chunk = pd.DataFrame([
+        ("ok", GOOD2, "en", t0),
+        ("spammy", SPAM, "en", t0 + timedelta(minutes=1)),
+    ], columns=["doc_id", "text", "lang", "ts"])
+    d = str(tmp_path / "in_gate")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(
+        chunk, schema=ARROW_SCHEMA, preserve_index=False),
+        os.path.join(d, "c0.parquet"))
+
+    stream = (spark.readStream.schema(
+        "doc_id string, text string, lang string, ts timestamp")
+        .parquet(d))
+    out = curate_document_stream(
+        stream, {"en": 1.0}, quality_min=0.0, gate_expr=gate)
+    q = (out.writeStream.format("memory").queryName("gated_curation")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    kept = [r["doc_id"] for r in
+            spark.sql("select doc_id from gated_curation").collect()]
+    assert kept == ["ok"]
