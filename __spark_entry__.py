@@ -538,6 +538,31 @@ def _q_embedding_kmeans(spark, sf_dir):
                             k=8, iterations=5)
 
 
+def _q_cm_word_counts(spark, sf_dir):
+    # count-min sketch as a relation (md5-derived rows/buckets, exact
+    # cell longs): point-frequency estimates for every distinct word,
+    # emitted next to the exact count with the never-undercount verdict
+    # — self-verifying, same pattern as approx_distinct_verified.
+    from bigdata_event_stream_detection_spark.functions.textfns import (
+        ascii_words,
+    )
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        count_min_estimate, count_min_sketch,
+    )
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(ascii_words(F.col("text"))).alias("w"))
+    sk = count_min_sketch(words, "w", width=256, depth=4)
+    est = count_min_estimate(sk, words, "w", width=256, depth=4)
+    exact = words.groupBy(F.col("w").alias("value")).agg(
+        F.count("*").alias("n_exact"))
+    return (
+        exact.join(est, "value")
+        .select("value", "n_exact", "est",
+                (F.col("est") >= F.col("n_exact")).alias("never_under"))
+    )
+
+
 def _q_dup_graph_pagerank(spark, sf_dir):
     # centrality over the LSH candidate-pair graph: PageRank picks the
     # canonical copy of a duplicated template and ranks boilerplate
@@ -1053,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": _q_bloom_contamination,
         "temperature_mix": _q_temperature_mix,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
+        "cm_word_counts": _q_cm_word_counts,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1867,6 +1893,30 @@ def oracle_sql() -> dict[str, str]:
             FROM weights
             ORDER BY sample_key DESC, doc_id ASC
             LIMIT 50
+        """,
+        "cm_word_counts": _WORDS_CTE + """
+            , cells AS (
+              SELECT i AS row,
+                     CAST(concat('0x', substr(md5(
+                        'cm|' || i || '|' || word), 1, 15)) AS BIGINT)
+                     % 256 AS bucket,
+                     count(*) AS cnt
+              FROM words, UNNEST([0, 1, 2, 3]) AS t(i)
+              GROUP BY 1, 2),
+            exact AS (SELECT word AS value, count(*) AS n_exact
+                      FROM words GROUP BY 1),
+            probes AS (
+              SELECT value, i AS row,
+                     CAST(concat('0x', substr(md5(
+                        'cm|' || i || '|' || value), 1, 15)) AS BIGINT)
+                     % 256 AS bucket
+              FROM exact, UNNEST([0, 1, 2, 3]) AS t(i)),
+            est AS (
+              SELECT value, min(cnt) AS est
+              FROM probes JOIN cells USING (row, bucket)
+              GROUP BY 1)
+            SELECT value, n_exact, est, est >= n_exact AS never_under
+            FROM exact JOIN est USING (value)
         """,
         "nb_lang_classify": """
             WITH tw AS (

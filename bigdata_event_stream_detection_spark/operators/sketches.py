@@ -252,3 +252,75 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.ceil(F.col("_n") * F.lit(threshold_frac)))
         .select(col, "cnt")
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of a column as a RELATION: one row per
+    (row, bucket) cell with its exact collision count — depth
+    independent md5-derived hash rows of ``width`` buckets.
+
+    Cells are exact longs whose merge is plain addition (commutative,
+    associative, order-insensitive), so — like ``binned_histogram`` —
+    the SAME aggregation runs batch or as a streaming windowed agg
+    with bit-identical results, and shards of a corpus sketch
+    independently then merge by summed union. Exchange is
+    O(depth x width) cells, never O(distinct values): the point-
+    frequency complement of HLL (cardinality) and Misra-Gries
+    (top-k) at web scale.
+    """
+    from ..functions.textfns import hash60
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+    return (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .withColumn("row", rows)
+        .select(
+            "row",
+            F.pmod(hash60(F.concat_ws("|", F.lit("cm"), F.col("row"),
+                                      F.col("_v"))),
+                   F.lit(int(width))).alias("bucket"),
+        )
+        .groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a ``count_min_sketch`` relation:
+    per input value, min over the depth rows of its cell counts —
+    the classic CM upper bound (never under-counts; over-counts by
+    collision mass, bounded by the standard e/width rate).
+
+    The probe side fans each value to its depth cells and joins the
+    sketch on (row, bucket) — sketch side is O(depth x width) rows,
+    broadcastable at any corpus size.
+    """
+    from ..functions.textfns import hash60
+
+    probes = (
+        values.select(F.col(col).alias("value"))
+        .distinct()
+        .withColumn("row", F.explode(
+            F.sequence(F.lit(0), F.lit(int(depth) - 1))))
+        .withColumn(
+            "bucket",
+            F.pmod(hash60(F.concat_ws(
+                "|", F.lit("cm"), F.col("row"),
+                F.col("value").cast("string"))),
+                F.lit(int(width))))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

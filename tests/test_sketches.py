@@ -111,3 +111,35 @@ def test_histogram_quantiles_verified(spark):
     # est touches the bin's upper edge yet the verdict stays true
     assert rows[("b", 0.5)]["exact"] == 3.25
     assert rows[("b", 0.5)]["est"] == 4.0
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        count_min_estimate, count_min_sketch,
+    )
+
+    rows = ([("apple",)] * 50 + [("pear",)] * 7 + [("plum",)] * 1
+            + [(f"w{i}",) for i in range(200)])
+    df = spark.createDataFrame(rows, "v string")
+    # deliberately tiny width: collisions are live
+    sk = count_min_sketch(df, "v", width=16, depth=4)
+    est = {r["value"]: r["est"] for r in
+           count_min_estimate(sk, df, "v", width=16, depth=4).collect()}
+    true = {r["v"]: r["n"] for r in
+            df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    assert all(est[v] >= n for v, n in true.items())   # one-sided error
+    assert est["apple"] >= 50
+
+    # mergeability: sketch(shard1) + sketch(shard2) == sketch(all),
+    # cell by cell (exact longs, order-insensitive)
+    h1 = df.filter(F.xxhash64("v") % 2 == 0)
+    h2 = df.filter(F.xxhash64("v") % 2 != 0)
+    merged = (count_min_sketch(h1, "v", 16, 4)
+              .unionByName(count_min_sketch(h2, "v", 16, 4))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = count_min_sketch(df, "v", 16, 4)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
