@@ -240,3 +240,69 @@ def streaming_windowed_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_windowed_count_min(
+    stream: DataFrame,
+    col: str,
+    time_col: str = "ts",
+    length: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-window count-min sketch cells in append mode: each closed
+    window emits its (ws_epoch, row, bucket, cnt) relation exactly
+    once. Cells are exact longs (operators/sketches.count_min_sketch),
+    so the merge inside the windowed agg is order-insensitive and the
+    streamed cells EQUAL the batch twin bit-for-bit — and downstream,
+    per-window point-frequency estimates come from the same
+    ``count_min_estimate`` probe join, batch or stored."""
+    from ..functions.textfns import hash60
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+    cells = (
+        stream.withWatermark(time_col, watermark_delay)
+        .select(F.col(time_col), F.col(col).cast("string").alias("_v"))
+        .withColumn("row", rows)
+        .select(
+            time_col, "row",
+            F.pmod(hash60(F.concat_ws("|", F.lit("cm"), F.col("row"),
+                                      F.col("_v"))),
+                   F.lit(int(width))).alias("bucket"),
+        )
+        .groupBy(F.window(time_col, length).alias("w"), "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return cells.select(
+        F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+        "row", "bucket", "cnt")
+
+
+def batch_windowed_count_min(
+    df: DataFrame,
+    col: str,
+    time_col: str = "ts",
+    length: str = "1 hour",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """The batch twin (same plan minus the watermark) — the parity
+    oracle for the streaming form."""
+    from ..functions.textfns import hash60
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+    return (
+        df.select(F.col(time_col), F.col(col).cast("string").alias("_v"))
+        .withColumn("row", rows)
+        .select(
+            time_col, "row",
+            F.pmod(hash60(F.concat_ws("|", F.lit("cm"), F.col("row"),
+                                      F.col("_v"))),
+                   F.lit(int(width))).alias("bucket"),
+        )
+        .groupBy(F.window(time_col, length).alias("w"), "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+                "row", "bucket", "cnt")
+    )

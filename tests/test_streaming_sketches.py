@@ -243,3 +243,65 @@ def test_streaming_windowed_histogram_matches_batch(spark, tmp_path):
                    ["ws_epoch", "source"], [0.5, 0.95],
                    bin_width=5.0).collect()}
     assert stream_q == batch_q
+
+
+def test_streaming_windowed_count_min_matches_batch(spark, tmp_path):
+    """Windowed CM cells stream == batch bit-for-bit (exact longs,
+    order-insensitive merge); per-window estimates never undercount."""
+    from bigdata_event_stream_detection_spark.operators.sketches import (
+        count_min_estimate,
+    )
+    from bigdata_event_stream_detection_spark.streaming.sketches import (
+        batch_windowed_count_min,
+        streaming_windowed_count_min,
+    )
+
+    pdf = _make_events().sort_values("ts").reset_index(drop=True)
+    d = str(tmp_path / "in_cm")
+    os.makedirs(d)
+    bounds = [round(i * len(pdf) / 3) for i in range(4)]
+    for i in range(3):
+        f = os.path.join(d, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            pdf.iloc[bounds[i]:bounds[i + 1]], schema=ARROW_SCHEMA,
+            preserve_index=False), f)
+        os.utime(f, (time.time() + i, time.time() + i))
+    sent = pd.DataFrame({"ts": [pdf["ts"].max() + pd.Timedelta(days=30)],
+                         "source": ["SENTINEL"], "user_id": [0]})
+    f = os.path.join(d, "zz.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        sent, schema=ARROW_SCHEMA, preserve_index=False), f)
+    os.utime(f, (time.time() + 9, time.time() + 9))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, source string, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    out = streaming_windowed_count_min(stream, "user_id",
+                                       width=64, depth=3)
+    q = (out.writeStream.format("memory").queryName("cm_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("cm_s").collect()))
+
+    batch = batch_windowed_count_min(
+        spark.createDataFrame(pdf), "user_id", width=64, depth=3)
+    want = sorted(map(tuple, batch.collect()))
+    # closed windows equal the batch twin bit-for-bit (pdf holds only
+    # real events; the sentinel's own window never closes and never
+    # emits, so both sides cover exactly the 6 real hours)
+    assert got == want
+
+    # per-window probe: estimates from one window's cells never
+    # undercount that window's true counts
+    w0 = spark.table("cm_s").filter(
+        F.col("ws_epoch") == got[0][0]).select("row", "bucket", "cnt")
+    ev0 = spark.createDataFrame(pdf)
+    ev0 = ev0.filter(F.unix_timestamp(
+        F.window("ts", "1 hour").start) == got[0][0])
+    est = {r["value"]: r["est"] for r in count_min_estimate(
+        w0, ev0.select(F.col("user_id").cast("string").alias("v")),
+        "v", width=64, depth=3).collect()}
+    true = {str(r["user_id"]): r["n"] for r in
+            ev0.groupBy("user_id").agg(F.count("*").alias("n"))
+            .collect()}
+    assert all(est[v] >= n for v, n in true.items())
