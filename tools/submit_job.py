@@ -46,7 +46,21 @@ def main() -> int:
     ap.add_argument("--slide", default=None)
     ap.add_argument("--watermark", default="3 days")
     ap.add_argument("--themes", type=int, default=5)
+    ap.add_argument("--preset", choices=["default", "small"],
+                    default="default",
+                    help="'small' applies the sf-test parameter preset "
+                         "(plans.pipeline.small_params) — for smoke "
+                         "runs and CI backfills on toy inputs")
     ap.add_argument("--trigger", default="1 minute")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="file-source rate limit (files per micro-batch); "
+                         "also what lets an --available-now backfill "
+                         "advance the watermark across batches")
+    ap.add_argument("--available-now", action="store_true",
+                    help="process everything already in --input, then "
+                         "stop: bounded backfill/catch-up run (the "
+                         "checkpoint still makes the next submission "
+                         "resume incrementally)")
     ap.add_argument("--metrics-jsonl", default=None)
     args = ap.parse_args()
 
@@ -67,7 +81,15 @@ def main() -> int:
         MetricsListener,
     )
 
-    params = replace(DEFAULTS, window_length=args.window,
+    if args.preset == "small":
+        from bigdata_event_stream_detection_spark.plans.pipeline import (
+            small_params,
+        )
+
+        base = small_params()
+    else:
+        base = DEFAULTS
+    params = replace(base, window_length=args.window,
                      window_slide=args.slide, num_themes=args.themes,
                      watermark_delay=args.watermark)
     background = spark.read.parquet(args.background).toPandas()
@@ -80,10 +102,16 @@ def main() -> int:
 
     listener = MetricsListener(args.metrics_jsonl)
     spark.streams.addListener(listener)
-    stream = read_sequence_stream(spark, args.input)
+    stream = read_sequence_stream(
+        spark, args.input,
+        max_files_per_trigger=args.max_files_per_trigger)
     events = streaming_detect_events(stream, background, params)
-    q = start_event_sink(events, args.output, args.checkpoint,
-                         processing_time=args.trigger)
+    if args.available_now:
+        q = start_event_sink(events, args.output, args.checkpoint,
+                             available_now=True)
+    else:
+        q = start_event_sink(events, args.output, args.checkpoint,
+                             processing_time=args.trigger)
     q.awaitTermination()
     return 0
 
