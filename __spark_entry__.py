@@ -526,6 +526,19 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ: coarse cells + residual PQ codes + ADC — the composed
+    # 10^9-vector shape; oracle is the single-node recompute with
+    # identical seeds/op order (tools/local_oracle.ann_ivfpq_rows)
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                       k=5, n_centroids=8, n_probe=3, m=8, ksub=16)
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     # distributed spherical k-means (full-corpus Lloyd's; only kxd
     # centroid state on the driver) — oracle is a single-node numpy
@@ -1079,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "cm_word_counts": _q_cm_word_counts,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2381,6 +2395,11 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "ann_ivfpq_topk": lo.values_sql(
+            lo.ann_ivfpq_rows(_ORACLE_SF_DIR, k=5, n_centroids=8,
+                              n_probe=3, m=8, ksub=16),
+            [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+             ("rank", "INTEGER"), ("score", "DOUBLE")]),
         "ann_pq_topk": lo.values_sql(
             lo.ann_pq_rows(_ORACLE_SF_DIR, k=5, m=8, ksub=16),
             [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),

@@ -191,3 +191,41 @@ def test_semantic_dedup_blocked_matches_single_block(spark):
     a = semantic_dedup(emb, block_target=7, **kw).collect()
     b = semantic_dedup(emb.repartition(5), block_target=4096, **kw).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    import numpy as np
+    from collections import Counter
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    # planted structure at BOTH levels: 4 plants (the coarse cells) x 5
+    # sub-clusters each (what the residual codes must separate — with
+    # IID noise only, within-cell ranking is information-free and ANY
+    # quantizer fails; real corpora have the sub-structure)
+    rng = np.random.default_rng(31)
+    base = np.eye(16)[:4]
+    sub = np.eye(16)[4:9] * 0.4
+    rows = [(i, [float(x) for x in
+                 base[i % 4] + sub[(i // 4) % 5]
+                 + 0.03 * rng.standard_normal(16)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 5")
+
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ivf_pq_topk(emb, q, k=5, n_centroids=4, n_probe=2,
+                         m=8, ksub=16).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"IVF-PQ recall {recall} too low"
+    per_q = Counter(r["query_id"] for r in approx)
+    assert all(v == 5 for v in per_q.values())
+
+    approx2 = ivf_pq_topk(emb.repartition(7), q, k=5, n_centroids=4,
+                          n_probe=2, m=8, ksub=16).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))

@@ -588,6 +588,60 @@ def ann_pq_rows(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16,
     return rows
 
 
+def ann_ivfpq_rows(sf_dir: str, k: int = 5, n_centroids: int = 8,
+                   n_probe: int = 3, m: int = 8, ksub: int = 16,
+                   sample_size: int = 10_000,
+                   query_max: int = 10) -> list[tuple]:
+    """similarity.ivf_pq_topk: same seeded coarse quantizer, same
+    residual sub-codebooks, same ADC score = <q,centroid> + LUT sums,
+    same probe restriction and (score desc, id asc) top-k."""
+    from bigdata_event_stream_detection_spark.operators.kernels import (
+        stable_seed,
+    )
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _kmeans, _pq_codebooks,
+    )
+
+    ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    Sn = Mn[:sample_size]
+    cent = _kmeans(Sn, n_centroids, seed=stable_seed("ivfpq", n_centroids))
+    resid_sample = Sn - cent[np.argmax(Sn @ cent.T, axis=1)]
+    books = _pq_codebooks(resid_sample, m, ksub)
+    chunks = np.array_split(np.arange(Mn.shape[1]), m)
+
+    qm = ids < query_max
+    Qn, q_ids = Mn[qm], ids[qm]
+    qcent = Qn @ cent.T
+    probes = np.argsort(-qcent, axis=1)[:, :n_probe]
+    luts = [Qn[:, ch] @ books[j].T for j, ch in enumerate(chunks)]
+
+    cell = np.argmax(Mn @ cent.T, axis=1)
+    resid = Mn - cent[cell]
+    codes = np.empty((len(chunks), Mn.shape[0]), dtype=np.int64)
+    for j, ch in enumerate(chunks):
+        Xj = resid[:, ch]
+        d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[j] = np.argmin(d2, axis=1)
+
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        mask = np.isin(cell, probes[qi]) & (ids != qid)
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            continue
+        s = qcent[qi, cell[idx]].copy()
+        for j in range(len(chunks)):
+            s += luts[j][qi, codes[j, idx]]
+        sel = np.lexsort((ids[idx], -s))[:k]
+        for r, p in enumerate(sel, start=1):
+            rows.append((int(qid), int(ids[idx[p]]), r,
+                         spark_round(float(s[p]), 6)))
+    return rows
+
+
 def _bpe_word_counts(sf_dir: str, min_word_count: int):
     import re
     from collections import Counter
