@@ -526,6 +526,27 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_vocab_prune_remap(spark, sf_dir):
+    # tokenizer-migration primitive: renumber the top-50 ids (reversed,
+    # a real renumbering) and fold the tail into UNK=-1, order-exact
+    # fingerprint per doc; oracle recomputes single-node
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences, remap_token_ids,
+    )
+
+    seqs = documents_to_sequences(_t(spark, sf_dir, "documents"))
+    mapping = spark.range(50).select(
+        F.col("id").alias("old_id"),
+        (F.lit(49) - F.col("id")).alias("new_id"))
+    out = remap_token_ids(seqs, mapping, unk_id=-1)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda t: t.cast("string")))).alias("fingerprint"),
+    )
+
+
 def _q_ann_ivfpq_topk(spark, sf_dir):
     # IVF-PQ: coarse cells + residual PQ codes + ADC — the composed
     # 10^9-vector shape; oracle is the single-node recompute with
@@ -1093,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "cm_word_counts": _q_cm_word_counts,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "vocab_prune_remap": _q_vocab_prune_remap,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2395,6 +2417,10 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "vocab_prune_remap": lo.values_sql(
+            lo.remap_rows(_ORACLE_SF_DIR, vocab_keep=50, unk_id=-1),
+            [("doc_id", "VARCHAR"), ("n_tok", "INTEGER"),
+             ("fingerprint", "VARCHAR")]),
         "ann_ivfpq_topk": lo.values_sql(
             lo.ann_ivfpq_rows(_ORACLE_SF_DIR, k=5, n_centroids=8,
                               n_probe=3, m=8, ksub=16),

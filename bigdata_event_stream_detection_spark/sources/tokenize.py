@@ -120,3 +120,68 @@ def documents_to_sequences(
             F.lit(base_epoch) + F.col("doc_id").cast("long") * step_seconds
         ).alias("event_time"),
     )
+
+
+def remap_token_ids(
+    sequences: DataFrame,
+    mapping: DataFrame,
+    unk_id: int | None = None,
+    token_col: str = "tokens",
+) -> DataFrame:
+    """Rewrite every token through an (old_id -> new_id) mapping — the
+    tokenizer-migration / vocab-prune primitive (switch tokenizer
+    versions, renumber after dropping rare words, fold tail ids into
+    UNK). Order-preserving by construction.
+
+    ``mapping`` is (old_id, new_id); ids absent from it become
+    ``unk_id``, or are DROPPED when ``unk_id`` is None (the vocab-prune
+    semantics). Same adaptive strategy as ``documents_to_sequences``:
+    vocab-bounded mappings apply as one broadcast map literal inside a
+    single ``transform`` projection (zero shuffle, zero Python); larger
+    mappings take the posexplode -> join -> ordered re-assemble path,
+    bounded by token count. ``n_tok`` is recomputed when present.
+    """
+    rows = mapping.limit(_MAP_LITERAL_LIMIT + 1).collect()
+    unk = F.lit(None) if unk_id is None else F.lit(int(unk_id))
+    if len(rows) <= _MAP_LITERAL_LIMIT:
+        pairs = []
+        for r in rows:
+            pairs.append(F.lit(int(r["old_id"])))
+            pairs.append(F.lit(int(r["new_id"])))
+        m = F.create_map(*pairs) if pairs else F.create_map()
+        remapped = F.filter(
+            F.transform(F.col(token_col),
+                        lambda t: F.coalesce(m[t], unk)),
+            lambda x: x.isNotNull(),
+        )
+        out = sequences.withColumn(token_col, remapped)
+    else:
+        other = [c for c in sequences.columns if c != token_col]
+        exploded = sequences.select(
+            *other, F.posexplode(token_col).alias("pos", "_old"))
+        joined = exploded.join(
+            mapping.select(F.col("old_id").alias("_old"),
+                           F.col("new_id").alias("_new")),
+            "_old", "left"
+        ).withColumn("_new", F.coalesce("_new", unk))
+        joined = joined.filter(F.col("_new").isNotNull())
+        agg = (
+            joined.groupBy(*other)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_new"))),
+                lambda s: s["_new"]).alias(token_col))
+        )
+        # a doc whose every token dropped still gets a row (empty
+        # array) — same semantics as the map-literal path
+        arr_type = sequences.schema[token_col].dataType.simpleString()
+        out = (
+            sequences.select(*other)
+            .join(agg, other, "left")
+            .withColumn(token_col, F.coalesce(
+                F.col(token_col),
+                F.expr(f"CAST(array() AS {arr_type})")))
+            .select(*sequences.columns)
+        )
+    if "n_tok" in out.columns:
+        out = out.withColumn("n_tok", F.size(token_col))
+    return out

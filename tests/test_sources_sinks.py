@@ -121,3 +121,42 @@ def test_jsonl_documents_reader_quarantines_corrupt_lines(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.table("jsonl_stream").collect()}
     assert got == {1, 2}
+
+
+def test_remap_token_ids_paths_agree_and_preserve_order(spark):
+    from bigdata_event_stream_detection_spark.sources import tokenize as tk
+
+    seqs = spark.createDataFrame(
+        [("d1", [0, 3, 1, 3, 7], 5, "A"),
+         ("d2", [7, 8], 2, "A"),          # fully out-of-mapping
+         ("d3", [2, 0, 2], 3, "B")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    mapping = spark.createDataFrame(
+        [(0, 100), (1, 101), (2, 102), (3, 103)], "old_id int, new_id int")
+
+    # UNK fold: order preserved, unknowns become -1, n_tok recomputed
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in tk.remap_token_ids(seqs, mapping, unk_id=-1).collect()}
+    assert got["d1"] == ([100, 103, 101, 103, -1], 5)
+    assert got["d2"] == ([-1, -1], 2)
+    assert got["d3"] == ([102, 100, 102], 3)
+
+    # prune semantics (unk None): unknowns DROP, empty docs keep a row
+    got2 = {r["doc_id"]: list(r["tokens"])
+            for r in tk.remap_token_ids(seqs, mapping).collect()}
+    assert got2 == {"d1": [100, 103, 101, 103], "d2": [], "d3": [102, 100, 102]}
+
+    # the join fallback path must agree exactly with the map literal
+    old_limit = tk._MAP_LITERAL_LIMIT
+    tk._MAP_LITERAL_LIMIT = 1
+    try:
+        via_join = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+                    for r in tk.remap_token_ids(
+                        seqs, mapping, unk_id=-1).collect()}
+        via_join_prune = {r["doc_id"]: list(r["tokens"])
+                          for r in tk.remap_token_ids(
+                              seqs, mapping).collect()}
+    finally:
+        tk._MAP_LITERAL_LIMIT = old_limit
+    assert via_join == got
+    assert via_join_prune == got2

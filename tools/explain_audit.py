@@ -40,6 +40,7 @@ AUDIT = [
     "bigram_perplexity", "embedding_kmeans", "ann_pq_topk", "bpe_encode",
     "nb_lang_classify", "dsir_sample", "bloom_contamination",
     "temperature_mix", "semantic_dedup", "dup_graph_pagerank",
+    "cm_word_counts", "ann_ivfpq_topk",
 ]
 
 

@@ -588,6 +588,24 @@ def ann_pq_rows(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16,
     return rows
 
 
+def remap_rows(sf_dir: str, vocab_keep: int = 50,
+               unk_id: int = -1) -> list[tuple]:
+    """sources.tokenize.remap_token_ids over the standard sequences:
+    ids < vocab_keep renumber to (vocab_keep-1 - id), everything else
+    folds to unk_id; order-exact md5 fingerprint of the result."""
+    import hashlib
+
+    seqs = load_sequences(sf_dir)
+    rows = []
+    for doc_id, toks in zip(seqs["doc_id"], seqs["tokens"]):
+        out = [vocab_keep - 1 - int(t) if t < vocab_keep else unk_id
+               for t in toks]
+        fp = hashlib.md5(",".join(map(str, out)).encode()).hexdigest()
+        rows.append((str(doc_id), len(out), fp))
+    rows.sort()
+    return rows
+
+
 def ann_ivfpq_rows(sf_dir: str, k: int = 5, n_centroids: int = 8,
                    n_probe: int = 3, m: int = 8, ksub: int = 16,
                    sample_size: int = 10_000,
