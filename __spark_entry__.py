@@ -526,6 +526,29 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_packed_sequences(spark, sf_dir):
+    # trainer-shaped packed batches: concatenated token stream + doc-
+    # boundary prefix array per (source, pack); order-exact md5
+    # fingerprints checked against the single-node recompute
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences,
+    )
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    seqs = documents_to_sequences(_t(spark, sf_dir, "documents"))
+    seqs = seqs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    out = pack_sequences(seqs, budget_tokens=400)
+    fp = lambda c: F.md5(F.concat_ws(",", F.transform(
+        c, lambda x: x.cast("string"))))
+    return out.select(
+        "source", "pack_id", "n_docs", "total_tokens",
+        fp("boundaries").alias("boundaries_fp"),
+        fp("tokens").alias("tokens_fp"),
+    )
+
+
 def _q_vocab_prune_remap(spark, sf_dir):
     # tokenizer-migration primitive: renumber the top-50 ids (reversed,
     # a real renumbering) and fold the tail into UNK=-1, order-exact
@@ -1115,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_word_counts": _q_cm_word_counts,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "vocab_prune_remap": _q_vocab_prune_remap,
+        "packed_sequences": _q_packed_sequences,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2417,6 +2441,11 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "packed_sequences": lo.values_sql(
+            lo.packed_rows(_ORACLE_SF_DIR, budget_tokens=400),
+            [("source", "VARCHAR"), ("pack_id", "INTEGER"),
+             ("n_docs", "INTEGER"), ("total_tokens", "INTEGER"),
+             ("boundaries_fp", "VARCHAR"), ("tokens_fp", "VARCHAR")]),
         "vocab_prune_remap": lo.values_sql(
             lo.remap_rows(_ORACLE_SF_DIR, vocab_keep=50, unk_id=-1),
             [("doc_id", "VARCHAR"), ("n_tok", "INTEGER"),

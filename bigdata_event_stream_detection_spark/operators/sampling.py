@@ -376,3 +376,44 @@ def temperature_mix_sample(
               .agg(F.count("*").alias("n")).collect()}
     fracs = temperature_mix_fractions(counts, alpha, budget_rows)
     return stratified_hash_sample(df, fracs, strata_col, key_col, salt)
+
+
+def pack_sequences(
+    sequences: DataFrame,
+    budget_tokens: int,
+    token_col: str = "tokens",
+    order_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Materialize the packed training batches that ``pack_assignments``
+    plans: per (group, pack), the member token arrays concatenate in
+    deterministic order into ONE sequence, with the doc-boundary prefix
+    array a trainer needs for attention masking / loss spans
+    (boundaries[i] = start offset of doc i; last entry = total length).
+
+    One row per pack: (group, pack_id, n_docs, total_tokens,
+    boundaries, tokens). All array work is in-row Column expressions
+    (sorted collect_list -> flatten / running-sum aggregate), so the
+    only exchange is the (group, pack_id) hash agg and nothing crosses
+    into Python. Pack sizes are budget-bounded (one-row overflow, the
+    next-fit contract), so a pack row is a bounded, trainer-shaped
+    unit — this is the operator whose output feeds a dataloader.
+    """
+    asg = pack_assignments(sequences, budget_tokens, size_col="n_tok",
+                           order_col=order_col, group_col=group_col)
+    parts = asg.groupBy(group_col, "pack_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(order_col, token_col))).alias("_p"))
+    toks = F.flatten(
+        F.transform(F.col("_p"), lambda s: s[token_col]))
+    sizes = F.transform(F.col("_p"), lambda s: F.size(s[token_col]))
+    boundaries = F.aggregate(
+        sizes, F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)))
+    return parts.select(
+        group_col, "pack_id",
+        F.size("_p").alias("n_docs"),
+        F.element_at(boundaries, -1).alias("total_tokens"),
+        boundaries.alias("boundaries"),
+        toks.alias(token_col),
+    )

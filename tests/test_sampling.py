@@ -282,3 +282,30 @@ def test_temperature_mix_sample_rebalances(spark):
     assert (sorted(map(tuple, temperature_mix_sample(df, alpha=0.5)
                        .collect()))
             == sorted(map(tuple, out2.collect())))
+
+
+def test_pack_sequences_builds_trainer_shaped_packs(spark):
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    seqs = spark.createDataFrame(
+        [(1, [1, 2, 3], 3, "A"),       # pack 0 (cum_before 0)
+         (2, [4, 5], 2, "A"),          # pack 0 (cum_before 3)
+         (3, [6, 7, 8, 9], 4, "A"),    # pack 1 (cum_before 5 -> //5)
+         (4, [10] * 12, 12, "A"),      # oversized: own pack (cum 9)
+         (5, [1], 1, "B")],
+        "doc_id long, tokens array<int>, n_tok int, source string")
+    got = {(r["source"], r["pack_id"]):
+           (r["n_docs"], r["total_tokens"],
+            list(r["boundaries"]), list(r["tokens"]))
+           for r in pack_sequences(seqs, budget_tokens=5).collect()}
+
+    assert got[("A", 0)] == (2, 5, [0, 3, 5], [1, 2, 3, 4, 5])
+    assert got[("A", 1)] == (2, 16, [0, 4, 16], [6, 7, 8, 9] + [10] * 12)
+    assert got[("B", 0)] == (1, 1, [0, 1], [1])
+    # determinism under partitioning
+    again = {(r["source"], r["pack_id"]): list(r["tokens"])
+             for r in pack_sequences(
+                 seqs.repartition(4), budget_tokens=5).collect()}
+    assert again == {k: v[3] for k, v in got.items()}

@@ -606,6 +606,38 @@ def remap_rows(sf_dir: str, vocab_keep: int = 50,
     return rows
 
 
+def packed_rows(sf_dir: str, budget_tokens: int = 400) -> list[tuple]:
+    """sampling.pack_sequences over the standard sequences (doc ids
+    cast to long for numeric order): per (source, pack) — n_docs,
+    total_tokens, md5 of the boundary prefix array, md5 of the packed
+    token stream."""
+    import hashlib
+
+    seqs = load_sequences(sf_dir)
+    seqs = seqs.assign(_oid=seqs["doc_id"].astype(int))
+    rows = []
+    for source, g in seqs.groupby("source"):
+        g = g.sort_values("_oid")
+        cum = 0
+        packs: dict[int, list] = {}
+        for _, r in g.iterrows():
+            pid = cum // budget_tokens
+            cum += int(r["n_tok"])
+            packs.setdefault(pid, []).append(r["tokens"])
+        for pid, arrs in packs.items():
+            bounds = [0]
+            flat = []
+            for a in arrs:
+                flat.extend(int(x) for x in a)
+                bounds.append(bounds[-1] + len(a))
+            bfp = hashlib.md5(",".join(map(str, bounds)).encode()).hexdigest()
+            tfp = hashlib.md5(",".join(map(str, flat)).encode()).hexdigest()
+            rows.append((source, int(pid), len(arrs), bounds[-1],
+                         bfp, tfp))
+    rows.sort()
+    return rows
+
+
 def ann_ivfpq_rows(sf_dir: str, k: int = 5, n_centroids: int = 8,
                    n_probe: int = 3, m: int = 8, ksub: int = 16,
                    sample_size: int = 10_000,
