@@ -526,6 +526,35 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_uncorroborated_events(spark, sf_dir):
+    # batch path of the streaming LEFT-OUTER anti-join form: hourly
+    # (window, theme, source) strengths from the events table; keep the
+    # rows NO other source corroborates. theme_id derives from the
+    # portable md5 hash so DuckDB reproduces it.
+    from bigdata_event_stream_detection_spark.functions.textfns import (
+        hash60,
+    )
+    from bigdata_event_stream_detection_spark.streaming.engine import (
+        uncorroborated_events,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            # events carry no source column: derive a 3-way feed split
+            F.pmod(F.col("user_id"), F.lit(3)).cast("string")
+            .alias("source"),
+            F.pmod(hash60(F.col("event_type")), F.lit(7)).cast("int")
+            .alias("theme_id"))
+        .agg(F.count("*").alias("strength"))
+    )
+    out = uncorroborated_events(hourly, min_strength=2)
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        "theme_id", "source", "strength")
+
+
 def _q_packed_sequences(spark, sf_dir):
     # trainer-shaped packed batches: concatenated token stream + doc-
     # boundary prefix array per (source, pack); order-exact md5
@@ -1139,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "vocab_prune_remap": _q_vocab_prune_remap,
         "packed_sequences": _q_packed_sequences,
+        "uncorroborated_events": _q_uncorroborated_events,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1953,6 +1983,22 @@ def oracle_sql() -> dict[str, str]:
             FROM weights
             ORDER BY sample_key DESC, doc_id ASC
             LIMIT 50
+        """,
+        "uncorroborated_events": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS ws,
+                     CAST(user_id % 3 AS VARCHAR) AS source,
+                     CAST(CAST(concat('0x', substr(md5(event_type),
+                          1, 15)) AS BIGINT) % 7 AS INTEGER) AS theme_id,
+                     count(*) AS strength
+              FROM events GROUP BY 1, 2, 3)
+            SELECT CAST(epoch(a.ws) AS BIGINT) AS ws_epoch,
+                   a.theme_id, a.source, a.strength
+            FROM (SELECT * FROM hourly WHERE strength >= 2) a
+            LEFT JOIN (SELECT * FROM hourly WHERE strength >= 2) b
+              ON a.ws = b.ws AND a.theme_id = b.theme_id
+             AND a.source <> b.source
+            WHERE b.source IS NULL
         """,
         "cm_word_counts": _WORDS_CTE + """
             , cells AS (
