@@ -526,6 +526,27 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_nb_confusion(spark, sf_dir):
+    # the eval step that closes the classifier loop: confusion matrix
+    # of the held-out predictions against the true labels — pure
+    # counting over the oracle-proven scoring plan
+    from bigdata_event_stream_detection_spark.operators.classifier import (
+        nb_classify, nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cond, priors = nb_train(docs.filter(F.col("doc_id") % 5 != 0))
+    pred = nb_classify(docs.filter(F.col("doc_id") % 5 == 0),
+                       cond, priors)
+    return (
+        pred.join(docs.select("doc_id",
+                              F.col("lang").alias("true_label")),
+                  "doc_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_uncorroborated_events(spark, sf_dir):
     # batch path of the streaming LEFT-OUTER anti-join form: hourly
     # (window, theme, source) strengths from the events table; keep the
@@ -1169,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_prune_remap": _q_vocab_prune_remap,
         "packed_sequences": _q_packed_sequences,
         "uncorroborated_events": _q_uncorroborated_events,
+        "nb_confusion": _q_nb_confusion,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -1215,6 +1237,63 @@ _WORDS_CTE = (
     "string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')) AS word "
     "FROM documents)"
 )
+
+# NB train-on-%5!=0 / score-held-out scores, shared by the classify
+# and confusion oracles; ends with CTE `pred` = per-doc argmax verdict
+_NB_SCORES_CTE = """
+    WITH tw AS (
+      SELECT lang AS label,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), w -> w <> '')) AS word
+      FROM documents WHERE doc_id % 5 <> 0),
+    wc AS (SELECT label, word, count(*) AS c FROM tw GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT word) AS v FROM wc),
+    den AS (
+      SELECT label, sum(c)::DOUBLE + 1.0 * (SELECT v FROM v) AS den
+      FROM wc GROUP BY label),
+    cond AS (
+      SELECT wc.label, word, ln((c + 1.0) / den) AS log_cond
+      FROM wc JOIN den ON wc.label = den.label),
+    dc AS (SELECT lang AS label, count(*)::DOUBLE AS nd
+           FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+    priors AS (
+      SELECT dc.label,
+             ln(nd / (SELECT sum(nd) FROM dc)) AS log_prior,
+             ln(1.0 / den) AS log_default
+      FROM dc JOIN den ON dc.label = den.label),
+    dwc AS (
+      SELECT doc_id, word, count(*) AS n
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text),
+                          '[^a-z]+'), w -> w <> '')) AS word
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2),
+    vw AS (SELECT DISTINCT word FROM cond),
+    scores AS (
+      SELECT dwc.doc_id, p.label,
+             sum(dwc.n * coalesce(cond.log_cond, p.log_default))
+             + any_value(p.log_prior) AS score
+      FROM dwc
+      JOIN vw ON dwc.word = vw.word
+      CROSS JOIN priors p
+      LEFT JOIN cond ON cond.label = p.label
+                    AND cond.word = dwc.word
+      GROUP BY 1, 2),
+    all_scores AS (
+      SELECT * FROM scores
+      UNION ALL
+      SELECT d.doc_id, p.label, p.log_prior AS score
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+            AND doc_id NOT IN (SELECT DISTINCT doc_id
+                               FROM scores)) d
+      CROSS JOIN priors p),
+    pred AS (
+      SELECT doc_id, label AS pred_label, round(score, 4) AS score
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, label ASC) AS rk
+            FROM all_scores)
+      WHERE rk = 1)
+"""
 
 _SHINGLES_CTE = """
 WITH w AS (
@@ -2024,58 +2103,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, n_exact, est, est >= n_exact AS never_under
             FROM exact JOIN est USING (value)
         """,
-        "nb_lang_classify": """
-            WITH tw AS (
-              SELECT lang AS label,
-                     unnest(list_filter(string_split_regex(lower(text),
-                            '[^a-z]+'), w -> w <> '')) AS word
-              FROM documents WHERE doc_id % 5 <> 0),
-            wc AS (SELECT label, word, count(*) AS c FROM tw GROUP BY 1, 2),
-            v AS (SELECT count(DISTINCT word) AS v FROM wc),
-            den AS (
-              SELECT label, sum(c)::DOUBLE + 1.0 * (SELECT v FROM v) AS den
-              FROM wc GROUP BY label),
-            cond AS (
-              SELECT wc.label, word, ln((c + 1.0) / den) AS log_cond
-              FROM wc JOIN den ON wc.label = den.label),
-            dc AS (SELECT lang AS label, count(*)::DOUBLE AS nd
-                   FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
-            priors AS (
-              SELECT dc.label,
-                     ln(nd / (SELECT sum(nd) FROM dc)) AS log_prior,
-                     ln(1.0 / den) AS log_default
-              FROM dc JOIN den ON dc.label = den.label),
-            dwc AS (
-              SELECT doc_id, word, count(*) AS n
-              FROM (SELECT doc_id,
-                           unnest(list_filter(string_split_regex(lower(text),
-                                  '[^a-z]+'), w -> w <> '')) AS word
-                    FROM documents WHERE doc_id % 5 = 0)
-              GROUP BY 1, 2),
-            vw AS (SELECT DISTINCT word FROM cond),
-            scores AS (
-              SELECT dwc.doc_id, p.label,
-                     sum(dwc.n * coalesce(cond.log_cond, p.log_default))
-                     + any_value(p.log_prior) AS score
-              FROM dwc
-              JOIN vw ON dwc.word = vw.word
-              CROSS JOIN priors p
-              LEFT JOIN cond ON cond.label = p.label
-                            AND cond.word = dwc.word
-              GROUP BY 1, 2),
-            all_scores AS (
-              SELECT * FROM scores
-              UNION ALL
-              SELECT d.doc_id, p.label, p.log_prior AS score
-              FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0
-                    AND doc_id NOT IN (SELECT DISTINCT doc_id
-                                       FROM scores)) d
-              CROSS JOIN priors p)
-            SELECT doc_id, label AS pred_label, round(score, 4) AS score
-            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, label ASC) AS rk
-                  FROM all_scores)
-            WHERE rk = 1
+        "nb_lang_classify": _NB_SCORES_CTE + """
+            SELECT doc_id, pred_label, score FROM pred
+        """,
+        "nb_confusion": _NB_SCORES_CTE + """
+            SELECT d.lang AS true_label, p.pred_label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
         """,
         "language_id": """
             WITH w AS (
