@@ -526,6 +526,17 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_skipgram_cooc(spark, sf_dir):
+    # GloVe-style distance-weighted co-occurrence: in-row pair stream
+    # (no positions self-join), one (w1,w2) hash agg
+    from bigdata_event_stream_detection_spark.operators.text import (
+        skipgram_cooccurrence,
+    )
+
+    return skipgram_cooccurrence(
+        _t(spark, sf_dir, "documents"), window=5, min_weight=5.0)
+
+
 def _q_nb_confusion(spark, sf_dir):
     # the eval step that closes the classifier loop: confusion matrix
     # of the held-out predictions against the true labels — pure
@@ -1191,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "uncorroborated_events": _q_uncorroborated_events,
         "nb_confusion": _q_nb_confusion,
+        "skipgram_cooc": _q_skipgram_cooc,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2062,6 +2074,24 @@ def oracle_sql() -> dict[str, str]:
             FROM weights
             ORDER BY sample_key DESC, doc_id ASC
             LIMIT 50
+        """,
+        "skipgram_cooc": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z]+'), x -> x <> '') AS ws
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i AS pos, ws[i] AS word
+              FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+              WHERE len(ws) >= 2)
+            SELECT a.word AS w1, b.word AS w2,
+                   round(sum(1.0 / (b.pos - a.pos)), 6) AS weight
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 5
+            GROUP BY 1, 2
+            HAVING round(sum(1.0 / (b.pos - a.pos)), 6) >= 5.0
         """,
         "uncorroborated_events": """
             WITH hourly AS (

@@ -519,3 +519,45 @@ def pmi_collocations(
                        F.col("w2").asc())
         .limit(k)
     )
+
+
+def skipgram_cooccurrence(
+    documents: DataFrame,
+    window: int = 5,
+    min_weight: float = 5.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """GloVe-style distance-weighted co-occurrence counts (Pennington
+    et al., EMNLP'14): every (center, context-at-offset-k) pair inside
+    a ``window``-word context contributes weight 1/k; pairs below
+    ``min_weight`` total are cut (the long tail carries no signal and
+    dominates the row count).
+
+    The pair stream is generated ENTIRELY in-row — a nested
+    transform/flatten over the word array — so there is no positions
+    self-join and no token-table shuffle: the only exchange is the
+    final (w1, w2) hash agg with map-side partials. Work and output
+    are bounded by tokens x window. Directed (center -> context)
+    counts; sum the two orientations for the symmetric matrix.
+    """
+    ws = ascii_words(F.col(text_col))
+    n = F.size(ws)
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(int(window)), n - i)),
+            lambda k: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, (i + k).cast("int")).alias("w2"),
+                (F.lit(1.0) / k).alias("w")),
+        ),
+    ))
+    return (
+        documents.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2", "p.w")
+        .groupBy("w1", "w2")
+        .agg(F.round(F.sum("w"), 6).alias("weight"))
+        .filter(F.col("weight") >= float(min_weight))
+    )

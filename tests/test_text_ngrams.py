@@ -212,3 +212,24 @@ def test_pmi_collocations_hand_computed(spark):
     # the perfect collocation outranks the incidental one
     top = max(rows.items(), key=lambda kv: kv[1][1])[0]
     assert top == ("strong", "coffee")
+
+
+def test_skipgram_cooccurrence_weights(spark):
+    from bigdata_event_stream_detection_spark.operators.text import (
+        skipgram_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a")],       # 1-word doc contributes nothing
+        "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r["weight"]
+           for r in skipgram_cooccurrence(
+               docs, window=2, min_weight=0.0).collect()}
+    # a b c a, window 2: (a,b)@1, (a,c)@2, (b,c)@1, (b,a)@2, (c,a)@1
+    assert got == {("a", "b"): 1.0, ("a", "c"): 0.5,
+                   ("b", "c"): 1.0, ("b", "a"): 0.5, ("c", "a"): 1.0}
+    # min_weight cuts the tail
+    kept = {(r["w1"], r["w2"])
+            for r in skipgram_cooccurrence(
+                docs, window=2, min_weight=1.0).collect()}
+    assert kept == {("a", "b"), ("b", "c"), ("c", "a")}
