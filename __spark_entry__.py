@@ -526,6 +526,21 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_token_sequence_stats(spark, sf_dir):
+    # token-native quality signals (the pre-tokenized input shape
+    # carries no raw text): distinct fraction, Gopher top-share,
+    # duplicate-bigram fraction, token entropy — all in-row, no shuffle
+    from bigdata_event_stream_detection_spark.operators.text import (
+        token_sequence_stats,
+    )
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences,
+    )
+
+    seqs = documents_to_sequences(_t(spark, sf_dir, "documents"))
+    return token_sequence_stats(seqs)
+
+
 def _q_skipgram_cooc(spark, sf_dir):
     # GloVe-style distance-weighted co-occurrence: in-row pair stream
     # (no positions self-join), one (w1,w2) hash agg
@@ -1203,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncorroborated_events": _q_uncorroborated_events,
         "nb_confusion": _q_nb_confusion,
         "skipgram_cooc": _q_skipgram_cooc,
+        "token_sequence_stats": _q_token_sequence_stats,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2552,6 +2568,11 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "token_sequence_stats": lo.values_sql(
+            lo.token_stats_rows(_ORACLE_SF_DIR),
+            [("doc_id", "VARCHAR"), ("n_tok", "INTEGER"),
+             ("distinct_frac", "DOUBLE"), ("top_share", "DOUBLE"),
+             ("dup_bigram_frac", "DOUBLE"), ("entropy", "DOUBLE")]),
         "packed_sequences": lo.values_sql(
             lo.packed_rows(_ORACLE_SF_DIR, budget_tokens=400),
             [("source", "VARCHAR"), ("pack_id", "INTEGER"),

@@ -561,3 +561,53 @@ def skipgram_cooccurrence(
         .agg(F.round(F.sum("w"), 6).alias("weight"))
         .filter(F.col("weight") >= float(min_weight))
     )
+
+
+def token_sequence_stats(
+    sequences: DataFrame,
+    token_col: str = "tokens",
+) -> DataFrame:
+    """Quality signals computable from PRE-TOKENIZED sequences alone —
+    the north-rule input shape carries no raw text, so the text-side
+    heuristics (quality_scores, repetition_stats) don't apply; these
+    are their token-native counterparts, all in-row Column work with
+    zero shuffle:
+
+    * distinct_frac — distinct tokens / length (low = repetitive);
+    * top_share — most frequent token's share (Gopher top-word rule);
+    * dup_bigram_frac — 1 - distinct adjacent bigrams / bigrams;
+    * entropy — Shannon entropy (nats) of the token distribution.
+
+    The per-doc counting runs over the distinct-token array in first-
+    occurrence order (count = size(filter(..)) per distinct token) —
+    O(distinct x length) in-row work, fine at context-window lengths;
+    a corpus of mega-token docs would switch to the explode + hash-agg
+    form instead. Deterministic accumulation order makes the entropy
+    reproducible bit-for-bit by a single-node recompute.
+    """
+    ws = F.col(token_col)
+    n = F.size(ws)
+    dist = F.array_distinct(ws)
+    counts = F.transform(
+        dist, lambda t: F.size(F.filter(ws, lambda x: x == t)))
+    entropy = F.aggregate(
+        counts, F.lit(0.0),
+        lambda acc, c: acc - (c / n) * F.log(c / n))
+    top_share = F.array_max(counts) / n
+    big = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            ",", F.element_at(ws, i).cast("string"),
+            F.element_at(ws, (i + 1).cast("int")).cast("string")))
+    dup_bigram = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(big)) / (n - 1)
+    ).otherwise(F.lit(0.0))
+    return sequences.filter(n >= 1).select(
+        "doc_id",
+        n.alias("n_tok"),
+        F.round(F.size(dist) / n, 6).alias("distinct_frac"),
+        F.round(top_share, 6).alias("top_share"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        F.round(entropy, 6).alias("entropy"),
+    )

@@ -233,3 +233,36 @@ def test_skipgram_cooccurrence_weights(spark):
             for r in skipgram_cooccurrence(
                 docs, window=2, min_weight=1.0).collect()}
     assert kept == {("a", "b"), ("b", "c"), ("c", "a")}
+
+
+def test_token_sequence_stats_closed_form(spark):
+    import math
+
+    from bigdata_event_stream_detection_spark.operators.text import (
+        token_sequence_stats,
+    )
+
+    seqs = spark.createDataFrame(
+        [("d1", [7, 7, 7, 7]),        # degenerate: one token
+         ("d2", [1, 2, 3, 4]),        # all distinct
+         ("d3", [1, 2, 1, 2, 1]),     # repeated bigrams
+         ("d4", [9])],                # single token: no bigrams
+        "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in token_sequence_stats(seqs).collect()}
+
+    assert got["d1"]["distinct_frac"] == 0.25
+    assert got["d1"]["top_share"] == 1.0
+    assert got["d1"]["entropy"] == 0.0
+    assert got["d1"]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+
+    assert got["d2"]["distinct_frac"] == 1.0
+    assert got["d2"]["top_share"] == 0.25
+    assert got["d2"]["entropy"] == round(math.log(4), 6)
+    assert got["d2"]["dup_bigram_frac"] == 0.0
+
+    # d3: bigrams (1,2)(2,1)(1,2)(2,1) -> 2 distinct of 4
+    assert got["d3"]["dup_bigram_frac"] == 0.5
+    assert got["d3"]["top_share"] == 0.6
+
+    assert got["d4"]["n_tok"] == 1
+    assert got["d4"]["dup_bigram_frac"] == 0.0

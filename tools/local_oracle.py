@@ -606,6 +606,34 @@ def remap_rows(sf_dir: str, vocab_keep: int = 50,
     return rows
 
 
+def token_stats_rows(sf_dir: str) -> list[tuple]:
+    """text.token_sequence_stats over the standard sequences: same
+    first-occurrence distinct order, same accumulation order."""
+    seqs = load_sequences(sf_dir)
+    rows = []
+    for doc_id, toks in zip(seqs["doc_id"], seqs["tokens"]):
+        toks = [int(t) for t in toks]
+        n = len(toks)
+        seen = dict.fromkeys(toks)           # first-occurrence order
+        counts = [toks.count(t) for t in seen]
+        ent = 0.0
+        for c in counts:
+            ent = ent - (c / n) * np.log(c / n)
+        top = max(counts) / n
+        if n >= 2:
+            bigs = [f"{toks[i]},{toks[i+1]}" for i in range(n - 1)]
+            dup = 1.0 - len(dict.fromkeys(bigs)) / (n - 1)
+        else:
+            dup = 0.0
+        rows.append((str(doc_id), n,
+                     spark_round(len(seen) / n, 6),
+                     spark_round(top, 6),
+                     spark_round(dup, 6),
+                     spark_round(ent, 6)))
+    rows.sort()
+    return rows
+
+
 def packed_rows(sf_dir: str, budget_tokens: int = 400) -> list[tuple]:
     """sampling.pack_sequences over the standard sequences (doc ids
     cast to long for numeric order): per (source, pack) — n_docs,
