@@ -526,6 +526,29 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_span_corruption(spark, sf_dir):
+    # T5 denoising-pair prep: hash-derived span masks (replay-stable,
+    # engine-portable), ONE vectorized pandas rewrite, zero shuffles
+    from bigdata_event_stream_detection_spark.operators.objectives import (
+        span_corruption,
+    )
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences,
+    )
+
+    seqs = documents_to_sequences(_t(spark, sf_dir, "documents"))
+    out = span_corruption(seqs, mask_rate=0.15, span_len=3)
+    fp = lambda c: F.md5(F.concat_ws(",", F.transform(
+        c, lambda x: x.cast("string"))))
+    return out.select(
+        "doc_id", "n_spans",
+        F.size("input_ids").alias("n_input"),
+        F.size("target_ids").alias("n_target"),
+        fp("input_ids").alias("input_fp"),
+        fp("target_ids").alias("target_fp"),
+    )
+
+
 def _q_token_sequence_stats(spark, sf_dir):
     # token-native quality signals (the pre-tokenized input shape
     # carries no raw text): distinct fraction, Gopher top-share,
@@ -1219,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": _q_nb_confusion,
         "skipgram_cooc": _q_skipgram_cooc,
         "token_sequence_stats": _q_token_sequence_stats,
+        "span_corruption": _q_span_corruption,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2568,6 +2592,12 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "span_corruption": lo.values_sql(
+            lo.span_corruption_rows(_ORACLE_SF_DIR, mask_rate=0.15,
+                                    span_len=3),
+            [("doc_id", "VARCHAR"), ("n_spans", "INTEGER"),
+             ("n_input", "INTEGER"), ("n_target", "INTEGER"),
+             ("input_fp", "VARCHAR"), ("target_fp", "VARCHAR")]),
         "token_sequence_stats": lo.values_sql(
             lo.token_stats_rows(_ORACLE_SF_DIR),
             [("doc_id", "VARCHAR"), ("n_tok", "INTEGER"),

@@ -1,0 +1,104 @@
+"""Training-objective preparation over pre-tokenized sequences.
+
+Span corruption (T5, Raffel et al., JMLR'20 §3.1.4): mask contiguous
+token spans, replace each span with one sentinel id in the input, and
+emit the spans (each prefixed by its sentinel) as the target — the
+denoising pair a seq2seq trainer consumes.
+
+The web-scale discipline is the same as sampling.py: NO rand().
+Span starts derive from the salted md5 hash of (doc_id, position), so
+the corruption for a row is a pure function of row content — stable
+across runs, retries, partitionings, and engines, and therefore
+oracle-checkable. Masking density is start_rate = mask_rate/span_len
+per position; overlapping spans merge (the union of masked positions),
+matching the non-overlapping-span construction in expectation.
+
+Shape: the start/mask arrays build as in-row Column expressions (the
+portable hash60 per position, JVM-side); only the run-splitting — a
+genuinely sequential per-doc rewrite — crosses into ONE vectorized
+pandas kernel (np.diff/cumsum over the boolean mask; no per-token
+Python). Zero shuffles end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash60
+
+
+def span_corruption(
+    sequences: DataFrame,
+    mask_rate: float = 0.15,
+    span_len: int = 3,
+    sentinel_base: int = -1,
+    salt: str = "t5",
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """(id, n_spans, input_ids, target_ids) per sequence.
+
+    Sentinels are ``sentinel_base - span_index`` (negative ids never
+    collide with vocab ids; remap to real sentinel vocab entries with
+    ``tokenize.remap_token_ids`` if the tokenizer reserves them).
+    Docs where nothing masks emit with n_spans = 0 and an empty target.
+    """
+    period = max(1, round(float(span_len) / float(mask_rate)))
+    ws = F.col(token_col)
+    n = F.size(ws)
+    starts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pmod(
+            hash60(F.concat_ws("|", F.lit(salt),
+                               F.col(id_col).cast("string"),
+                               i.cast("string"))),
+            F.lit(int(period))) == 0)
+    mask = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.exists(
+            F.slice(starts,
+                    F.greatest(F.lit(1), i - int(span_len) + 1),
+                    F.least(i, F.lit(int(span_len)))),
+            lambda b: b))
+    src = sequences.filter(n >= 1).select(
+        F.col(id_col), ws.alias("_toks"), mask.alias("_mask"))
+
+    def rewrite(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, n_spans, inp, tgt = [], [], [], []
+            for doc, toks, m in zip(pdf[id_col], pdf["_toks"],
+                                    pdf["_mask"]):
+                t = np.asarray(toks, dtype=np.int64)
+                mk = np.asarray(m, dtype=bool)
+                rise = mk & ~np.concatenate(([False], mk[:-1]))
+                span_of = np.cumsum(rise) - 1     # valid where mk
+                sentinel = int(sentinel_base) - span_of
+                # order-preserving assembly via 2n interleaved slots:
+                # slot 2i = the span sentinel (if a span starts at i),
+                # slot 2i+1 = the token itself (input keeps unmasked
+                # tokens, target keeps masked ones)
+                hole = np.iinfo(np.int64).min
+                s_in = np.full(2 * t.size, hole)
+                s_in[0::2][rise] = sentinel[rise]
+                s_in[1::2][~mk] = t[~mk]
+                s_tg = np.full(2 * t.size, hole)
+                s_tg[0::2][rise] = sentinel[rise]
+                s_tg[1::2][mk] = t[mk]
+                ids.append(doc)
+                n_spans.append(int(rise.sum()))
+                inp.append(s_in[s_in != hole].tolist())
+                tgt.append(s_tg[s_tg != hole].tolist())
+            yield pd.DataFrame({
+                id_col: ids, "n_spans": n_spans,
+                "input_ids": inp, "target_ids": tgt})
+
+    id_type = dict(sequences.dtypes)[id_col]
+    return src.mapInPandas(
+        rewrite,
+        schema=(f"{id_col} {id_type}, n_spans int, "
+                "input_ids array<int>, target_ids array<int>"))

@@ -606,6 +606,45 @@ def remap_rows(sf_dir: str, vocab_keep: int = 50,
     return rows
 
 
+def span_corruption_rows(sf_dir: str, mask_rate: float = 0.15,
+                         span_len: int = 3, sentinel_base: int = -1,
+                         salt: str = "t5") -> list[tuple]:
+    """operators.objectives.span_corruption: same md5-derived span
+    starts, same union-mask/run semantics, order-exact fingerprints."""
+    import hashlib
+
+    period = max(1, round(float(span_len) / float(mask_rate)))
+    seqs = load_sequences(sf_dir)
+    rows = []
+    for doc_id, toks in zip(seqs["doc_id"], seqs["tokens"]):
+        t = [int(x) for x in toks]
+        n = len(t)
+        starts = [
+            _hash60_py(f"{salt}|{doc_id}|{i}") % period == 0
+            for i in range(1, n + 1)]
+        mask = [any(starts[max(0, i - span_len + 1):i + 1])
+                for i in range(n)]
+        inp, tgt, span = [], [], -1
+        prev = False
+        for i in range(n):
+            if mask[i] and not prev:
+                span += 1
+                s = sentinel_base - span
+                inp.append(s)
+                tgt.append(s)
+            if mask[i]:
+                tgt.append(t[i])
+            else:
+                inp.append(t[i])
+            prev = mask[i]
+        fp = lambda a: hashlib.md5(
+            ",".join(map(str, a)).encode()).hexdigest()
+        rows.append((str(doc_id), span + 1, len(inp), len(tgt),
+                     fp(inp), fp(tgt)))
+    rows.sort()
+    return rows
+
+
 def token_stats_rows(sf_dir: str) -> list[tuple]:
     """text.token_sequence_stats over the standard sequences: same
     first-occurrence distinct order, same accumulation order."""
