@@ -526,6 +526,30 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_mlm_masking(spark, sf_dir):
+    # BERT MLM pair prep: hash-derived 15% selection with the 80/10/10
+    # action split, all Column expressions — zero shuffles/Python
+    from bigdata_event_stream_detection_spark.operators.objectives import (
+        mlm_masking,
+    )
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences,
+    )
+
+    seqs = documents_to_sequences(_t(spark, sf_dir, "documents"))
+    out = mlm_masking(seqs, mask_rate=0.15, vocab_size=30_000)
+    fp = lambda c: F.md5(F.concat_ws(",", F.transform(
+        c, lambda x: x.cast("string"))))
+    return out.select(
+        "doc_id",
+        F.size("input_ids").alias("n_tok"),
+        F.size(F.filter("labels", lambda x: x != -100))
+        .alias("n_selected"),
+        fp("input_ids").alias("input_fp"),
+        fp("labels").alias("labels_fp"),
+    )
+
+
 def _q_span_corruption(spark, sf_dir):
     # T5 denoising-pair prep: hash-derived span masks (replay-stable,
     # engine-portable), ONE vectorized pandas rewrite, zero shuffles
@@ -1243,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_cooc": _q_skipgram_cooc,
         "token_sequence_stats": _q_token_sequence_stats,
         "span_corruption": _q_span_corruption,
+        "mlm_masking": _q_mlm_masking,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2592,6 +2617,12 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "mlm_masking": lo.values_sql(
+            lo.mlm_rows(_ORACLE_SF_DIR, mask_rate=0.15,
+                        vocab_size=30_000),
+            [("doc_id", "VARCHAR"), ("n_tok", "INTEGER"),
+             ("n_selected", "INTEGER"), ("input_fp", "VARCHAR"),
+             ("labels_fp", "VARCHAR")]),
         "span_corruption": lo.values_sql(
             lo.span_corruption_rows(_ORACLE_SF_DIR, mask_rate=0.15,
                                     span_len=3),

@@ -102,3 +102,64 @@ def span_corruption(
         rewrite,
         schema=(f"{id_col} {id_type}, n_spans int, "
                 "input_ids array<int>, target_ids array<int>"))
+
+
+def mlm_masking(
+    sequences: DataFrame,
+    mask_rate: float = 0.15,
+    vocab_size: int = 30_000,
+    mask_id: int = -1,
+    keep_frac: float = 0.1,
+    random_frac: float = 0.1,
+    salt: str = "mlm",
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """BERT-style MLM pair prep (Devlin et al., NAACL'19 §3.1): select
+    ~``mask_rate`` of positions; of those, 80% become ``mask_id``, 10%
+    a hash-derived random vocab id, 10% stay — labels carry the
+    original token at selected positions and -100 (the ignore index)
+    elsewhere.
+
+    Entirely Column expressions — both the selection and the
+    replacement derive from the salted md5 hash of (doc, position), so
+    the pair is replay-stable and engine-reproducible, and the whole
+    op is one narrow projection: zero shuffles, zero Python.
+    """
+    den = 1_000_000
+    sel_thr = int(mask_rate * den)
+    keep_thr = int(keep_frac * den)
+    rnd_thr = int((keep_frac + random_frac) * den)
+    ws = F.col(token_col)
+    n = F.size(ws)
+
+    def h(tag, i):
+        return F.pmod(
+            hash60(F.concat_ws("|", F.lit(salt), F.lit(tag),
+                               F.col(id_col).cast("string"),
+                               i.cast("string"))),
+            F.lit(den))
+
+    idx = F.sequence(F.lit(1), n)
+    selected = F.transform(idx, lambda i: h("sel", i) < sel_thr)
+    inputs = F.transform(
+        idx,
+        lambda i: F.when(~F.element_at(selected, i.cast("int")),
+                         F.element_at(ws, i.cast("int")))
+        .when(h("act", i) < keep_thr, F.element_at(ws, i.cast("int")))
+        .when(h("act", i) < rnd_thr,
+              F.pmod(hash60(F.concat_ws(
+                  "|", F.lit(salt), F.lit("rnd"),
+                  F.col(id_col).cast("string"), i.cast("string"))),
+                  F.lit(int(vocab_size))).cast("int"))
+        .otherwise(F.lit(int(mask_id))))
+    labels = F.transform(
+        idx,
+        lambda i: F.when(F.element_at(selected, i.cast("int")),
+                         F.element_at(ws, i.cast("int")))
+        .otherwise(F.lit(-100)))
+    return sequences.filter(n >= 1).select(
+        id_col,
+        inputs.alias("input_ids"),
+        labels.alias("labels"),
+    )

@@ -49,3 +49,46 @@ def test_span_corruption_invariants(spark):
                  seqs.repartition(5), mask_rate=0.3, span_len=3).collect()}
     assert again == {d: (list(r["input_ids"]), list(r["target_ids"]))
                      for d, r in out.items()}
+
+
+def test_mlm_masking_invariants(spark):
+    from bigdata_event_stream_detection_spark.operators.objectives import (
+        mlm_masking,
+    )
+
+    seqs = spark.createDataFrame(
+        [(f"d{i}", list(range(1000, 1400))) for i in range(5)],
+        "doc_id string, tokens array<int>")
+    out = mlm_masking(seqs, mask_rate=0.15, vocab_size=30_000,
+                      mask_id=-1).collect()
+    assert len(out) == 5
+    total = sel = masked = kept = rnd = 0
+    for r in out:
+        inp, lab = list(r["input_ids"]), list(r["labels"])
+        assert len(inp) == len(lab) == 400
+        for x, y in zip(inp, lab):
+            total += 1
+            if y == -100:
+                assert 1000 <= x < 1400     # unselected: unchanged
+                continue
+            sel += 1
+            if x == -1:
+                masked += 1
+            elif x == y:
+                kept += 1
+            else:
+                rnd += 1
+                assert 0 <= x < 30_000      # hash-derived random id
+    # rates near the 15% / 80-10-10 spec on 2000 positions
+    assert abs(sel / total - 0.15) < 0.03
+    assert abs(masked / sel - 0.8) < 0.1
+    assert kept > 0 and rnd > 0
+    # replay-stable across partitionings
+    again = [tuple(map(tuple, (r["input_ids"], r["labels"])))
+             for r in sorted(mlm_masking(
+                 seqs.repartition(4), mask_rate=0.15,
+                 vocab_size=30_000, mask_id=-1).collect(),
+                 key=lambda r: r["doc_id"])]
+    first = [tuple(map(tuple, (r["input_ids"], r["labels"])))
+             for r in sorted(out, key=lambda r: r["doc_id"])]
+    assert again == first

@@ -645,6 +645,47 @@ def span_corruption_rows(sf_dir: str, mask_rate: float = 0.15,
     return rows
 
 
+def mlm_rows(sf_dir: str, mask_rate: float = 0.15,
+             vocab_size: int = 30_000, mask_id: int = -1,
+             keep_frac: float = 0.1, random_frac: float = 0.1,
+             salt: str = "mlm") -> list[tuple]:
+    """operators.objectives.mlm_masking: same md5-derived selection and
+    80/10/10 action split; order-exact fingerprints."""
+    import hashlib
+
+    den = 1_000_000
+    sel_thr = int(mask_rate * den)
+    keep_thr = int(keep_frac * den)
+    rnd_thr = int((keep_frac + random_frac) * den)
+    seqs = load_sequences(sf_dir)
+    rows = []
+    for doc_id, toks in zip(seqs["doc_id"], seqs["tokens"]):
+        inp, lab = [], []
+        for i, t in enumerate(toks, start=1):
+            t = int(t)
+            sel = _hash60_py(f"{salt}|sel|{doc_id}|{i}") % den < sel_thr
+            if not sel:
+                inp.append(t)
+                lab.append(-100)
+                continue
+            lab.append(t)
+            act = _hash60_py(f"{salt}|act|{doc_id}|{i}") % den
+            if act < keep_thr:
+                inp.append(t)
+            elif act < rnd_thr:
+                inp.append(_hash60_py(f"{salt}|rnd|{doc_id}|{i}")
+                           % vocab_size)
+            else:
+                inp.append(mask_id)
+        fp = lambda a: hashlib.md5(
+            ",".join(map(str, a)).encode()).hexdigest()
+        rows.append((str(doc_id), len(inp),
+                     sum(1 for x in lab if x != -100),
+                     fp(inp), fp(lab)))
+    rows.sort()
+    return rows
+
+
 def token_stats_rows(sf_dir: str) -> list[tuple]:
     """text.token_sequence_stats over the standard sequences: same
     first-occurrence distinct order, same accumulation order."""
