@@ -526,6 +526,27 @@ def _q_ann_pq_rescored(spark, sf_dir):
                    k=5, m=8, ksub=16, rescore_factor=4)
 
 
+def _q_fim_transform(spark, sf_dir):
+    # fill-in-the-middle PSM reorder on a hash-gated half of the
+    # corpus, causal passthrough for the rest — pure Column slices
+    from bigdata_event_stream_detection_spark.operators.objectives import (
+        fim_transform,
+    )
+    from bigdata_event_stream_detection_spark.sources.tokenize import (
+        documents_to_sequences,
+    )
+
+    seqs = documents_to_sequences(_t(spark, sf_dir, "documents"))
+    out = fim_transform(seqs, fim_rate=0.5)
+    return out.select(
+        "doc_id", "is_fim",
+        F.size("output_ids").alias("n_out"),
+        F.md5(F.concat_ws(",", F.transform(
+            "output_ids", lambda x: x.cast("string"))))
+        .alias("fingerprint"),
+    )
+
+
 def _q_mlm_masking(spark, sf_dir):
     # BERT MLM pair prep: hash-derived 15% selection with the 80/10/10
     # action split, all Column expressions — zero shuffles/Python
@@ -1268,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_sequence_stats": _q_token_sequence_stats,
         "span_corruption": _q_span_corruption,
         "mlm_masking": _q_mlm_masking,
+        "fim_transform": _q_fim_transform,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_rescored": _q_ann_pq_rescored,
         "bpe_merges": _q_bpe_merges,
@@ -2617,6 +2639,10 @@ def _model_oracles() -> dict[str, str]:
                                    threshold=0.4),
             [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
              ("centroid_cos", "DOUBLE"), ("kept", "INTEGER")]),
+        "fim_transform": lo.values_sql(
+            lo.fim_rows(_ORACLE_SF_DIR, fim_rate=0.5),
+            [("doc_id", "VARCHAR"), ("is_fim", "BOOLEAN"),
+             ("n_out", "INTEGER"), ("fingerprint", "VARCHAR")]),
         "mlm_masking": lo.values_sql(
             lo.mlm_rows(_ORACLE_SF_DIR, mask_rate=0.15,
                         vocab_size=30_000),

@@ -163,3 +163,51 @@ def mlm_masking(
         inputs.alias("input_ids"),
         labels.alias("labels"),
     )
+
+
+def fim_transform(
+    sequences: DataFrame,
+    fim_rate: float = 0.5,
+    pre_id: int = -1,
+    mid_id: int = -2,
+    suf_id: int = -3,
+    salt: str = "fim",
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022,
+    arXiv:2207.14255): for a hash-selected ``fim_rate`` of documents,
+    split at two hash-derived cut points and emit the PSM reorder
+    ``[PRE] prefix [SUF] suffix [MID] middle``; the rest pass through
+    unchanged (plain causal). The trainer sees both objectives in one
+    stream — the standard recipe for infill-capable code/text models.
+
+    Pure Column expressions (slice/concat + the portable hash60):
+    zero shuffles, zero Python, replay-stable; ``is_fim`` marks which
+    branch a row took so mixes are auditable.
+    """
+    den = 1_000_000
+    ws = F.col(token_col)
+    n = F.size(ws)
+
+    def h(tag):
+        return hash60(F.concat_ws("|", F.lit(salt), F.lit(tag),
+                                  F.col(id_col).cast("string")))
+
+    is_fim = (F.pmod(h("gate"), F.lit(den))
+              < F.lit(int(fim_rate * den))) & (n >= 3)
+    # cut points in [1, n-1], ordered: prefix [1..a], middle (a..b],
+    # suffix (b..n]  (middle may be empty when a == b)
+    c1 = (F.pmod(h("c1"), n - 1) + 1).cast("int")
+    c2 = (F.pmod(h("c2"), n - 1) + 1).cast("int")
+    a, b = F.least(c1, c2), F.greatest(c1, c2)
+    psm = F.concat(
+        F.array(F.lit(int(pre_id))), F.slice(ws, 1, a),
+        F.array(F.lit(int(suf_id))), F.slice(ws, b + 1, n - b),
+        F.array(F.lit(int(mid_id))), F.slice(ws, a + 1, b - a),
+    )
+    return sequences.filter(n >= 1).select(
+        id_col,
+        is_fim.alias("is_fim"),
+        F.when(is_fim, psm).otherwise(ws).alias("output_ids"),
+    )

@@ -92,3 +92,36 @@ def test_mlm_masking_invariants(spark):
     first = [tuple(map(tuple, (r["input_ids"], r["labels"])))
              for r in sorted(out, key=lambda r: r["doc_id"])]
     assert again == first
+
+
+def test_fim_transform_reorders_and_conserves(spark):
+    from bigdata_event_stream_detection_spark.operators.objectives import (
+        fim_transform,
+    )
+
+    seqs = spark.createDataFrame(
+        [(f"d{i}", list(range(100, 130))) for i in range(40)],
+        "doc_id string, tokens array<int>")
+    out = fim_transform(seqs, fim_rate=0.5).collect()
+    n_fim = sum(1 for r in out if r["is_fim"])
+    assert 8 <= n_fim <= 32                  # hash gate near 50%
+    for r in out:
+        ids = list(r["output_ids"])
+        if not r["is_fim"]:
+            assert ids == list(range(100, 130))
+            continue
+        # PSM shape: [PRE] p [SUF] s [MID] m, token multiset conserved
+        assert ids[0] == -1
+        assert ids.count(-1) == ids.count(-2) == ids.count(-3) == 1
+        i_suf, i_mid = ids.index(-3), ids.index(-2)
+        assert 0 < i_suf < i_mid
+        pre = ids[1:i_suf]
+        suf = ids[i_suf + 1:i_mid]
+        mid = ids[i_mid + 1:]
+        assert pre + mid + suf == list(range(100, 130))
+    # replay-stable
+    again = sorted((r["doc_id"], tuple(r["output_ids"]))
+                   for r in fim_transform(
+                       seqs.repartition(7), fim_rate=0.5).collect())
+    assert again == sorted((r["doc_id"], tuple(r["output_ids"]))
+                           for r in out)

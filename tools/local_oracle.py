@@ -686,6 +686,35 @@ def mlm_rows(sf_dir: str, mask_rate: float = 0.15,
     return rows
 
 
+def fim_rows(sf_dir: str, fim_rate: float = 0.5, pre_id: int = -1,
+             mid_id: int = -2, suf_id: int = -3,
+             salt: str = "fim") -> list[tuple]:
+    """operators.objectives.fim_transform: same gate/cut hashing, same
+    PSM assembly; order-exact fingerprint."""
+    import hashlib
+
+    den = 1_000_000
+    seqs = load_sequences(sf_dir)
+    rows = []
+    for doc_id, toks in zip(seqs["doc_id"], seqs["tokens"]):
+        t = [int(x) for x in toks]
+        n = len(t)
+        gate = _hash60_py(f"{salt}|gate|{doc_id}") % den
+        is_fim = gate < int(fim_rate * den) and n >= 3
+        if is_fim:
+            c1 = _hash60_py(f"{salt}|c1|{doc_id}") % (n - 1) + 1
+            c2 = _hash60_py(f"{salt}|c2|{doc_id}") % (n - 1) + 1
+            a, b = min(c1, c2), max(c1, c2)
+            out = ([pre_id] + t[:a] + [suf_id] + t[b:]
+                   + [mid_id] + t[a:b])
+        else:
+            out = t
+        fp = hashlib.md5(",".join(map(str, out)).encode()).hexdigest()
+        rows.append((str(doc_id), bool(is_fim), len(out), fp))
+    rows.sort()
+    return rows
+
+
 def token_stats_rows(sf_dir: str) -> list[tuple]:
     """text.token_sequence_stats over the standard sequences: same
     first-occurrence distinct order, same accumulation order."""
