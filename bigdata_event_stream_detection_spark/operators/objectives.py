@@ -1,23 +1,29 @@
-"""Training-objective preparation over pre-tokenized sequences.
+"""Training-objective preparation over pre-tokenized sequences:
 
-Span corruption (T5, Raffel et al., JMLR'20 §3.1.4): mask contiguous
-token spans, replace each span with one sentinel id in the input, and
-emit the spans (each prefixed by its sentinel) as the target — the
-denoising pair a seq2seq trainer consumes.
+* ``span_corruption`` — T5 denoising pairs (Raffel et al., JMLR'20
+  §3.1.4): contiguous spans replaced by sentinels in the input, spans
+  emitted (sentinel-prefixed) as the target.
+* ``mlm_masking``    — BERT MLM pairs (Devlin et al., NAACL'19): 15%
+  selection with the 80/10/10 mask/keep/random split, -100-padded
+  labels.
+* ``fim_transform``  — fill-in-the-middle PSM reorder (Bavarian et
+  al. 2022) on a gated fraction, causal passthrough for the rest.
 
-The web-scale discipline is the same as sampling.py: NO rand().
-Span starts derive from the salted md5 hash of (doc_id, position), so
-the corruption for a row is a pure function of row content — stable
-across runs, retries, partitionings, and engines, and therefore
-oracle-checkable. Masking density is start_rate = mask_rate/span_len
-per position; overlapping spans merge (the union of masked positions),
-matching the non-overlapping-span construction in expectation.
+The web-scale discipline is the same as sampling.py: NO rand(). Every
+decision (span starts, selection, action, cut points, gate) derives
+from the salted md5 hash of row content, so the prepared pair is a
+pure function of the row — stable across runs, retries, partitionings,
+and engines, and therefore oracle-checkable. Span-corruption density
+is start_rate = mask_rate/span_len per position; overlapping spans
+merge (the union of masked positions), matching the
+non-overlapping-span construction in expectation.
 
-Shape: the start/mask arrays build as in-row Column expressions (the
-portable hash60 per position, JVM-side); only the run-splitting — a
-genuinely sequential per-doc rewrite — crosses into ONE vectorized
-pandas kernel (np.diff/cumsum over the boolean mask; no per-token
-Python). Zero shuffles end to end.
+Shape: masks/selections/cuts build as in-row Column expressions (the
+portable hash60, JVM-side); MLM and FIM stay 100% Column work, and
+only span corruption's run-splitting — a genuinely sequential per-doc
+rewrite — crosses into ONE vectorized pandas kernel (slot-interleave
+assembly over the boolean mask; no per-token Python). Zero shuffles
+end to end, so all three run UNCHANGED on a readStream.
 """
 
 from __future__ import annotations

@@ -125,3 +125,39 @@ def test_fim_transform_reorders_and_conserves(spark):
                        seqs.repartition(7), fim_rate=0.5).collect())
     assert again == sorted((r["doc_id"], tuple(r["output_ids"]))
                            for r in out)
+
+
+def test_objectives_stream_unchanged(spark, tmp_path):
+    """All three preps are stateless row transforms: running them on a
+    readStream yields exactly the batch rows (stream-static parity)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_event_stream_detection_spark.operators.objectives import (
+        fim_transform, mlm_masking, span_corruption,
+    )
+
+    rows = [(f"d{i}", list(range(50 + i, 90 + i))) for i in range(6)]
+    d = str(tmp_path / "seq")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "tokens"]),
+        schema=pa.schema([("doc_id", pa.string()),
+                          ("tokens", pa.list_(pa.int32()))]),
+        preserve_index=False), os.path.join(d, "a.parquet"))
+
+    batch = spark.read.parquet(d)
+    stream = (spark.readStream.schema("doc_id string, tokens array<int>")
+              .parquet(d))
+    for name, fn in [("sc", span_corruption), ("mlm", mlm_masking),
+                     ("fim", fim_transform)]:
+        q = (fn(stream).writeStream.format("memory")
+             .queryName(f"obj_{name}").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table(f"obj_{name}").collect()))
+        want = sorted(map(tuple, fn(batch).collect()))
+        assert got == want, name
