@@ -153,6 +153,22 @@ def _q_heavy_hitter_words(spark, sf_dir):
     return heavy_hitters(words, "word", threshold_frac=0.005)
 
 
+def _q_shard_manifest(spark, sf_dir):
+    # trainer-shard accounting: epoch-shuffle hash -> shard membership
+    # -> per-shard doc/token/source totals (one agg, no global sort)
+    from bigdata_event_stream_detection_spark.functions.textfns import (
+        ascii_words,
+    )
+    from bigdata_event_stream_detection_spark.operators.sharding import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(ascii_words(F.col("text"))))
+    return shard_manifest(shard_assignments(docs, 8, seed=7, epoch=1))
+
+
 def _q_hash_split(spark, sf_dir):
     # deterministic disjoint train/val/test assignment by key hash
     from bigdata_event_stream_detection_spark.operators.sampling import (
@@ -1309,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
+        "shard_manifest": _q_shard_manifest,
         "sample_k_per_lang": _q_sample_k_per_lang,
         "curated_mix": _q_curated_mix,
         "pack_assignments": _q_pack_assignments,
@@ -2372,6 +2389,24 @@ def oracle_sql() -> dict[str, str]:
         # thresholds computed with the SAME sample_threshold() ints the
         # Spark operator uses; the salted md5 hash60 reproduces exactly
         "stratified_sample": _stratified_sample_sql(),
+        "shard_manifest": """
+            WITH a AS (
+              SELECT source,
+                     len(list_filter(string_split_regex(lower(text),
+                         '[^a-z]+'), x -> x <> '')) AS n_tok,
+                     CAST(concat('0x', substr(md5(
+                         concat_ws('|', 'shard', '7', '1',
+                                   CAST(doc_id AS VARCHAR))
+                     ), 1, 15)) AS BIGINT) AS order_key
+              FROM documents)
+            SELECT CAST(order_key % 8 AS INTEGER) AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   count(DISTINCT source) AS n_sources,
+                   min(order_key) AS min_key,
+                   max(order_key) AS max_key
+            FROM a GROUP BY 1 ORDER BY 1
+        """,
         "temperature_mix": _temperature_mix_sql(),
         "sample_k_per_lang": """
             SELECT doc_id, lang FROM (

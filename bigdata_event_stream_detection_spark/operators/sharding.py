@@ -1,0 +1,171 @@
+"""Epoch shuffling and trainer-shard export — the pipeline's last mile.
+
+A training job does not consume a DataFrame; it consumes SHARDS: files
+of sequences in a pseudo-random order that changes every epoch but is
+bit-reproducible for a given (seed, epoch). This module provides that
+step for the input-hint table shape ``(doc_id, tokens, n_tok, source)``
+(and any table with a stable key column):
+
+* ``shard_assignments`` — adds ``order_key`` (the epoch-shuffle sort
+  key) and ``shard_id`` as ONE pure-Column md5 hash of
+  (seed, epoch, key). No shuffle, no state, no RNG: membership and
+  order are functions of the key alone, so the result is identical at
+  any parallelism / partitioning / replay — the same replay-stability
+  contract as ``sampling.hash_split`` and the objectives transforms.
+* ``epoch_shuffled`` — a total pseudo-random order over the corpus
+  (range-partitioned sort on ``order_key``; Spark samples boundaries,
+  so no single-partition stage).
+* ``shard_manifest`` — per-shard doc/token/source accounting, one
+  hash aggregation. Shard balance at scale is statistical (hash
+  uniformity: relative spread ~ 1/sqrt(rows_per_shard)); the manifest
+  is how a pipeline VERIFIES the balance instead of trusting it.
+* ``write_training_shards`` — materializes ``shard=K/`` parquet
+  directories, rows ordered by ``order_key`` within each shard, plus a
+  ``_manifest`` the trainer (and tests) can reconcile against. One
+  repartition on ``shard_id`` is the only shuffle; within-shard order
+  comes from ``sortWithinPartitions`` (never a global sort).
+
+Advancing ``epoch`` re-derives every hash, which reshuffles both shard
+membership and within-shard order deterministically — a full-corpus
+epoch reshuffle with zero saved state.
+
+The reference's analogue is the explicit repartition it performs
+before every distributed sweep (em/EmAlgo.java:115,
+evolutiongraph/KLDivergence.java:42, hmm/Hmm2.java:592 — each
+re-materializes repartitioned RDD blocks per pass); this expresses the
+same need as a pure column derivation so Catalyst pipelines it into
+the scan and the layout is reproducible rather than planner-chosen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash60
+
+SHARD_SALT = "shard"
+
+
+def epoch_order_key(
+    key: Column, seed: int = 0, epoch: int = 0
+) -> Column:
+    """60-bit md5 hash of (salt, seed, epoch, key): the shuffle key.
+
+    Portable to the DuckDB oracles via the standard hash60 form
+    (CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)).
+    """
+    return hash60(
+        F.concat_ws(
+            "|",
+            F.lit(SHARD_SALT),
+            F.lit(str(int(seed))),
+            F.lit(str(int(epoch))),
+            key.cast("string"),
+        )
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Add ``order_key`` and ``shard_id`` columns (pure codegen).
+
+    ``shard_id = order_key % n_shards`` — within a shard, ordering by
+    ``order_key`` walks the residue class in hash order, which is a
+    uniform pseudo-random permutation of the shard's members. One hash
+    serves both membership and order, and both roll over cleanly when
+    ``epoch`` advances.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = epoch_order_key(F.col(key_col), seed=seed, epoch=epoch)
+    return df.withColumn("order_key", h).withColumn(
+        "shard_id", (F.col("order_key") % F.lit(int(n_shards))).cast("int")
+    )
+
+
+def epoch_shuffled(
+    df: DataFrame,
+    seed: int = 0,
+    epoch: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus in epoch-shuffle order: sort by (order_key, key).
+
+    The key tiebreak makes the order total even under (vanishingly
+    unlikely) 60-bit collisions, so downstream consumers are
+    bit-reproducible, not just distribution-reproducible.
+    """
+    h = epoch_order_key(F.col(key_col), seed=seed, epoch=epoch)
+    return df.withColumn("order_key", h).orderBy("order_key", key_col)
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    n_tok_col: str | None = "n_tok",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Per-shard accounting: (shard_id, n_docs, n_tokens, n_sources,
+    min_key, max_key). One hash aggregation over the assigned frame.
+
+    ``min_key``/``max_key`` double as a cheap cross-run integrity
+    fingerprint: two runs that agree on counts but disagree on
+    membership will almost surely disagree on the extremes.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if n_tok_col is not None:
+        aggs.append(F.sum(F.col(n_tok_col)).cast("long").alias("n_tokens"))
+    if source_col is not None:
+        aggs.append(F.countDistinct(F.col(source_col)).alias("n_sources"))
+    aggs += [
+        F.min("order_key").alias("min_key"),
+        F.max("order_key").alias("max_key"),
+    ]
+    return assigned.groupBy("shard_id").agg(*aggs).orderBy("shard_id")
+
+
+def write_training_shards(
+    assigned: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    n_tok_col: str | None = "n_tok",
+    source_col: str | None = "source",
+) -> None:
+    """Materialize ``<path>/shard_id=K/`` parquet dirs + ``_manifest``.
+
+    ``repartition(n_shards, shard_id)`` maps each shard to exactly one
+    task (hash collisions merely co-locate two shards in one task, and
+    ``partitionBy`` still splits them into their own directories), so
+    each shard directory holds one file whose row order IS the epoch
+    order — parquet preserves task row order, and
+    ``sortWithinPartitions`` established it without a global sort.
+    Readers of multi-file shards (a future split of giant shards)
+    should sort by the persisted ``order_key``; it is kept in the data
+    for exactly that reason.
+
+    The ``_manifest`` directory is underscore-prefixed so Spark's file
+    index treats it as hidden — reading ``<path>`` back yields only
+    shard rows.
+    """
+    (
+        assigned.repartition(int(n_shards), "shard_id")
+        .sortWithinPartitions("shard_id", "order_key", key_col)
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    manifest = shard_manifest(
+        assigned, n_tok_col=n_tok_col, source_col=source_col
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(path + "/_manifest")
+
+
+def read_manifest(spark, path: str) -> DataFrame:
+    """Read back the manifest written by ``write_training_shards``."""
+    return spark.read.json(path + "/_manifest")

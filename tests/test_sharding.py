@@ -1,0 +1,119 @@
+"""Epoch shuffle / trainer-shard export invariants.
+
+The contract under test is the replay-stability one: shard membership
+and within-shard order are pure functions of (key, seed, epoch), so
+they must be byte-identical across input partitionings (the local
+stand-in for different cluster sizes), and an epoch advance must
+reshuffle deterministically without losing or duplicating a row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_event_stream_detection_spark.operators.sharding import (
+    epoch_shuffled,
+    read_manifest,
+    shard_assignments,
+    shard_manifest,
+    write_training_shards,
+)
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def assigned(tiny_sequences):
+    df = shard_assignments(tiny_sequences, N_SHARDS, seed=7, epoch=1)
+    df.cache().count()
+    return df
+
+
+def _membership(df):
+    return {
+        (r.doc_id, r.shard_id, r.order_key)
+        for r in df.select("doc_id", "shard_id", "order_key").collect()
+    }
+
+
+def test_assignment_identical_across_partitionings(tiny_sequences, assigned):
+    coarse = shard_assignments(
+        tiny_sequences.repartition(2), N_SHARDS, seed=7, epoch=1)
+    assert _membership(coarse) == _membership(assigned)
+
+
+def test_exhaustive_and_disjoint(tiny_sequences, assigned):
+    # every doc gets exactly one shard in [0, N)
+    assert assigned.count() == tiny_sequences.count()
+    bad = assigned.filter(
+        (F.col("shard_id") < 0) | (F.col("shard_id") >= N_SHARDS))
+    assert bad.count() == 0
+    assert assigned.select("doc_id").distinct().count() == assigned.count()
+
+
+def test_epoch_advance_reshuffles_without_loss(tiny_sequences, assigned):
+    nxt = shard_assignments(tiny_sequences, N_SHARDS, seed=7, epoch=2)
+    # same corpus either way
+    assert (
+        nxt.select("doc_id").sort("doc_id").collect()
+        == assigned.select("doc_id").sort("doc_id").collect()
+    )
+    # but a real reshuffle: most docs move shards, all order keys change
+    both = assigned.select("doc_id", "shard_id", "order_key").alias("a").join(
+        nxt.select("doc_id", "shard_id", "order_key").alias("b"), "doc_id")
+    moved = both.filter(F.col("a.shard_id") != F.col("b.shard_id")).count()
+    total = both.count()
+    assert moved > total * 0.5
+    assert both.filter(F.col("a.order_key") == F.col("b.order_key")).count() == 0
+
+
+def test_shard_balance_is_statistical(assigned):
+    sizes = [r.n_docs for r in shard_manifest(assigned).collect()]
+    assert len(sizes) == N_SHARDS
+    mean = sum(sizes) / len(sizes)
+    # 2000 docs / 8 shards = 250/shard; 5 sigma ~ 80 docs
+    assert all(abs(s - mean) < 5 * mean**0.5 + 1 for s in sizes)
+
+
+def test_epoch_shuffled_total_order(tiny_sequences):
+    rows = epoch_shuffled(tiny_sequences, seed=7, epoch=1).select(
+        "doc_id", "order_key").collect()
+    keys = [(r.order_key, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert len(rows) == tiny_sequences.count()
+
+
+def test_write_shards_round_trip(spark, assigned, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shards") / "epoch1")
+    write_training_shards(assigned, path, N_SHARDS)
+
+    back = spark.read.parquet(path)
+    # manifest reconciles against what was actually written
+    man = {r.shard_id: r for r in read_manifest(spark, path).collect()}
+    got = {
+        r.shard_id: r
+        for r in shard_manifest(back.withColumn(
+            "shard_id", F.col("shard_id").cast("int"))).collect()
+    }
+    assert set(man) == set(got) == set(range(N_SHARDS))
+    for sid in man:
+        assert man[sid].n_docs == got[sid].n_docs
+        assert man[sid].n_tokens == got[sid].n_tokens
+        assert man[sid].min_key == got[sid].min_key
+        assert man[sid].max_key == got[sid].max_key
+
+    # within-shard file order IS the epoch order (parquet preserves
+    # task row order; no global sort was involved)
+    for sid in (0, N_SHARDS - 1):
+        shard_rows = spark.read.parquet(
+            f"{path}/shard_id={sid}").select("order_key", "doc_id").collect()
+        keys = [(r.order_key, r.doc_id) for r in shard_rows]
+        assert keys == sorted(keys)
+
+    # token arrays survive the round trip byte-for-byte (north-rule
+    # per-row invariant)
+    orig = {r.doc_id: r.tokens for r in assigned.select(
+        "doc_id", "tokens").collect()}
+    for r in back.select("doc_id", "tokens").collect():
+        assert orig[r.doc_id] == r.tokens
