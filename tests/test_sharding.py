@@ -117,3 +117,38 @@ def test_write_shards_round_trip(spark, assigned, tmp_path_factory):
         "doc_id", "tokens").collect()}
     for r in back.select("doc_id", "tokens").collect():
         assert orig[r.doc_id] == r.tokens
+
+
+def test_stream_shard_sink_matches_batch_exactly_once(
+    spark, tiny_sequences, tmp_path_factory
+):
+    """shard_assignments is stateless Column work, so the streaming
+    sink must land exactly the batch membership — and a restart on the
+    same checkpoint must add nothing (file-sink exactly-once)."""
+    from bigdata_event_stream_detection_spark.streaming.shards import (
+        start_shard_stream_sink,
+    )
+
+    base = tmp_path_factory.mktemp("stream_shards")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    sample = tiny_sequences.limit(300).cache()
+    sample.count()
+    # two source files -> two micro-batches under maxFilesPerTrigger=1
+    sample.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_shard_stream_sink(
+        stream, out, ckpt, N_SHARDS, seed=7, epoch=1, available_now=True)
+    q.awaitTermination(180)
+
+    got = _membership(spark.read.parquet(out))
+    want = _membership(shard_assignments(sample, N_SHARDS, seed=7, epoch=1))
+    assert got == want
+
+    # restart with no new input: exactly-once means zero new rows
+    q2 = start_shard_stream_sink(
+        stream, out, ckpt, N_SHARDS, seed=7, epoch=1, available_now=True)
+    q2.awaitTermination(180)
+    assert _membership(spark.read.parquet(out)) == want
