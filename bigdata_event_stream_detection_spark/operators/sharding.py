@@ -136,6 +136,7 @@ def write_training_shards(
     key_col: str = "doc_id",
     n_tok_col: str | None = "n_tok",
     source_col: str | None = "source",
+    files_per_shard: int = 1,
 ) -> None:
     """Materialize ``<path>/shard_id=K/`` parquet dirs + ``_manifest``.
 
@@ -145,23 +146,54 @@ def write_training_shards(
     each shard directory holds one file whose row order IS the epoch
     order — parquet preserves task row order, and
     ``sortWithinPartitions`` established it without a global sort.
-    Readers of multi-file shards (a future split of giant shards)
-    should sort by the persisted ``order_key``; it is kept in the data
-    for exactly that reason.
+
+    ``files_per_shard > 1`` is the task-size bound for giant corpora:
+    at 10^12 sequences a one-task-per-shard write would hand each task
+    corpus/n_shards rows, so the repartition key widens to
+    (shard_id, sub_file) — ``sub_file = (order_key / n_shards) %
+    files_per_shard``, a second independent digit of the same hash —
+    and every shard directory lands as ``files_per_shard`` files, each
+    internally sorted by ``order_key``. Readers of multi-file shards
+    must merge by the persisted ``order_key`` (it is kept in the data
+    for exactly that reason); the single-file default keeps the
+    stronger file-order-IS-epoch-order contract.
 
     The ``_manifest`` directory is underscore-prefixed so Spark's file
     index treats it as hidden — reading ``<path>`` back yields only
     shard rows.
+
+    The manifest is aggregated from the WRITTEN files, not from the
+    input plan: it fingerprints what is actually on disk (the property
+    a trainer reconciles against), and the column-pruned parquet read
+    touches only the few scalar columns it needs — no second pass over
+    the token arrays and no re-derivation of the md5 order keys.
     """
+    if files_per_shard < 1:
+        raise ValueError("files_per_shard must be >= 1")
+    spark = assigned.sparkSession
+    if files_per_shard == 1:
+        ready = assigned.repartition(int(n_shards), "shard_id")
+    else:
+        # integer div, not `/`: order_key is 60-bit and float division
+        # would lose the low digits above 2^53
+        sub = (
+            F.expr(f"order_key div {int(n_shards)}")
+            % F.lit(int(files_per_shard))
+        ).cast("int")
+        ready = assigned.withColumn("_sub_file", sub).repartition(
+            int(n_shards) * int(files_per_shard), "shard_id", "_sub_file"
+        ).drop("_sub_file")
     (
-        assigned.repartition(int(n_shards), "shard_id")
-        .sortWithinPartitions("shard_id", "order_key", key_col)
+        ready.sortWithinPartitions("shard_id", "order_key", key_col)
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .parquet(path)
     )
+    written = spark.read.parquet(path).withColumn(
+        "shard_id", F.col("shard_id").cast("int")
+    )
     manifest = shard_manifest(
-        assigned, n_tok_col=n_tok_col, source_col=source_col
+        written, n_tok_col=n_tok_col, source_col=source_col
     )
     manifest.coalesce(1).write.mode("overwrite").json(path + "/_manifest")
 

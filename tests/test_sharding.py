@@ -119,6 +119,42 @@ def test_write_shards_round_trip(spark, assigned, tmp_path_factory):
         assert orig[r.doc_id] == r.tokens
 
 
+def test_multi_file_shards_same_shards_bounded_tasks(
+    spark, assigned, tmp_path_factory
+):
+    """files_per_shard>1 (the task-size bound for giant corpora) must
+    not change shard membership, totals, or the merged epoch order —
+    only the file layout."""
+    import glob
+
+    one = str(tmp_path_factory.mktemp("shards") / "single")
+    many = str(tmp_path_factory.mktemp("shards") / "split")
+    write_training_shards(assigned, one, N_SHARDS)
+    write_training_shards(assigned, many, N_SHARDS, files_per_shard=3)
+
+    # layout: each shard dir really is split into multiple files
+    n_files = len(glob.glob(f"{many}/shard_id=0/*.parquet"))
+    assert n_files == 3
+
+    # manifests (written-file accounting) agree exactly
+    m1 = {r.shard_id: (r.n_docs, r.n_tokens, r.min_key, r.max_key)
+          for r in read_manifest(spark, one).collect()}
+    m3 = {r.shard_id: (r.n_docs, r.n_tokens, r.min_key, r.max_key)
+          for r in read_manifest(spark, many).collect()}
+    assert m1 == m3
+
+    # the multi-file reader contract: merge by order_key recovers the
+    # same per-shard epoch order as the single-file layout
+    for sid in (0, N_SHARDS - 1):
+        a = [r.doc_id for r in spark.read.parquet(
+            f"{one}/shard_id={sid}").orderBy("order_key", "doc_id")
+            .select("doc_id").collect()]
+        b = [r.doc_id for r in spark.read.parquet(
+            f"{many}/shard_id={sid}").orderBy("order_key", "doc_id")
+            .select("doc_id").collect()]
+        assert a == b
+
+
 def test_stream_shard_sink_matches_batch_exactly_once(
     spark, tiny_sequences, tmp_path_factory
 ):
