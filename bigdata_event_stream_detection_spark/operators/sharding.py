@@ -129,6 +129,85 @@ def shard_manifest(
     return assigned.groupBy("shard_id").agg(*aggs).orderBy("shard_id")
 
 
+_PROBE_ARRAY_LIMIT = 4096
+
+
+def _partition_probe_keys(spark, n_parts: int) -> list[int]:
+    """Ints ``p[b]`` with ``pmod(hash(p[b]), n_parts) == b`` for every
+    bucket ``b`` — the exact preimages that make ``repartition(n, col)``
+    a 1:1 bucket->partition map.
+
+    ``repartition(n, col)`` places a row by ``pmod(murmur3(col), n)``,
+    so distinct bucket ids collide like balls in bins: ~1/e of the
+    write tasks come up empty and the heaviest carries ~3 shards — a
+    3x straggler on every epoch write at any scale. Probing integers
+    until every bucket has a representative (one tiny Spark job over a
+    ``range``; 64*n probes miss a bucket with probability ~n*e^-64)
+    and routing each shard through its preimage gives every shard its
+    own task, deterministically.
+    """
+    probes: dict[int, int] = {}
+    base, width = 0, max(64 * n_parts, 4096)
+    while len(probes) < n_parts:
+        got = (
+            spark.range(base, base + width)
+            .select(
+                F.col("id").cast("int").alias("p"),
+                F.pmod(
+                    F.hash(F.col("id").cast("int")), F.lit(int(n_parts))
+                ).alias("b"),
+            )
+            .groupBy("b")
+            .agg(F.min("p").alias("p"))
+            .collect()
+        )
+        for r in got:
+            probes.setdefault(int(r["b"]), int(r["p"]))
+        base += width
+    return [probes[b] for b in range(n_parts)]
+
+
+def _ready_for_write(
+    assigned: DataFrame, n_shards: int, files_per_shard: int
+) -> DataFrame:
+    """Repartition so bucket (shard_id[, sub_file]) -> its OWN task.
+
+    The bucket index routes through a probe key (``_partition_probe_keys``)
+    so the exchange lands bucket b in partition b exactly — no empty
+    write tasks, no multi-shard stragglers. Small bucket counts inline
+    the probe table as an array literal (pure codegen); large ones
+    broadcast-join it.
+    """
+    n_parts = int(n_shards) * int(files_per_shard)
+    spark = assigned.sparkSession
+    probes = _partition_probe_keys(spark, n_parts)
+    if files_per_shard == 1:
+        bucket = F.col("shard_id")
+    else:
+        # integer div, not `/`: order_key is 60-bit and float division
+        # would lose the low digits above 2^53
+        sub = (
+            F.expr(f"order_key div {int(n_shards)}")
+            % F.lit(int(files_per_shard))
+        ).cast("int")
+        bucket = F.col("shard_id") * F.lit(int(files_per_shard)) + sub
+    if n_parts <= _PROBE_ARRAY_LIMIT:
+        pk = F.element_at(
+            F.array(*[F.lit(p) for p in probes]), bucket + F.lit(1)
+        )
+        keyed = assigned.withColumn("_pk", pk)
+    else:
+        probe_df = F.broadcast(
+            spark.createDataFrame(
+                [(b, p) for b, p in enumerate(probes)], "_bucket int, _pk int"
+            )
+        )
+        keyed = assigned.withColumn("_bucket", bucket).join(
+            probe_df, "_bucket"
+        ).drop("_bucket")
+    return keyed.repartition(n_parts, "_pk").drop("_pk")
+
+
 def write_training_shards(
     assigned: DataFrame,
     path: str,
@@ -140,9 +219,9 @@ def write_training_shards(
 ) -> None:
     """Materialize ``<path>/shard_id=K/`` parquet dirs + ``_manifest``.
 
-    ``repartition(n_shards, shard_id)`` maps each shard to exactly one
-    task (hash collisions merely co-locate two shards in one task, and
-    ``partitionBy`` still splits them into their own directories), so
+    The repartition routes every shard to its OWN task (see
+    ``_ready_for_write`` — a probe-key exchange, not raw shard_id
+    hashing, so no empty tasks and no multi-shard stragglers), so
     each shard directory holds one file whose row order IS the epoch
     order — parquet preserves task row order, and
     ``sortWithinPartitions`` established it without a global sort.
@@ -171,18 +250,7 @@ def write_training_shards(
     if files_per_shard < 1:
         raise ValueError("files_per_shard must be >= 1")
     spark = assigned.sparkSession
-    if files_per_shard == 1:
-        ready = assigned.repartition(int(n_shards), "shard_id")
-    else:
-        # integer div, not `/`: order_key is 60-bit and float division
-        # would lose the low digits above 2^53
-        sub = (
-            F.expr(f"order_key div {int(n_shards)}")
-            % F.lit(int(files_per_shard))
-        ).cast("int")
-        ready = assigned.withColumn("_sub_file", sub).repartition(
-            int(n_shards) * int(files_per_shard), "shard_id", "_sub_file"
-        ).drop("_sub_file")
+    ready = _ready_for_write(assigned, n_shards, files_per_shard)
     (
         ready.sortWithinPartitions("shard_id", "order_key", key_col)
         .write.partitionBy("shard_id")

@@ -119,6 +119,34 @@ def test_write_shards_round_trip(spark, assigned, tmp_path_factory):
         assert orig[r.doc_id] == r.tokens
 
 
+def test_write_repartition_is_one_task_per_shard(spark, assigned):
+    """The write exchange must map every (shard, sub_file) bucket to
+    its OWN task — no empty write slots, no multi-shard stragglers."""
+    from bigdata_event_stream_detection_spark.operators.sharding import (
+        _partition_probe_keys, _ready_for_write)
+
+    # probe keys really are murmur3 preimages for every bucket index
+    for n in (5, N_SHARDS, 257):
+        probes = _partition_probe_keys(spark, n)
+        got = spark.createDataFrame(
+            [(p,) for p in probes], "p int"
+        ).select(F.pmod(F.hash("p"), F.lit(n)).alias("b")).collect()
+        assert [r.b for r in got] == list(range(n))
+
+    for files_per_shard in (1, 3):
+        ready = _ready_for_write(assigned, N_SHARDS, files_per_shard)
+        per_part = (
+            ready.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.countDistinct("shard_id").alias("n_shards_in_task"))
+            .collect()
+        )
+        # every partition non-empty, and (for the single-file layout)
+        # exactly one shard per task
+        assert len(per_part) == N_SHARDS * files_per_shard
+        if files_per_shard == 1:
+            assert {r.n_shards_in_task for r in per_part} == {1}
+
+
 def test_multi_file_shards_same_shards_bounded_tasks(
     spark, assigned, tmp_path_factory
 ):
