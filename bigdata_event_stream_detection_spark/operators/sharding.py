@@ -132,6 +132,30 @@ def shard_manifest(
 _PROBE_ARRAY_LIMIT = 4096
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of a single 4-byte int block, seed 42 — the hash
+    behind Spark's ``F.hash``/``HashPartitioning`` for IntegerType.
+
+    Pure driver-side Python so probe keys cost no Spark job; the test
+    suite pins equality with ``pmod(F.hash(p), n)`` so any engine-side
+    hash change would fail loudly, not mis-route silently.
+    """
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # fmix: total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h  # as signed int32
+
+
 def _partition_probe_keys(spark, n_parts: int) -> list[int]:
     """Ints ``p[b]`` with ``pmod(hash(p[b]), n_parts) == b`` for every
     bucket ``b`` — the exact preimages that make ``repartition(n, col)``
@@ -140,30 +164,19 @@ def _partition_probe_keys(spark, n_parts: int) -> list[int]:
     ``repartition(n, col)`` places a row by ``pmod(murmur3(col), n)``,
     so distinct bucket ids collide like balls in bins: ~1/e of the
     write tasks come up empty and the heaviest carries ~3 shards — a
-    3x straggler on every epoch write at any scale. Probing integers
-    until every bucket has a representative (one tiny Spark job over a
-    ``range``; 64*n probes miss a bucket with probability ~n*e^-64)
-    and routing each shard through its preimage gives every shard its
-    own task, deterministically.
+    3x straggler on every epoch write at any scale. Walking integers
+    until every bucket has a preimage (expected ~n ln n probes,
+    computed driver-side in microseconds) and routing each shard
+    through its preimage gives every shard its own task,
+    deterministically, with no extra Spark job per epoch write.
     """
     probes: dict[int, int] = {}
-    base, width = 0, max(64 * n_parts, 4096)
+    p = 0
     while len(probes) < n_parts:
-        got = (
-            spark.range(base, base + width)
-            .select(
-                F.col("id").cast("int").alias("p"),
-                F.pmod(
-                    F.hash(F.col("id").cast("int")), F.lit(int(n_parts))
-                ).alias("b"),
-            )
-            .groupBy("b")
-            .agg(F.min("p").alias("p"))
-            .collect()
-        )
-        for r in got:
-            probes.setdefault(int(r["b"]), int(r["p"]))
-        base += width
+        b = _murmur3_int(p) % n_parts  # pmod: n_parts > 0
+        if b not in probes:
+            probes[b] = p
+        p += 1
     return [probes[b] for b in range(n_parts)]
 
 
