@@ -229,6 +229,7 @@ def write_training_shards(
     n_tok_col: str | None = "n_tok",
     source_col: str | None = "source",
     files_per_shard: int = 1,
+    exchange: str = "preimage",
 ) -> None:
     """Materialize ``<path>/shard_id=K/`` parquet dirs + ``_manifest``.
 
@@ -259,11 +260,34 @@ def write_training_shards(
     a trainer reconciles against), and the column-pruned parquet read
     touches only the few scalar columns it needs — no second pass over
     the token arrays and no re-derivation of the md5 order keys.
+
+    ``exchange`` picks the write topology:
+
+    * ``"preimage"`` (default) — one corpus exchange routes every
+      shard to its own task; each shard directory holds
+      ``files_per_shard`` file(s) and the single-file layout's
+      file order IS the epoch order. Right when shard file count
+      matters more than shuffle cost.
+    * ``"none"`` — ZERO-SHUFFLE export: every input task sorts its own
+      rows by (shard_id, order_key) and the partitioned write splits
+      them into per-shard files directly — the corpus never crosses an
+      exchange, so the job is a pure scan→sort→encode map that scales
+      with cores/executors instead of with shuffle bandwidth. Each
+      shard directory holds up to one file PER INPUT PARTITION; the
+      trainer merges by the persisted ``order_key`` (the standard
+      multi-file contract). At 10^12 sequences re-shuffling the corpus
+      every epoch is the bottleneck, so this is the giant-corpus path;
+      bound the file count by coalescing the input upstream.
     """
     if files_per_shard < 1:
         raise ValueError("files_per_shard must be >= 1")
+    if exchange not in ("preimage", "none"):
+        raise ValueError(f"unknown exchange {exchange!r}")
     spark = assigned.sparkSession
-    ready = _ready_for_write(assigned, n_shards, files_per_shard)
+    if exchange == "none":
+        ready = assigned
+    else:
+        ready = _ready_for_write(assigned, n_shards, files_per_shard)
     (
         ready.sortWithinPartitions("shard_id", "order_key", key_col)
         .write.partitionBy("shard_id")

@@ -1,0 +1,84 @@
+"""Static physical-plan guarantees for the headline queries.
+
+BENCH.md's plan audits are run by hand (tools/explain_audit.py); this
+test pins the two properties that must NEVER regress, on every headline
+query, at plan-build time (no execution beyond what query construction
+itself does):
+
+* no ``CartesianProduct`` — an all-pairs join sneaking into a headline
+  plan is the canonical 100x-at-scale regression;
+* every parquet scan of a fact table prunes columns (``ReadSchema``
+  never re-lists the full 16-column lineitem / 9-column orders width
+  for a projection query).
+
+The audit runs against sf0.001 so plan construction (which for the
+model pipelines includes the one-time background-model collect) stays
+in milliseconds.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+HEADLINE = [
+    "word_count", "background_model", "windowed_event_counts",
+    "sliding_window_counts", "session_windows", "topk_event_types_per_user",
+    "semi_join_filter", "revenue_per_nation", "token_counts",
+    "quality_scores", "dedup_exact", "dedup_minhash_lsh",
+    "ann_cosine_topk", "evolution_edges", "detect_events",
+]
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+    return {name: _formatted_plan(qmap[name](spark, SF_DIR))
+            for name in HEADLINE}
+
+
+def test_no_cartesian_product(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_fact_scans_prune_columns(plans):
+    # every ReadSchema on a known-wide table must select a strict
+    # subset of its columns (lineitem has 16, orders 9, events 7)
+    widths = {"lineitem": 16, "orders": 9, "events": 7}
+    for name, plan in plans.items():
+        # formatted explain lists one detail block per scan node:
+        # "(N) Scan parquet ... Location: ...<table>.parquet ...
+        #  ReadSchema: struct<...>"
+        for block in re.split(r"\(\d+\) Scan parquet", plan)[1:]:
+            loc = re.search(r"Location:.*/(\w+)\.parquet", block)
+            schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
+            if not loc or not schema:
+                continue
+            table = loc.group(1)
+            if table in widths and schema.group(1):
+                ncols = schema.group(1).count(":")
+                assert ncols < widths[table], (
+                    f"{name}: scan of {table} reads all {ncols} columns")
+
+
+def test_broadcast_join_on_small_dims(plans):
+    # revenue_per_nation joins 25-row nation / 1.5k-row customer:
+    # the big side must never shuffle for it
+    plan = plans["revenue_per_nation"]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

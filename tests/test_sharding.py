@@ -183,6 +183,40 @@ def test_multi_file_shards_same_shards_bounded_tasks(
         assert a == b
 
 
+def test_zero_shuffle_export_same_shards(spark, assigned, tmp_path_factory):
+    """exchange='none' (the giant-corpus path: corpus never crosses an
+    exchange) must produce identical membership, totals, and merged
+    per-shard epoch order — only the file layout differs (up to one
+    file per input partition per shard)."""
+    import glob
+
+    ex = str(tmp_path_factory.mktemp("shards") / "exchange")
+    zs = str(tmp_path_factory.mktemp("shards") / "zeroshuffle")
+    write_training_shards(assigned, ex, N_SHARDS)
+    four = assigned.repartition(4)
+    write_training_shards(four, zs, N_SHARDS, exchange="none")
+
+    m_ex = {r.shard_id: (r.n_docs, r.n_tokens, r.min_key, r.max_key)
+            for r in read_manifest(spark, ex).collect()}
+    m_zs = {r.shard_id: (r.n_docs, r.n_tokens, r.min_key, r.max_key)
+            for r in read_manifest(spark, zs).collect()}
+    assert m_ex == m_zs
+
+    # layout: at most one file per input partition per shard dir
+    n_files = len(glob.glob(f"{zs}/shard_id=0/*.parquet"))
+    assert 1 <= n_files <= 4
+
+    # merged-by-order_key read recovers the exchange layout's order
+    for sid in (0, N_SHARDS - 1):
+        a = [r.doc_id for r in spark.read.parquet(
+            f"{ex}/shard_id={sid}").orderBy("order_key", "doc_id")
+            .select("doc_id").collect()]
+        b = [r.doc_id for r in spark.read.parquet(
+            f"{zs}/shard_id={sid}").orderBy("order_key", "doc_id")
+            .select("doc_id").collect()]
+        assert a == b
+
+
 def test_stream_shard_sink_matches_batch_exactly_once(
     spark, tiny_sequences, tmp_path_factory
 ):

@@ -63,9 +63,9 @@ print("GENERATED", spark.read.parquet(in_dir).count())
 
 WORKER = r"""
 import hashlib, json, shutil, sys, time
-cores, in_dir, out_dir, partitions, n_shards = (
+cores, in_dir, out_dir, partitions, n_shards, exchange = (
     int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]),
-    int(sys.argv[5]))
+    int(sys.argv[5]), sys.argv[6])
 from bigdata_event_stream_detection_spark.session import get_spark
 spark = get_spark("shard-%d" % cores, cores=cores,
                   shuffle_partitions=partitions,
@@ -85,12 +85,12 @@ from pyspark.sql import functions as F
 warm_slice = seqs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)) == 0)
 write_training_shards(
     shard_assignments(warm_slice, n_shards, seed=11, epoch=3),
-    warm_dir, n_shards)
+    warm_dir, n_shards, exchange=exchange)
 shutil.rmtree(warm_dir, ignore_errors=True)
 shutil.rmtree(out_dir, ignore_errors=True)
 t0 = time.perf_counter()
 assigned = shard_assignments(seqs, n_shards, seed=11, epoch=3)
-write_training_shards(assigned, out_dir, n_shards)
+write_training_shards(assigned, out_dir, n_shards, exchange=exchange)
 wall = time.perf_counter() - t0
 man = sorted(map(tuple, spark.read.json(out_dir + "/_manifest")
                  .select("shard_id", "n_docs", "n_tokens", "n_sources",
@@ -105,13 +105,14 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_worker(cores, in_dir, out_dir, work, partitions, n_shards):
+def run_worker(cores, in_dir, out_dir, work, partitions, n_shards,
+               exchange="preimage"):
     env = dict(os.environ, PYTHONPATH=REPO,
                OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
     env["SPARK_LOCAL_DIRS"] = work
     cmd = [sys.executable, "-c", WORKER, str(cores), in_dir, out_dir,
-           str(partitions), str(n_shards)]
+           str(partitions), str(n_shards), exchange]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -130,6 +131,10 @@ def main():
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--local-dir", default=None)
+    ap.add_argument("--exchange", default="preimage",
+                    choices=["preimage", "none"])
+    ap.add_argument("--cores", type=int, action="append", default=None,
+                    help="explicit core counts (repeatable); default N,4N")
     args = ap.parse_args()
 
     # fixed across core counts; >= shards so every shard's task can
@@ -147,20 +152,23 @@ def main():
 
     try:
         raw: dict[int, list] = {}
+        levels = tuple(args.cores) if args.cores else (args.n, 4 * args.n)
         for rep in range(args.repeats):
-            for cores in (args.n, 4 * args.n):
+            for cores in levels:
                 r = run_worker(cores, in_dir, out_dir, work,
-                               partitions, args.shards)
+                               partitions, args.shards, args.exchange)
                 raw.setdefault(cores, []).append(r)
                 print(json.dumps(r), flush=True)
 
         best = {c: min(rs, key=lambda r: r["wall_sec"])
                 for c, rs in raw.items()}
         digests = {r["digest"] for rs in raw.values() for r in rs}
-        eff = (best[4 * args.n]["docs_per_sec"]
-               / best[args.n]["docs_per_sec"]) / 4
+        lo, hi = min(best), max(best)
+        eff = ((best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"])
+               / (hi / lo)) if hi > lo else 1.0
         print(json.dumps({
             "docs": args.docs, "shards": args.shards,
+            "exchange": args.exchange, "cores": sorted(best),
             "partitions": partitions,
             "deterministic_across_levels": len(digests) == 1,
             "best": best,
