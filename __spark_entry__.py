@@ -121,6 +121,24 @@ def _q_funnel_times_within(spark, sf_dir):
           for i in range(3)])
 
 
+def _q_absence_patterns(spark, sf_dir):
+    # CEP negation: view then purchase with NO error between, within 24h
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_absence,
+    )
+
+    m = match_absence(_t(spark, sf_dir, "events"),
+                      "view", "purchase", "error",
+                      within_seconds=86400)
+    return m.select(
+        "user_id", "first_event_id",
+        F.unix_micros(F.col("first_ts").cast("timestamp"))
+        .alias("first_ts_us"),
+        F.unix_micros(F.col("then_ts").cast("timestamp"))
+        .alias("then_ts_us"),
+        "gap_sec")
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import (
         tfidf_top_terms,
@@ -1259,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
+        "absence_patterns": _q_absence_patterns,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -1642,6 +1661,33 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us
             FROM s0 LEFT JOIN s1 USING (user_id)
                     LEFT JOIN s2 USING (user_id)
+        """,
+        "absence_patterns": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER w AS rn FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            fwd AS (
+              SELECT *,
+                min(CASE WHEN event_type = 'purchase' THEN rn END)
+                  OVER w2 AS then_rn,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  OVER w2 AS then_ts,
+                min(CASE WHEN event_type = 'error' THEN rn END)
+                  OVER w2 AS wo_rn
+              FROM ranked
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING))
+            SELECT user_id, event_id AS first_event_id,
+                   epoch_us(ts) AS first_ts_us,
+                   epoch_us(then_ts) AS then_ts_us,
+                   round(date_diff('microsecond', ts, then_ts) / 1e6, 6)
+                     AS gap_sec
+            FROM fwd
+            WHERE event_type = 'view' AND then_rn IS NOT NULL
+              AND (wo_rn IS NULL OR then_rn < wo_rn)
+              AND date_diff('microsecond', ts, then_ts)
+                  <= 86400::BIGINT * 1000000
         """,
         "pivot_event_values": """
             SELECT user_id,

@@ -1,0 +1,91 @@
+"""MATCH_RECOGNIZE-style absence patterns over keyed event tables.
+
+The CEP negation primitive the funnel family cannot express: "A then B
+with NO C in between" (order placed then shipped without cancel; view
+then purchase without error). One output row per A-typed event that is
+followed — strictly after it in the per-key (ts, event_id) order — by a
+B-typed event with no C-typed event between them, optionally requiring
+B within ``within_seconds`` of A.
+
+Greedy-earliest equals existence here: any C before the earliest
+following B also sits between A and every later B, so "the next B has
+no intervening C" is exactly "some B has no intervening C". That makes
+the semantics decidable from three forward-looking running minima —
+pure whole-stage-codegen window aggregates sharing ONE per-key sort
+(one shuffle on the key, no self-join, no per-row Python), the same
+frame DuckDB evaluates verbatim for the oracle.
+
+Scale: cost is sort-within-partition after a single hash exchange on
+the key — the minimum for any order-sensitive per-key semantics. A
+pathologically hot key serializes its own sort only; salting cannot
+help (order must be global per key) but AQE splits the *exchange*
+skew, and keys are users — bounded fan-in by construction.
+
+Reference parity: the reference has no negation CEP; this extends its
+event-detection query family (SURVEY.md §2 funnel rows) with the
+standard absence pattern of CEP engines (Flink MATCH_RECOGNIZE's
+``NOT``/absence idiom), built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def match_absence(
+    events: DataFrame,
+    first: str,
+    then: str,
+    without: str,
+    within_seconds: float | None = None,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One row per ``first``-typed event matched by a later ``then``
+    event with no ``without`` event between them (per ``key_col``,
+    ordered by ``(time_col, id_col)``).
+
+    Output: ``(user_id, first_event_id, first_ts, then_ts, gap_sec)``
+    with ``gap_sec`` = seconds from first to matched then, rounded to
+    microsecond-exact 6 dp. ``within_seconds`` bounds the gap.
+    """
+    w_ord = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    # same partition+order spec, forward-only frame: Spark evaluates
+    # all three minima in the SAME WindowExec pass as row_number —
+    # one exchange, one sort, no extra materialization
+    w_fwd = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    typ = F.col(type_col)
+    ranked = events.select(
+        key_col, id_col, time_col, type_col,
+        F.row_number().over(w_ord).alias("_rn"),
+    )
+    fwd = ranked.select(
+        key_col, id_col, time_col, type_col,
+        F.min(F.when(typ == then, F.col("_rn"))).over(w_fwd)
+        .alias("_then_rn"),
+        F.min(F.when(typ == then, F.col(time_col))).over(w_fwd)
+        .alias("then_ts"),
+        F.min(F.when(typ == without, F.col("_rn"))).over(w_fwd)
+        .alias("_wo_rn"),
+    )
+    matched = fwd.filter(
+        (typ == first)
+        & F.col("_then_rn").isNotNull()
+        & (F.col("_wo_rn").isNull()
+           | (F.col("_then_rn") < F.col("_wo_rn")))
+    )
+    gap_us = F.expr(
+        f"timestampdiff(MICROSECOND, {time_col}, then_ts)")
+    if within_seconds is not None:
+        matched = matched.filter(
+            gap_us <= int(round(float(within_seconds) * 1e6)))
+    return matched.select(
+        F.col(key_col),
+        F.col(id_col).alias("first_event_id"),
+        F.col(time_col).alias("first_ts"),
+        "then_ts",
+        F.round(gap_us / F.lit(1e6), 6).alias("gap_sec"),
+    )

@@ -1,0 +1,193 @@
+"""Streaming absence-pattern CEP: the continuous form of
+``operators.cep.match_absence`` with a required horizon.
+
+Semantics (identical to batch): per key, every ``first``-typed event is
+an anchor; it matches if the earliest following ``then`` event (per-key
+(ts, event_id) order) has no ``without`` event between them and lands
+within ``within_seconds``. The horizon makes every anchor decidable in
+a stream, and event-time finality makes each one resolve exactly once:
+
+* **match** is final once the watermark passes the matched then-event's
+  timestamp — any later arrival has ts >= watermark, so nothing can
+  slot between the anchor and its match, or earlier than the match;
+* **no-match via negation** is final once a ``without`` that precedes
+  every current ``then`` is itself behind the watermark;
+* **no-match via horizon** is final once the watermark passes
+  ``anchor + horizon``.
+
+State per key is a bounded buffer of (type_code, ts_us, event_id)
+triples — only the three pattern-relevant event types, never payloads —
+packed as binary blobs like the engine's token buffers. Anchors leave
+state the moment they resolve; non-anchor events are pruned once the
+watermark proves no current or future anchor can reach them (future
+anchors have ts >= watermark, so a then/without older than
+``watermark - horizon`` is dead). A key whose buffer empties is REMOVED
+from the store — no tombstones are needed because each anchor is an
+independent pattern instance identified by its event_id (unlike the
+funnel's once-per-user chain), and Spark's watermark filter stops
+replayed anchors from re-entering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StructField, StructType,
+    TimestampType,
+)
+
+CEP_STATE_SCHEMA = StructType([
+    StructField("types", BinaryType()),     # int8 code: 0 first/1 then/2 wo
+    StructField("ts_us", BinaryType()),     # int64 event-time micros
+    StructField("eids", BinaryType()),      # int64 event ids (tie order)
+])
+
+OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("first_event_id", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("then_ts", TimestampType()),
+    StructField("gap_sec", DoubleType()),
+])
+
+
+def streaming_match_absence(
+    stream: DataFrame,
+    first: str,
+    then: str,
+    without: str,
+    within_seconds: float,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Emit ``(user_id, first_event_id, first_ts, then_ts, gap_sec)``
+    rows equal to the batch ``match_absence(..., within_seconds=...)``
+    output on the same input, each exactly once."""
+    horizon_us = int(round(float(within_seconds) * 1e6))
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+
+    def after(ts, eid, t0, e0):
+        """(ts, eid) strictly after (t0, e0) — the batch sort order."""
+        return (ts > t0) | ((ts == t0) & (eid > e0))
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb = state.get
+            typ = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            typ = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+
+        if not state.hasTimedOut:
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                nt.append(pdf["_code"].to_numpy(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64) // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64))
+            if nt:
+                typ = np.concatenate([typ] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if typ.size > max_events_in_state:
+                    dropped_acc.add(typ.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        rows = []
+        drop = np.zeros(typ.size, dtype=bool)
+        pending_decision_us = []
+        for i in np.flatnonzero(typ == 0):
+            f_us, f_eid = int(us[i]), int(eid[i])
+            fol = after(us, eid, f_us, f_eid)
+            t_mask = fol & (typ == 1)
+            w_mask = fol & (typ == 2)
+            t_us = t_eid = None
+            if t_mask.any():
+                j = np.flatnonzero(t_mask)
+                jj = j[np.lexsort((eid[j], us[j]))[0]]
+                t_us, t_eid = int(us[jj]), int(eid[jj])
+            w_us = w_eid = None
+            if w_mask.any():
+                j = np.flatnonzero(w_mask)
+                jj = j[np.lexsort((eid[j], us[j]))[0]]
+                w_us, w_eid = int(us[jj]), int(eid[jj])
+            then_first = t_us is not None and (
+                w_us is None or (t_us, t_eid) < (w_us, w_eid))
+            if then_first and t_us - f_us <= horizon_us:
+                if t_us < wm_us:          # match final: emit + retire
+                    gap = round((t_us - f_us) / 1e6, 6)
+                    rows.append([user, int(f_eid),
+                                 pd.Timestamp(int(f_us), unit="us"),
+                                 pd.Timestamp(t_us, unit="us"), gap])
+                    drop[i] = True
+                else:                     # match pending finality
+                    pending_decision_us.append(t_us)
+            elif (w_us is not None and w_us < wm_us
+                  and (t_us is None or (w_us, w_eid) < (t_us, t_eid))):
+                drop[i] = True            # negation final: retire silently
+            elif wm_us > f_us + horizon_us:
+                drop[i] = True            # horizon final: no match
+            else:
+                pending_decision_us.append(f_us + horizon_us)
+
+        keep = ~drop
+        # non-anchor events older than watermark - horizon can never be
+        # strictly-after any live or future anchor (live anchors have
+        # f_us >= wm - horizon, and ties on ts are resolved by event_id,
+        # so the boundary itself must survive): provably dead below it
+        keep &= (typ == 0) | (us >= wm_us - horizon_us)
+        typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        if not typ.size:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((typ.tobytes(), us.tobytes(), eid.tobytes()))
+            if pending_decision_us:
+                fire_us = min(pending_decision_us)
+            else:
+                # only non-anchor events: dead once wm passes ts+horizon
+                fire_us = int(us.min()) + horizon_us
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "first_event_id", "first_ts", "then_ts",
+                "gap_sec"])
+
+    code_of = F.create_map(
+        F.lit(first), F.lit(0), F.lit(then), F.lit(1),
+        F.lit(without), F.lit(2))
+    keyed = (
+        stream.withWatermark(time_col, watermark_delay)
+        .filter(F.col(type_col).isin([first, then, without]))
+        .select(F.col(key_col).alias("user_id"), time_col,
+                F.col(id_col).cast("long").alias(id_col),
+                code_of[F.col(type_col)].cast("int").alias("_code"))
+    )
+    out = keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out

@@ -1,0 +1,116 @@
+"""Batch absence-pattern CEP: fixture semantics + brute-force property.
+
+match_absence("A then B with no C between, within horizon") must equal
+an exhaustive per-anchor scan under the (ts, event_id) order — ties,
+negation, and horizon edges included.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from bigdata_event_stream_detection_spark.operators.cep import (
+    match_absence,
+)
+
+T0 = datetime(2024, 6, 1)
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type"])
+    return spark.createDataFrame(pdf)
+
+
+def _brute(rows, first, then, without, within=None):
+    """Exhaustive reference: for every first-event, the earliest
+    following then-event in (ts, event_id) order wins iff no without
+    sits between them and the gap fits the horizon."""
+    out = set()
+    for u, fe, fts, ftyp in rows:
+        if ftyp != first:
+            continue
+        fol = [(ts, e, ty) for (uu, e, ts, ty) in rows
+               if uu == u and (ts, e) > (fts, fe)]
+        thens = sorted((ts, e) for ts, e, ty in fol if ty == then)
+        wos = sorted((ts, e) for ts, e, ty in fol if ty == without)
+        if not thens:
+            continue
+        t = thens[0]
+        if wos and wos[0] < t:
+            continue
+        gap_us = int((t[0] - fts) / timedelta(microseconds=1))
+        if within is not None and gap_us > within * 1e6:
+            continue
+        out.add((u, fe, fts, t[0], round(gap_us / 1e6, 6)))
+    return out
+
+
+def _collect(df):
+    return {(r["user_id"], r["first_event_id"], r["first_ts"],
+             r["then_ts"], r["gap_sec"]) for r in df.collect()}
+
+
+def test_match_absence_fixture(spark):
+    m = timedelta(minutes=1)
+    rows = [
+        # u1: clean A -> B, matches
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * m, "B"),
+        # u2: C between A and B -> no match
+        (2, 20, T0, "A"), (2, 21, T0 + 2 * m, "C"),
+        (2, 22, T0 + 5 * m, "B"),
+        # u3: C after B -> still matches
+        (3, 30, T0, "A"), (3, 31, T0 + 3 * m, "B"),
+        (3, 32, T0 + 4 * m, "C"),
+        # u4: B beyond the horizon -> no match
+        (4, 40, T0, "A"), (4, 41, T0 + 90 * m, "B"),
+        # u5: tie on ts — B shares A's timestamp, larger event_id, so it
+        # is strictly-after in order and matches with gap 0
+        (5, 50, T0, "A"), (5, 51, T0, "B"),
+        # u6: two anchors, one shared B: both match (each anchor is an
+        # independent pattern instance)
+        (6, 60, T0, "A"), (6, 61, T0 + 1 * m, "A"),
+        (6, 62, T0 + 2 * m, "B"),
+        # u7: B before A only -> no match
+        (7, 71, T0, "B"), (7, 70, T0 + 1 * m, "A"),
+    ]
+    got = _collect(match_absence(
+        _df(spark, rows), "A", "B", "C", within_seconds=3600))
+    assert got == _brute(
+        [(u, e, ts, ty) for (u, e, ts, ty) in rows], "A", "B", "C", 3600)
+    assert {g[0] for g in got} == {1, 3, 5, 6}
+    assert len([g for g in got if g[0] == 6]) == 2
+    u5 = next(g for g in got if g[0] == 5)
+    assert u5[4] == 0.0
+
+
+def test_match_absence_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        for _ in range(rng.randint(3, 14)):
+            rows.append((
+                u, eid,
+                T0 + timedelta(seconds=rng.randint(0, 7200)),
+                rng.choice(["A", "B", "C", "noise"])))
+            eid += 1
+    for within in (None, 1800):
+        got = _collect(match_absence(
+            _df(spark, rows), "A", "B", "C", within_seconds=within))
+        assert got == _brute(rows, "A", "B", "C", within)
+
+
+def test_match_absence_single_sort_plan(spark):
+    """All three forward minima and the row_number share one window
+    spec: the physical plan must contain exactly one exchange on the
+    key and no join."""
+    rows = [(1, 10, T0, "A"), (1, 11, T0 + timedelta(minutes=5), "B")]
+    plan = match_absence(
+        _df(spark, rows), "A", "B", "C")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan

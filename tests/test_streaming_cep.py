@@ -1,0 +1,173 @@
+"""Streaming absence-pattern CEP parity with batch match_absence
+(horizon-bounded, exactly-once emission, state lifecycle).
+
+Same micro-batch conventions as tests/test_streaming.py: file mtimes
+order the batches, a far-future sentinel advances the watermark past
+every real decision point.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from bigdata_event_stream_detection_spark.operators.cep import (
+    match_absence,
+)
+from bigdata_event_stream_detection_spark.streaming.cep import (
+    streaming_match_absence,
+)
+
+ARROW_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("event_id", pa.int64()),
+    ("ts", pa.timestamp("us")),
+    ("event_type", pa.string()),
+])
+COLS = ["user_id", "event_id", "ts", "event_type"]
+WITHIN = 1800  # 30 min horizon
+T0 = datetime(2024, 6, 1)
+M = timedelta(minutes=1)
+
+
+def _make_events() -> pd.DataFrame:
+    rows = [
+        # u1: clean A -> B match
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * M, "B"),
+        # u2: C between -> negation kills it
+        (2, 20, T0, "A"), (2, 21, T0 + 2 * M, "C"),
+        (2, 22, T0 + 5 * M, "B"),
+        # u3: B beyond horizon -> no match
+        (3, 30, T0, "A"), (3, 31, T0 + 40 * M, "B"),
+        # u4: tie on ts, B strictly-after by event_id, gap 0
+        (4, 40, T0, "A"), (4, 41, T0, "B"),
+        # u5: two anchors, one shared B -> two rows
+        (5, 50, T0, "A"), (5, 51, T0 + 1 * M, "A"),
+        (5, 52, T0 + 2 * M, "B"),
+        # u6: anchor in chunk 1, match arrives in chunk 2
+        (6, 60, T0 + 60 * M, "A"), (6, 61, T0 + 75 * M, "B"),
+        # u7: noise only
+        (7, 70, T0 + 1 * M, "noise"), (7, 71, T0 + 2 * M, "noise"),
+    ]
+    return pd.DataFrame(rows, columns=COLS)
+
+
+def _write_chunk(path, name, pdf, mtime_offset):
+    f = os.path.join(path, name)
+    pq.write_table(pa.Table.from_pandas(
+        pdf, schema=ARROW_SCHEMA, preserve_index=False), f)
+    os.utime(f, (time.time() + mtime_offset, time.time() + mtime_offset))
+
+
+def _sentinel(ts):
+    return pd.DataFrame([(99, 990, ts, "A")], columns=COLS)
+
+
+def _read(spark, d):
+    return (spark.readStream
+            .schema("user_id long, event_id long, ts timestamp, "
+                    "event_type string")
+            .option("maxFilesPerTrigger", "1").parquet(d))
+
+
+def _rows(collected):
+    return {(r["user_id"], r["first_event_id"], r["first_ts"],
+             r["then_ts"], r["gap_sec"]) for r in collected}
+
+
+def test_streaming_match_absence_matches_batch(spark, tmp_path):
+    pdf = _make_events().sort_values(["ts", "event_id"]).reset_index(
+        drop=True)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    half = len(pdf) // 2
+    _write_chunk(d, "c0.parquet", pdf.iloc[:half], 0)
+    _write_chunk(d, "c1.parquet", pdf.iloc[half:], 1)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+
+    out = streaming_match_absence(_read(spark, d), "A", "B", "C", WITHIN)
+    q = (out.writeStream.format("memory").queryName("cep_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(spark.table("cep_s").collect())
+
+    truth = _rows(match_absence(
+        spark.createDataFrame(pdf), "A", "B", "C",
+        within_seconds=WITHIN).collect())
+    assert got == truth
+    assert {g[0] for g in got} == {1, 4, 5, 6}
+    assert len([g for g in got if g[0] == 5]) == 2
+    assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_absence_resumes_from_checkpoint(spark, tmp_path):
+    """Kill mid-input with unresolved anchors buffered, restart from the
+    checkpoint: emissions still equal batch and no anchor fires twice."""
+    pdf = _make_events().sort_values(["ts", "event_id"]).reset_index(
+        drop=True)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    half = len(pdf) // 2
+
+    def run_once():
+        q = (streaming_match_absence(
+                _read(spark, in_dir), "A", "B", "C", WITHIN)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_chunk(in_dir, "c0.parquet", pdf.iloc[:half], 0)
+    run_once()                 # phase 1: anchors buffered, nothing final
+    _write_chunk(in_dir, "c1.parquet", pdf.iloc[half:], 1)
+    _write_chunk(in_dir, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+    run_once()                 # phase 2: resume, drain, settle all
+
+    final = spark.read.parquet(out_dir)
+    assert (final.groupBy("first_event_id").count()
+            .filter(F.col("count") > 1).count()) == 0
+    truth = _rows(match_absence(
+        spark.createDataFrame(pdf), "A", "B", "C",
+        within_seconds=WITHIN).collect())
+    assert _rows(final.collect()) == truth
+
+
+def test_streaming_match_absence_state_lifecycle(spark, tmp_path):
+    """Resolved anchors and dead non-anchor events leave the store; a
+    key whose buffer empties is REMOVED (no tombstones)."""
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    chunk = pd.DataFrame([
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * M, "B"),   # resolves + empties
+        (2, 20, T0, "B"), (2, 21, T0 + 1 * M, "C"),   # never an anchor
+    ], columns=COLS)
+    _write_chunk(d, "c0.parquet", chunk, 0)
+    # two movers: first lifts the watermark past u1/u2's decision points
+    # (resolving u1 and killing u2's non-anchor buffer on the timeout
+    # sweep), second lifts it again so the sweep actually runs
+    _write_chunk(d, "c1.parquet", _sentinel(T0 + timedelta(hours=4)), 1)
+    _write_chunk(d, "c2.parquet",
+                 pd.DataFrame([(98, 980, T0 + timedelta(hours=8), "A")],
+                              columns=COLS), 2)
+
+    out = streaming_match_absence(_read(spark, d), "A", "B", "C", WITHIN)
+    q = (out.writeStream.format("memory").queryName("cep_life")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r["user_id"] for r in spark.table("cep_life").collect()] \
+        == [1]
+    # store holds only the last live anchor (u98): u1 resolved-and-
+    # emptied, u2 pruned-and-removed, and even the u99 mover's anchor
+    # horizon-resolved once the second mover passed T0+4h30m
+    progress = q.lastProgress or q.recentProgress[-1]
+    n_state = progress["stateOperators"][0]["numRowsTotal"]
+    assert n_state == 1, f"state leak: {n_state} rows in store"
