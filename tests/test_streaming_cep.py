@@ -9,6 +9,7 @@ every real decision point.
 from __future__ import annotations
 
 import os
+import random
 import time
 from datetime import datetime, timedelta
 
@@ -171,3 +172,48 @@ def test_streaming_match_absence_state_lifecycle(spark, tmp_path):
     progress = q.lastProgress or q.recentProgress[-1]
     n_state = progress["stateOperators"][0]["numRowsTotal"]
     assert n_state == 1, f"state leak: {n_state} rows in store"
+
+
+def test_streaming_match_absence_random_chunking_parity(spark, tmp_path):
+    """Property: for random event sets split at random chronological cut
+    points (rows unordered within a chunk — the watermark only advances
+    between batches), the streamed rows equal batch exactly. Exercises
+    anchors resolving across many different batch boundaries."""
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 15):
+            for _ in range(rng.randint(3, 12)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 5400)),
+                    rng.choice(["A", "B", "C", "noise"])))
+                eid += 1
+        pdf = (pd.DataFrame(rows, columns=COLS)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        d = str(tmp_path / f"in_{seed}")
+        os.makedirs(d)
+        cuts = sorted(rng.sample(range(1, len(pdf)),
+                                 k=rng.randint(2, 5)))
+        chunks = [pdf.iloc[a:b] for a, b in
+                  zip([0] + cuts, cuts + [len(pdf)])]
+        for i, chunk in enumerate(chunks):
+            # shuffle WITHIN the chunk: batch-internal order is free
+            _write_chunk(d, f"c{i}.parquet",
+                         chunk.sample(frac=1, random_state=seed), i)
+        _write_chunk(d, "zz.parquet",
+                     _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)),
+                     len(chunks) + 5)
+        out = streaming_match_absence(
+            _read(spark, d), "A", "B", "C", WITHIN)
+        q = (out.writeStream.format("memory")
+             .queryName(f"cep_prop_{seed}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = _rows(spark.table(f"cep_prop_{seed}").collect())
+        truth = _rows(match_absence(
+            spark.createDataFrame(pdf), "A", "B", "C",
+            within_seconds=WITHIN).collect())
+        assert got == truth, f"seed {seed}: stream != batch"
+        assert out.dropped_events_acc.value == 0
