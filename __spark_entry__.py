@@ -1087,6 +1087,42 @@ def _q_except_quality_docs(spark, sf_dir):
     return docs.select("doc_id").exceptAll(short.select("doc_id"))
 
 
+def _q_anti_join_inactive(spark, sf_dir):
+    # §2.6: ANTI join — customers who never placed a >300k order.
+    # Spark plans one left-anti hash join (the pushed filter shrinks
+    # the build side first); no NOT-IN rewrite, no per-row subquery.
+    cust = _t(spark, sf_dir, "customer")
+    big = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 300000))
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def _q_grouping_sets_counts(spark, sf_dir):
+    # §2.3: GROUPING SETS — the explicit-subset sibling of cube/rollup
+    # (only the aggregation levels a report needs, not the power set).
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_gs_docs")
+    return spark.sql("""
+        SELECT lang, source, count(*) AS n,
+               sum(n_chars) AS chars, grouping_id() AS gid
+        FROM _gs_docs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    """)
+
+
+def _q_percent_rank_prices(spark, sf_dir):
+    # §2.8: percent_rank + cume_dist of order value within its priority
+    # class — the distribution-position window pair topk/ntile lack
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).filter(F.col("pr") >= 0.99)
+
+
 def _q_cube_counts(spark, sf_dir):
     # §2.3: CUBE over (event_type, lang-bucket) with grouping ids
     ev = _t(spark, sf_dir, "events")
@@ -1350,6 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assignments": _q_pack_assignments,
         "intersect_users": _q_intersect_users,
         "except_quality_docs": _q_except_quality_docs,
+        "anti_join_inactive": _q_anti_join_inactive,
+        "grouping_sets_counts": _q_grouping_sets_counts,
+        "percent_rank_prices": _q_percent_rank_prices,
         "cube_counts": _q_cube_counts,
         "salted_source_counts": _q_salted_source_counts,
         "media_features": _q_media_features,
@@ -2610,6 +2649,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             EXCEPT ALL
             SELECT doc_id FROM documents WHERE n_chars < 200
+        """,
+        "anti_join_inactive": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+        """,
+        "grouping_sets_counts": """
+            SELECT lang, source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS gid
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        """,
+        "percent_rank_prices": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            QUALIFY pr >= 0.99
         """,
         "cube_counts": """
             SELECT coalesce(event_type, '<all>') AS event_type,
