@@ -1123,6 +1123,46 @@ def _q_percent_rank_prices(spark, sf_dir):
     ).filter(F.col("pr") >= 0.99)
 
 
+def _q_above_avg_orders(spark, sf_dir):
+    # §2.3/§2.8: the correlated-scalar-subquery classic ("rows above
+    # their group's average") as a partitioned window avg — one shuffle,
+    # no self-join, no per-row subquery re-evaluation
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (orders
+            .withColumn("_avg", F.avg("o_totalprice").over(w))
+            .filter(F.col("o_totalprice") > F.col("_avg"))
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    F.round("_avg", 6).alias("cust_avg")))
+
+
+def _q_trailing_value_sums(spark, sf_dir):
+    # §2.8: RANGE frame over event time — trailing 1h sum per user
+    # (value-based frame: all ties included, unlike a ROWS frame)
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return (ev.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 6).alias("trail_1h"))
+        .filter(F.col("trail_1h") > 200))
+
+
+def _q_value_change_lag(spark, sf_dir):
+    # §2.8: lag + first_value — per-user event-over-event value delta,
+    # emitted where it swings hard
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6)
+        .alias("delta"),
+        F.round(F.first("value").over(w), 6).alias("first_val"))
+        .filter(F.abs(F.col("delta")) > 90))
+
+
 def _q_cube_counts(spark, sf_dir):
     # §2.3: CUBE over (event_type, lang-bucket) with grouping ids
     ev = _t(spark, sf_dir, "events")
@@ -1389,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": _q_anti_join_inactive,
         "grouping_sets_counts": _q_grouping_sets_counts,
         "percent_rank_prices": _q_percent_rank_prices,
+        "above_avg_orders": _q_above_avg_orders,
+        "trailing_value_sums": _q_trailing_value_sums,
+        "value_change_lag": _q_value_change_lag,
         "cube_counts": _q_cube_counts,
         "salted_source_counts": _q_salted_source_counts,
         "media_features": _q_media_features,
@@ -2671,6 +2714,32 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice, o_orderkey)
             QUALIFY pr >= 0.99
+        """,
+        "above_avg_orders": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS price,
+                   round(cust_avg, 6) AS cust_avg
+            FROM (SELECT *, avg(o_totalprice)
+                         OVER (PARTITION BY o_custkey) AS cust_avg
+                  FROM orders)
+            WHERE o_totalprice > cust_avg
+        """,
+        "trailing_value_sums": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 6) AS trail_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                         AND CURRENT ROW)
+            QUALIFY trail_1h > 200
+        """,
+        "value_change_lag": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER w, 6) AS delta,
+                   round(first_value(value) OVER w, 6) AS first_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            QUALIFY abs(delta) > 90
         """,
         "cube_counts": """
             SELECT coalesce(event_type, '<all>') AS event_type,
