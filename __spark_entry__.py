@@ -1163,6 +1163,19 @@ def _q_value_change_lag(spark, sf_dir):
         .filter(F.abs(F.col("delta")) > 90))
 
 
+def _q_json_props_stats(spark, sf_dir):
+    # §2.2: semi-structured parsing — the events.props JSON column
+    # decoded with a typed from_json schema (codegen JSON path, no UDF),
+    # then a plain hash aggregate
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (ev.select("event_type", k.alias("_k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("_k").alias("k_sum"),
+                 F.round(F.avg("_k"), 6).alias("k_avg")))
+
+
 def _q_cube_counts(spark, sf_dir):
     # §2.3: CUBE over (event_type, lang-bucket) with grouping ids
     ev = _t(spark, sf_dir, "events")
@@ -1430,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_counts": _q_grouping_sets_counts,
         "percent_rank_prices": _q_percent_rank_prices,
         "above_avg_orders": _q_above_avg_orders,
+        "json_props_stats": _q_json_props_stats,
         "trailing_value_sums": _q_trailing_value_sums,
         "value_change_lag": _q_value_change_lag,
         "cube_counts": _q_cube_counts,
@@ -2714,6 +2728,14 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice, o_orderkey)
             QUALIFY pr >= 0.99
+        """,
+        "json_props_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS INT)) AS BIGINT) AS k_sum,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS INT)), 6) AS k_avg
+            FROM events GROUP BY event_type
         """,
         "above_avg_orders": """
             SELECT o_orderkey, o_custkey,
