@@ -139,6 +139,24 @@ def _q_absence_patterns(spark, sf_dir):
         "gap_sec")
 
 
+def _q_timeout_alerts(spark, sf_dir):
+    # CEP timeout/SLA: a view with no purchase within 4h (an error in
+    # the horizon silences the alert)
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout,
+    )
+
+    m = match_timeout(_t(spark, sf_dir, "events"),
+                      "view", "purchase", within_seconds=4 * 3600,
+                      unless="error")
+    return m.select(
+        "user_id", "first_event_id",
+        F.unix_micros(F.col("first_ts").cast("timestamp"))
+        .alias("first_ts_us"),
+        F.unix_micros(F.col("deadline_ts").cast("timestamp"))
+        .alias("deadline_us"))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.text import (
         tfidf_top_terms,
@@ -1367,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
+        "timeout_alerts": _q_timeout_alerts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -1784,6 +1803,29 @@ def oracle_sql() -> dict[str, str]:
               AND (wo_rn IS NULL OR then_rn < wo_rn)
               AND date_diff('microsecond', ts, then_ts)
                   <= 86400::BIGINT * 1000000
+        """,
+        "timeout_alerts": """
+            WITH fwd AS (
+              SELECT *,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  OVER w2 AS then_ts,
+                min(CASE WHEN event_type = 'error' THEN ts END)
+                  OVER w2 AS unless_ts
+              FROM events
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING))
+            SELECT user_id, event_id AS first_event_id,
+                   epoch_us(ts) AS first_ts_us,
+                   epoch_us(ts) + 14400000000 AS deadline_us
+            FROM fwd
+            WHERE event_type = 'view'
+              AND (then_ts IS NULL OR
+                   date_diff('microsecond', ts, then_ts)
+                   > 14400::BIGINT * 1000000)
+              AND (unless_ts IS NULL OR
+                   date_diff('microsecond', ts, unless_ts)
+                   > 14400::BIGINT * 1000000)
         """,
         "pivot_event_values": """
             SELECT user_id,

@@ -33,6 +33,60 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def match_timeout(
+    events: DataFrame,
+    first: str,
+    then: str,
+    within_seconds: float,
+    unless: str | None = None,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The timeout/SLA pattern: one row per ``first``-typed event with
+    NO ``then`` event within ``within_seconds`` of it (strictly after in
+    the per-key (ts, event_id) order) — "order placed, never shipped".
+    ``unless`` names an optional suppressing type (e.g. a cancel): an
+    ``unless`` event within the horizon silences the alert.
+
+    Output: ``(user_id, first_event_id, first_ts, deadline_ts)`` where
+    deadline = first_ts + horizon (the earliest moment the alert is
+    decidable — the streaming twin emits exactly then).
+
+    Same single-sort forward-minima plan as :func:`match_absence`:
+    one exchange on the key, no join, whole-stage codegen.
+    """
+    horizon_us = int(round(float(within_seconds) * 1e6))
+    w_ord = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    w_fwd = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    typ = F.col(type_col)
+    fwd = events.select(
+        key_col, id_col, time_col, type_col,
+        F.min(F.when(typ == then, F.col(time_col))).over(w_fwd)
+        .alias("_then_ts"),
+        *([F.min(F.when(typ == unless, F.col(time_col))).over(w_fwd)
+           .alias("_unless_ts")] if unless is not None else []),
+    )
+
+    def beyond(ts_col: str):
+        return (F.col(ts_col).isNull()
+                | (F.expr(f"timestampdiff(MICROSECOND, {time_col},"
+                          f" {ts_col})") > horizon_us))
+
+    cond = (typ == first) & beyond("_then_ts")
+    if unless is not None:
+        cond = cond & beyond("_unless_ts")
+    return fwd.filter(cond).select(
+        F.col(key_col),
+        F.col(id_col).alias("first_event_id"),
+        F.col(time_col).alias("first_ts"),
+        (F.col(time_col)
+         + F.expr(f"INTERVAL {horizon_us} MICROSECOND"))
+        .alias("deadline_ts"),
+    )
+
+
 def match_absence(
     events: DataFrame,
     first: str,

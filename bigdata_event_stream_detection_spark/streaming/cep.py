@@ -55,6 +55,134 @@ OUT_SCHEMA = StructType([
 ])
 
 
+TIMEOUT_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("first_event_id", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("deadline_ts", TimestampType()),
+])
+
+
+def streaming_match_timeout(
+    stream: DataFrame,
+    first: str,
+    then: str,
+    within_seconds: float,
+    unless: str | None = None,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Continuous timeout/SLA alerts: emit ``(user_id, first_event_id,
+    first_ts, deadline_ts)`` exactly when the watermark proves no
+    ``then`` (nor ``unless``) event landed within the horizon — equal to
+    the batch ``match_timeout`` rows, each exactly once.
+
+    Every anchor resolves at a single point: ``wm > first_ts + horizon``
+    (all in-horizon events are then final). A ``then``/``unless``
+    already buffered inside the horizon retires the anchor early and
+    silently — no alert can ever fire after that, so the state empties
+    as soon as the answer is known, not at the deadline.
+    """
+    horizon_us = int(round(float(within_seconds) * 1e6))
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+    watch = [t for t in (then, unless) if t is not None]
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb = state.get
+            typ = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            typ = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+
+        if not state.hasTimedOut:
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                nt.append(pdf["_code"].to_numpy(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64) // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64))
+            if nt:
+                typ = np.concatenate([typ] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if typ.size > max_events_in_state:
+                    dropped_acc.add(typ.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        rows = []
+        drop = np.zeros(typ.size, dtype=bool)
+        pending_deadline_us = []
+        for i in np.flatnonzero(typ == 0):
+            f_us, f_eid = int(us[i]), int(eid[i])
+            silencer = (
+                (typ > 0)
+                & ((us > f_us) | ((us == f_us) & (eid > f_eid)))
+                & (us - f_us <= horizon_us))
+            if silencer.any():
+                drop[i] = True            # answered early: never alerts
+            elif wm_us > f_us + horizon_us:
+                rows.append([user, f_eid,
+                             pd.Timestamp(f_us, unit="us"),
+                             pd.Timestamp(f_us + horizon_us, unit="us")])
+                drop[i] = True            # deadline passed: alert once
+            else:
+                pending_deadline_us.append(f_us + horizon_us)
+
+        keep = ~drop
+        # watched events only matter inside a live or future anchor's
+        # horizon; anchors are kept by their own pending deadline
+        keep &= (typ == 0) | (us >= wm_us - horizon_us)
+        typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        if not typ.size:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((typ.tobytes(), us.tobytes(), eid.tobytes()))
+            fire_us = (min(pending_deadline_us) if pending_deadline_us
+                       else int(us.min()) + horizon_us)
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "first_event_id", "first_ts", "deadline_ts"])
+
+    pairs = [F.lit(first), F.lit(0)]
+    for w in watch:
+        pairs += [F.lit(w), F.lit(1)]
+    code_of = F.create_map(*pairs)
+    keyed = (
+        stream.withWatermark(time_col, watermark_delay)
+        .filter(F.col(type_col).isin([first] + watch))
+        .select(F.col(key_col).alias("user_id"), time_col,
+                F.col(id_col).cast("long").alias(id_col),
+                code_of[F.col(type_col)].cast("int").alias("_code"))
+    )
+    out = keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TIMEOUT_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out
+
+
 def streaming_match_absence(
     stream: DataFrame,
     first: str,

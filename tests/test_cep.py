@@ -114,3 +114,69 @@ def test_match_absence_single_sort_plan(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def _brute_timeout(rows, first, then, within, unless=None):
+    watch = {t for t in (then, unless) if t is not None}
+    out = set()
+    for u, fe, fts, ftyp in rows:
+        if ftyp != first:
+            continue
+        silenced = any(
+            uu == u and ty in watch and (ts, e) > (fts, fe)
+            and (ts - fts) <= timedelta(seconds=within)
+            for (uu, e, ts, ty) in rows)
+        if not silenced:
+            out.add((u, fe, fts, fts + timedelta(seconds=within)))
+    return out
+
+
+def _collect_timeout(df):
+    return {(r["user_id"], r["first_event_id"], r["first_ts"],
+             r["deadline_ts"]) for r in df.collect()}
+
+
+def test_match_timeout_fixture(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout,
+    )
+    m = timedelta(minutes=1)
+    rows = [
+        # u1: purchase in time -> no alert
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * m, "B"),
+        # u2: nothing follows -> alert
+        (2, 20, T0, "A"),
+        # u3: B beyond horizon -> alert
+        (3, 30, T0, "A"), (3, 31, T0 + 90 * m, "B"),
+        # u4: cancel (unless) in horizon -> silenced
+        (4, 40, T0, "A"), (4, 41, T0 + 10 * m, "C"),
+        # u5: tie on ts, B strictly-after by id -> silenced (gap 0)
+        (5, 50, T0, "A"), (5, 51, T0, "B"),
+        # u6: B BEFORE the anchor only -> alert
+        (6, 61, T0, "B"), (6, 60, T0 + 1 * m, "A"),
+    ]
+    got = _collect_timeout(match_timeout(
+        _df(spark, rows), "A", "B", within_seconds=3600, unless="C"))
+    assert got == _brute_timeout(rows, "A", "B", 3600, "C")
+    assert {g[0] for g in got} == {2, 3, 6}
+
+
+def test_match_timeout_matches_bruteforce_random(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout,
+    )
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        for _ in range(rng.randint(2, 12)):
+            rows.append((
+                u, eid,
+                T0 + timedelta(seconds=rng.randint(0, 7200)),
+                rng.choice(["A", "B", "C", "noise"])))
+            eid += 1
+    for unless in (None, "C"):
+        got = _collect_timeout(match_timeout(
+            _df(spark, rows), "A", "B", within_seconds=1800,
+            unless=unless))
+        assert got == _brute_timeout(rows, "A", "B", 1800, unless)

@@ -217,3 +217,52 @@ def test_streaming_match_absence_random_chunking_parity(spark, tmp_path):
             within_seconds=WITHIN).collect())
         assert got == truth, f"seed {seed}: stream != batch"
         assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_timeout_matches_batch(spark, tmp_path):
+    """Timeout/SLA alerts: streamed rows equal batch match_timeout, each
+    exactly once, firing at the watermark deadline."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_timeout,
+    )
+    rows = [
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * M, "B"),    # answered: silent
+        (2, 20, T0, "A"),                              # alert
+        (3, 30, T0, "A"), (3, 31, T0 + 90 * M, "B"),   # beyond: alert
+        (4, 40, T0, "A"), (4, 41, T0 + 10 * M, "C"),   # unless: silent
+        (5, 50, T0, "A"), (5, 51, T0, "B"),            # tie: silent
+        (6, 60, T0 + 40 * M, "A"),                     # 2nd-chunk alert
+    ]
+    pdf = (pd.DataFrame(rows, columns=COLS)
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    half = len(pdf) // 2
+    _write_chunk(d, "c0.parquet", pdf.iloc[:half], 0)
+    _write_chunk(d, "c1.parquet", pdf.iloc[half:], 1)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+
+    out = streaming_match_timeout(
+        _read(spark, d), "A", "B", within_seconds=WITHIN, unless="C")
+    q = (out.writeStream.format("memory").queryName("cep_to")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["first_event_id"], r["first_ts"],
+            r["deadline_ts"])
+           for r in spark.table("cep_to").collect()}
+    truth = {(r["user_id"], r["first_event_id"], r["first_ts"],
+              r["deadline_ts"])
+             for r in match_timeout(
+                 spark.createDataFrame(pdf), "A", "B",
+                 within_seconds=WITHIN, unless="C").collect()}
+    assert got == truth
+    assert {g[0] for g in got} == {2, 3, 6}
+    assert out.dropped_events_acc.value == 0
+    # early retirement: answered/silenced anchors left the store before
+    # their deadline; only the sentinel anchor remains
+    progress = q.lastProgress or q.recentProgress[-1]
+    assert progress["stateOperators"][0]["numRowsTotal"] == 1
