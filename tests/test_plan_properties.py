@@ -32,6 +32,11 @@ HEADLINE = [
     "semi_join_filter", "revenue_per_nation", "token_counts",
     "quality_scores", "dedup_exact", "dedup_minhash_lsh",
     "ann_cosine_topk", "evolution_edges", "detect_events",
+    # round-2 late additions: CEP + relational-depth queries
+    "absence_patterns", "timeout_alerts", "funnel_times_within",
+    "anti_join_inactive", "grouping_sets_counts", "percent_rank_prices",
+    "above_avg_orders", "trailing_value_sums", "value_change_lag",
+    "json_props_stats",
 ]
 
 
