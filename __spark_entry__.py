@@ -217,6 +217,22 @@ def _q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    # cluster-quarantined train/val/test split: near-duplicates can
+    # never straddle the train/eval boundary
+    from bigdata_event_stream_detection_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, rows_per_band=2)
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def _q_duplicate_spans(spark, sf_dir):
     # substring-level dedup audit (Lee et al. ACL'22 shape): per-doc
     # token coverage by cross-doc duplicated 8-grams
@@ -1411,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "contamination_overlap": _q_contamination_overlap,
         "dedup_clusters": _q_dedup_clusters,
+        "leakage_safe_split": _q_leakage_safe_split,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1583,6 +1600,63 @@ def _temperature_mix_sql() -> str:
                   concat_ws('|', 'tmix', CAST(doc_id AS VARCHAR))
               ), 1, 15)) AS BIGINT)
               < (CASE {cases} ELSE 0 END)
+    """
+
+
+def _leakage_safe_split_sql() -> str:
+    # the dedup_clusters recursive-CC chain (kept in lockstep with that
+    # oracle) + hash_split's md5 CASE, keyed on cluster_id
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        sample_threshold,
+    )
+
+    t1, t2 = sample_threshold(0.8), sample_threshold(0.8 + 0.1)
+    h60 = "CAST(concat('0x', substr(md5({0}), 1, 15)) AS BIGINT)"
+    return _SHINGLES_CTE.replace(
+        "WITH w AS", "WITH RECURSIVE w AS", 1) + f"""
+        , hashed AS (
+          SELECT doc_id,
+                 {h60.format("shingle")} % 35184372088832 AS h
+          FROM sh
+        ), seeded AS (
+          SELECT doc_id, seed,
+                 min((h * ((seed * 2 + 1) * 12347) + seed * 7919)
+                     % 35184372088832) AS minhash
+          FROM hashed, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+          GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+                 string_agg(CAST(minhash AS VARCHAR), ','
+                            ORDER BY seed) AS band_sig
+          FROM seeded GROUP BY 1, 2
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ), edges AS (
+          SELECT doc1 AS src, doc2 AS dst FROM pairs
+          UNION SELECT doc2, doc1 FROM pairs
+        ), reach(node, r) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+        ), cc AS (
+          SELECT node, min(r) AS cid FROM reach GROUP BY node
+        ), clustered AS (
+          SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN h < {t1} THEN 'train'
+                    WHEN h < {t2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     CAST(concat('0x', substr(md5(
+                         concat_ws('|', 'split',
+                                   CAST(cluster_id AS VARCHAR))
+                     ), 1, 15)) AS BIGINT) AS h
+              FROM clustered)
     """
 
 
@@ -2602,6 +2676,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) WHERE rk <= 30
         """,
         "hash_split": _hash_split_sql(),
+        "leakage_safe_split": _leakage_safe_split_sql(),
         "curated_mix": _curated_mix_sql(),
         "pack_assignments": f"""
             SELECT doc_id, source,

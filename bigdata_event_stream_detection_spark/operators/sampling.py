@@ -188,6 +188,36 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    dup_pairs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: every member of a duplicate cluster lands in the SAME split
+    because the hash key is the cluster id, not the doc id. A plain
+    ``hash_split`` puts two near-identical docs on opposite sides of
+    the train/test boundary ~2·p·(1-p) of the time — the classic
+    contamination path a dedup pass alone does not close (dedup keeps
+    one representative for TRAINING, but eval-set leakage needs the
+    whole cluster quarantined together).
+
+    ``dup_pairs`` is any (doc1, doc2) near-duplicate pair table (LSH
+    candidates, simhash bands, embedding near-dups). Cost on top of
+    :func:`dedup.dedup_clusters` (which resolves the transitive
+    closure): zero — the split itself is the same codegen CASE over
+    the md5 hash60, no extra shuffle.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(documents, dup_pairs)
+    return hash_split(
+        clusters, fractions, key_col="cluster_id", salt=salt,
+    ).select(key_col, "cluster_id", "split")
+
+
 def topk_hash_sample(
     df: DataFrame,
     k: int,

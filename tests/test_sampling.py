@@ -309,3 +309,31 @@ def test_pack_sequences_builds_trainer_shaped_packs(spark):
              for r in pack_sequences(
                  seqs.repartition(4), budget_tokens=5).collect()}
     assert again == {k: v[3] for k, v in got.items()}
+
+
+def test_leakage_safe_split_quarantines_clusters(spark):
+    """Near-duplicate clusters never straddle a split boundary, every
+    doc is assigned exactly once, and singletons equal a plain
+    hash_split keyed on their own id (cluster_id == doc_id)."""
+    from bigdata_event_stream_detection_spark.operators.sampling import (
+        hash_split, leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 10) for i in range(40)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    # two multi-doc clusters (one transitive chain), rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 21), (3, 15)], "doc1 long, doc2 long")
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    got = leakage_safe_split(docs, pairs, fr).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(40))
+    split_of = {r["doc_id"]: r["split"] for r in got}
+    assert split_of[0] == split_of[7] == split_of[21]
+    assert split_of[3] == split_of[15]
+    clustered = {0, 7, 21, 3, 15}
+    singles = hash_split(
+        docs.filter(~F.col("doc_id").isin(list(clustered))), fr)
+    for r in singles.collect():
+        assert split_of[r["doc_id"]] == r["split"]
