@@ -71,13 +71,20 @@ def main() -> int:
 
     names = (args.queries.split(",") if args.queries else HEADLINE)
     qmap = entrymod.queries()
+    # min of N back-to-back runs per query: the shared host shows 2-4x
+    # wall swings under load (BENCH.md), and the min is the standard
+    # contention-robust estimator the scaling sweeps already use
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
     for name in names:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        rowcounts[name] = fn(spark, args.sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            rowcounts[name] = fn(spark, args.sf_dir).count()
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
 
