@@ -286,6 +286,20 @@ def _q_asof_purchase_click(spark, sf_dir):
         "event_id", "user_id", "ts", "right_ts", "right_value")
 
 
+def _q_interval_error_purchase(spark, sf_dir):
+    # banded range join: purchases within ±30 min of an error, same user
+    from bigdata_event_stream_detection_spark.operators.asof import (
+        interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    return interval_join(errors, purchases, 1800.0, by=("user_id",))
+
+
 def _q_burst_windows(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.windows import (
         burst_windows,
@@ -1398,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "asof_purchase_click": _q_asof_purchase_click,
+        "interval_error_purchase": _q_interval_error_purchase,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
@@ -1924,6 +1939,18 @@ def oracle_sql() -> dict[str, str]:
                    c.ts AS right_ts, c.value AS right_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "interval_error_purchase": """
+            WITH e AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT e.user_id, e.event_id,
+                   p.event_id AS right_event_id,
+                   round((epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0, 6)
+                     AS dt_sec
+            FROM e JOIN p ON e.user_id = p.user_id
+             AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 1800000000
         """,
         "burst_windows": """
             WITH c AS (

@@ -93,3 +93,61 @@ def asof_join(
                 c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c)))
         out = out.drop("_stale")
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap_seconds: float,
+    time_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Banded interval join: every (left, right) pair of the same key
+    whose event times lie within ``max_gap_seconds`` of each other —
+    "purchases within N minutes of an error by the same user".
+
+    Why not a raw non-equi join: Spark plans ``abs(l.ts - r.ts) <= g``
+    as a nested loop. Bucketing event time into gap-width bands turns
+    it into an EQUI join — the left row sits in one band, the right
+    row fans out to its own band and both neighbors, so every
+    in-tolerance pair collides in EXACTLY one band (the left row's:
+    ``|dt| <= gap`` forces ``|band_l - band_r| <= 1``, and the three
+    exploded bands are distinct) and the residual ``|dt| <= gap``
+    filter runs post-join. No final distinct is needed — the
+    exactly-one-collision property makes the join duplicate-free.
+    Cost: one hash exchange of |L| + 3|R| rows on (key, band) — the
+    standard banded range-join shape — and candidate fan-in is bounded
+    by per-band density, never |L|x|R|. Bands come from integer ``div``
+    (never double division + cast: a float quotient can truncate to
+    band-1 when the timestamp sits exactly on a band boundary).
+    (The streaming twin needs no bands: Spark's stream-stream join
+    takes the time-bound condition natively and sizes its state from
+    it — see tests/test_streaming_cep.py.)
+
+    Output: ``by + (left_id, right_id AS right_<right_id>, dt_sec)``
+    with ``dt_sec = right.ts - left.ts`` rounded to exact microseconds
+    (negative when the right event precedes the left).
+    """
+    gap_us = int(round(float(max_gap_seconds) * 1e6))
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    lt = left.select(
+        *by, F.col(left_id).alias("_lid"), t_us.alias("_lus"),
+    ).withColumn("_band", F.expr(f"_lus div {gap_us}"))
+    rt = right.select(
+        *by, F.col(right_id).alias("_rid"), t_us.alias("_rus"),
+    ).withColumn("_rband", F.expr(f"_rus div {gap_us}")).select(
+        *by, "_rid", "_rus",
+        F.explode(F.array(
+            F.col("_rband") - 1, F.col("_rband"), F.col("_rband") + 1,
+        )).alias("_band"))
+    joined = lt.join(rt, [*by, "_band"]).filter(
+        F.abs(F.col("_rus") - F.col("_lus")) <= gap_us)
+    return joined.select(
+        *by,
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(f"right_{right_id}"),
+        F.round((F.col("_rus") - F.col("_lus")) / F.lit(1e6), 6)
+        .alias("dt_sec"),
+    )

@@ -95,3 +95,54 @@ def test_asof_join_randomized_vs_reference(spark):
         want = [(u, ts) + ref_match(u, ts) for (u, ts) in lrows]
         assert sorted(got, key=str) == sorted(want, key=str), \
             f"trial {trial} tol={tol}"
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Banded equi-join rewrite == naive all-pairs filter, including
+    pairs sitting exactly on the gap boundary and on band edges."""
+    import random
+
+    from bigdata_event_stream_detection_spark.operators.asof import (
+        interval_join,
+    )
+
+    from datetime import timedelta
+
+    rng = random.Random(7)
+    gap = 10  # seconds; band width = 10 s
+    base = _t(0)
+    lrows, rrows = [], []
+    for u in (1, 2, 3):
+        for i in range(12):
+            # includes exact multiples of the band width (0, 10, 20 s)
+            s = rng.choice([0, 10, 20, rng.randint(0, 90)])
+            lrows.append((f"L{u}_{i}", u, base + timedelta(seconds=s)))
+            rrows.append((f"R{u}_{i}", u, base + timedelta(
+                seconds=(s + rng.randint(-15, 15)) % 90)))
+    left = spark.createDataFrame(
+        lrows, "event_id string, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "event_id string, user_id int, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["event_id"], r["right_event_id"], r["dt_sec"])
+        for r in interval_join(left, right, gap).collect())
+    want = sorted(
+        (lu, lid, rid, round((rts - lts).total_seconds(), 6))
+        for (lid, lu, lts) in lrows for (rid, ru, rts) in rrows
+        if lu == ru and abs((rts - lts).total_seconds()) <= gap)
+    assert got == want
+    # duplicate-free by construction (no distinct in the plan)
+    assert len(got) == len(set(got))
+
+
+def test_interval_join_plan_is_equi_not_nested_loop(spark):
+    from bigdata_event_stream_detection_spark.operators.asof import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1, _t(0))], "event_id string, user_id int, ts timestamp")
+    out = interval_join(left, left, 5.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
