@@ -300,6 +300,16 @@ def _q_interval_error_purchase(spark, sf_dir):
     return interval_join(errors, purchases, 1800.0, by=("user_id",))
 
 
+def _q_error_runs(spark, sf_dir):
+    # Kleene-plus CEP: 2+ consecutive errors per user, <=2h apart
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+
+    return match_runs(_t(spark, sf_dir, "events"), "error",
+                      min_run=2, max_gap_seconds=7200)
+
+
 def _q_burst_windows(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.windows import (
         burst_windows,
@@ -1413,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "asof_purchase_click": _q_asof_purchase_click,
         "interval_error_purchase": _q_interval_error_purchase,
+        "error_runs": _q_error_runs,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
@@ -1951,6 +1962,32 @@ def oracle_sql() -> dict[str, str]:
                      AS dt_sec
             FROM e JOIN p ON e.user_id = p.user_id
              AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 1800000000
+        """,
+        "error_runs": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, event_type,
+                     lag(event_type) OVER w AS prev_type,
+                     lag(ts) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), h AS (
+              SELECT *, CASE WHEN event_type = 'error'
+                          AND (prev_type IS DISTINCT FROM 'error'
+                               OR epoch_us(ts) - epoch_us(prev_ts)
+                                  > 7200000000) THEN 1 ELSE 0 END AS hd
+              FROM o
+            ), r AS (
+              SELECT *, sum(hd) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS run_id
+              FROM h
+            )
+            SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM r WHERE event_type = 'error'
+            GROUP BY user_id, run_id
+            HAVING count(*) >= 2
         """,
         "burst_windows": """
             WITH c AS (

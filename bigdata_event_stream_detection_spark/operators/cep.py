@@ -143,3 +143,58 @@ def match_absence(
         "then_ts",
         F.round(gap_us / F.lit(1e6), 6).alias("gap_sec"),
     )
+
+
+def match_runs(
+    events: DataFrame,
+    run_type: str,
+    min_run: int = 3,
+    max_gap_seconds: float | None = None,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Kleene-plus quantifier (MATCH_RECOGNIZE ``A{n,}``): maximal runs
+    of CONSECUTIVE ``run_type`` events per key — no other event type
+    intervening in the per-key (ts, event_id) order — of length at
+    least ``min_run``; "3+ failed logins in a row". With
+    ``max_gap_seconds``, an event-time gap above it between adjacent
+    run events also breaks the run (the bursty form; REQUIRED by the
+    streaming twin, where a finite gap is what makes a trailing run
+    decidable at the watermark).
+
+    Gaps-and-islands without a self-join: a run HEAD is a target event
+    whose immediately preceding event (lag over all types) is absent,
+    differently typed, or too old; the cumulative head count is then a
+    stable run id. lag and the running sum share one partition+order —
+    ONE hash exchange and one sort (two chained WindowExecs over the
+    same sorted partition), then a runs-sized groupBy.
+
+    Output: ``(user_id, start_ts, end_ts, run_len)``, one row per
+    qualifying maximal run.
+    """
+    w_ord = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    typ = F.col(type_col)
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    new_run = F.lag(type_col).over(w_ord).isNull() \
+        | (F.lag(type_col).over(w_ord) != run_type)
+    if max_gap_seconds is not None:
+        gap_us = int(round(float(max_gap_seconds) * 1e6))
+        new_run = new_run | (us - F.lag(us).over(w_ord) > gap_us)
+    headed = events.select(
+        key_col, id_col, time_col, type_col,
+        ((typ == run_type) & new_run).cast("long").alias("_head"),
+    )
+    runs = (headed
+            .select(key_col, id_col, time_col, type_col,
+                    F.sum("_head").over(w_cum).alias("_run_id"))
+            .filter(typ == run_type)
+            .groupBy(key_col, "_run_id")
+            .agg(F.min(time_col).alias("start_ts"),
+                 F.max(time_col).alias("end_ts"),
+                 F.count("*").alias("run_len"))
+            .filter(F.col("run_len") >= min_run))
+    return runs.select(key_col, "start_ts", "end_ts", "run_len")

@@ -319,3 +319,154 @@ def streaming_match_absence(
     )
     out.dropped_events_acc = dropped_acc
     return out
+
+
+RUNS_STATE_SCHEMA = StructType([
+    StructField("types", BinaryType()),     # int8: 1 target / 0 other
+    StructField("ts_us", BinaryType()),     # int64 event-time micros
+    StructField("eids", BinaryType()),      # int64 event ids (tie order)
+    StructField("run_len", LongType()),     # open-run accumulator
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+])
+
+RUNS_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("start_ts", TimestampType()),
+    StructField("end_ts", TimestampType()),
+    StructField("run_len", LongType()),
+])
+
+
+def streaming_match_runs(
+    stream: DataFrame,
+    run_type: str,
+    min_run: int = 3,
+    max_gap_seconds: float = 3600.0,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Continuous Kleene-plus runs: emit rows equal to the batch
+    ``match_runs(..., max_gap_seconds=...)`` output on the same input,
+    each exactly once.
+
+    Unlike the absence/timeout twins (which buffer every
+    pattern-relevant event across the horizon), run state is a FOLD:
+    events final under the watermark are consumed in (ts, event_id)
+    order into a 3-long accumulator (open-run length / start / last)
+    and leave state immediately — the buffer only ever holds the
+    out-of-order suffix (ts >= watermark). A run resolves exactly once:
+
+    * **broken** when a differently-typed or too-late event lands
+      behind the watermark directly after it — the breaker is final, so
+      nothing can ever slot back inside the run;
+    * **gap-closed** when ``watermark > last + max_gap``: every future
+      arrival has ts >= watermark, so no event can extend it. The
+      finite gap is what makes a trailing run decidable — the batch
+      operator takes the same parameter so the two stay row-identical.
+    """
+    gap_us = int(round(float(max_gap_seconds) * 1e6))
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb, run_len, start_us, last_us = state.get
+            typ = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            typ = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+            run_len, start_us, last_us = 0, 0, 0
+
+        if not state.hasTimedOut:
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                nt.append(pdf["_code"].to_numpy(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64) // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64))
+            if nt:
+                typ = np.concatenate([typ] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if typ.size > max_events_in_state:
+                    dropped_acc.add(typ.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        order = np.lexsort((eid, us))
+        typ, us, eid = typ[order], us[order], eid[order]
+        final = us < wm_us
+        rows = []
+
+        def close():
+            nonlocal run_len
+            if run_len >= min_run:
+                rows.append([user, pd.Timestamp(start_us, unit="us"),
+                             pd.Timestamp(last_us, unit="us"),
+                             run_len])
+            run_len = 0
+
+        for i in np.flatnonzero(final):
+            if typ[i] == 1:
+                if run_len and int(us[i]) - last_us <= gap_us:
+                    run_len += 1
+                else:
+                    close()
+                    run_len, start_us = 1, int(us[i])
+                last_us = int(us[i])
+            else:
+                close()
+        if run_len and wm_us > last_us + gap_us:
+            close()                      # nothing can ever extend it
+
+        keep = ~final
+        typ, us, eid = typ[keep], us[keep], eid[keep]
+        if not typ.size and not run_len:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((typ.tobytes(), us.tobytes(), eid.tobytes(),
+                          int(run_len), int(start_us), int(last_us)))
+            # poke at the earliest decision point: the run's gap
+            # deadline and/or the moment the watermark can finalize
+            # more of the buffered suffix
+            cand = []
+            if run_len:
+                cand.append(last_us + gap_us)
+            if us.size:
+                cand.append(int(us.min()))
+            fire_us = min(cand)
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "start_ts", "end_ts", "run_len"])
+
+    keyed = (
+        stream.withWatermark(time_col, watermark_delay)
+        .select(F.col(key_col).alias("user_id"), time_col,
+                F.col(id_col).cast("long").alias(id_col),
+                (F.col(type_col) == run_type).cast("tinyint")
+                .alias("_code"))
+    )
+    out = keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=RUNS_OUT_SCHEMA,
+        stateStructType=RUNS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out

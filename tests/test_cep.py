@@ -180,3 +180,103 @@ def test_match_timeout_matches_bruteforce_random(spark):
             _df(spark, rows), "A", "B", within_seconds=1800,
             unless=unless))
         assert got == _brute_timeout(rows, "A", "B", 1800, unless)
+
+
+def _brute_runs(rows, run_type, min_run, gap=None):
+    """Reference: fold each user's (ts, event_id)-ordered events; a
+    differently-typed event or an over-gap step breaks the run."""
+    out = set()
+    by_user: dict = {}
+    for u, e, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, e, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        run: list = []
+
+        def flush():
+            if len(run) >= min_run:
+                out.add((u, run[0], run[-1], len(run)))
+            run.clear()
+
+        for ts, e, ty in evs:
+            if ty != run_type:
+                flush()
+            elif run and gap is not None and \
+                    (ts - run[-1]).total_seconds() > gap:
+                flush()
+                run.append(ts)
+            else:
+                run.append(ts)
+        flush()
+    return out
+
+
+def _collect_runs(df):
+    return {(r["user_id"], r["start_ts"], r["end_ts"], r["run_len"])
+            for r in df.collect()}
+
+
+def test_match_runs_fixture(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+
+    m = timedelta(minutes=1)
+    rows = [
+        # u1: 3 straight fails -> one run
+        (1, 10, T0, "F"), (1, 11, T0 + m, "F"), (1, 12, T0 + 2 * m, "F"),
+        # u2: 2, broken, then 3 -> two runs at min_run=2
+        (2, 20, T0, "F"), (2, 21, T0 + m, "F"), (2, 22, T0 + 2 * m, "ok"),
+        (2, 23, T0 + 3 * m, "F"), (2, 24, T0 + 4 * m, "F"),
+        (2, 25, T0 + 5 * m, "F"),
+        # u3: consecutive but over the 10-min gap -> two singletons
+        (3, 30, T0, "F"), (3, 31, T0 + 30 * m, "F"),
+        # u4: tie timestamps, event_id breaks the tie -> len-2 run
+        (4, 40, T0, "F"), (4, 41, T0, "F"),
+        # u5: noise never forms a run
+        (5, 50, T0, "ok"), (5, 51, T0 + m, "ok"),
+    ]
+    got = _collect_runs(match_runs(
+        _df(spark, rows), "F", min_run=2, max_gap_seconds=600))
+    assert got == {
+        (1, T0, T0 + 2 * m, 3),
+        (2, T0, T0 + m, 2), (2, T0 + 3 * m, T0 + 5 * m, 3),
+        (4, T0, T0, 2),
+    }
+
+
+def test_match_runs_matches_bruteforce_random(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        for _ in range(rng.randint(3, 16)):
+            rows.append((
+                u, eid,
+                T0 + timedelta(seconds=rng.randint(0, 3600)),
+                rng.choice(["F", "F", "ok", "noise"])))
+            eid += 1
+    for min_run, gap in ((1, None), (2, 900), (3, 120)):
+        got = _collect_runs(match_runs(
+            _df(spark, rows), "F", min_run=min_run,
+            max_gap_seconds=gap))
+        assert got == _brute_runs(rows, "F", min_run, gap), \
+            f"min_run={min_run} gap={gap}"
+
+
+def test_match_runs_plan_single_sort_then_agg(spark):
+    """lag + running head-count share one partition+order: exactly one
+    exchange on the key, one more for the runs-sized groupBy, no join."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+
+    rows = [(1, 10, T0, "F"), (1, 11, T0 + timedelta(minutes=1), "F")]
+    plan = match_runs(_df(spark, rows), "F")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -266,3 +266,107 @@ def test_streaming_match_timeout_matches_batch(spark, tmp_path):
     # their deadline; only the sentinel anchor remains
     progress = q.lastProgress or q.recentProgress[-1]
     assert progress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def _run_rows(collected):
+    return {(r["user_id"], r["start_ts"], r["end_ts"], r["run_len"])
+            for r in collected}
+
+
+def test_streaming_match_runs_matches_batch(spark, tmp_path):
+    """Kleene-plus runs: streamed rows equal batch match_runs, each
+    exactly once — breaker-closed runs, a gap-split, a tie-ordered
+    run, and a TRAILING run only the watermark can close."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_runs,
+    )
+    rows = [
+        # u1: straight 3-run closed by 'ok'
+        (1, 10, T0, "F"), (1, 11, T0 + M, "F"), (1, 12, T0 + 2 * M, "F"),
+        (1, 13, T0 + 3 * M, "ok"),
+        # u2: run split across the chunk boundary, then broken
+        (2, 20, T0 + 4 * M, "F"), (2, 21, T0 + 40 * M, "F"),
+        (2, 22, T0 + 41 * M, "ok"),
+        # u3: gap above max_gap splits into singletons -> no output
+        (3, 30, T0, "F"), (3, 31, T0 + 200 * M, "F"),
+        # u4: tie timestamps ordered by event_id
+        (4, 40, T0 + 5 * M, "F"), (4, 41, T0 + 5 * M, "F"),
+        # u5: trailing run, never broken — gap-closure must emit it
+        (5, 50, T0 + 60 * M, "F"), (5, 51, T0 + 61 * M, "F"),
+        (5, 52, T0 + 62 * M, "F"),
+    ]
+    gap = 3600.0
+    pdf = (pd.DataFrame(rows, columns=COLS)
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    half = len(pdf) // 2
+    _write_chunk(d, "c0.parquet", pdf.iloc[:half], 0)
+    _write_chunk(d, "c1.parquet", pdf.iloc[half:], 1)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+
+    out = streaming_match_runs(
+        _read(spark, d), "F", min_run=2, max_gap_seconds=gap)
+    q = (out.writeStream.format("memory").queryName("cep_runs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _run_rows(spark.table("cep_runs").collect())
+
+    truth = _run_rows(match_runs(
+        spark.createDataFrame(pdf), "F", min_run=2,
+        max_gap_seconds=gap).collect())
+    assert got == truth
+    assert {g[0] for g in got} == {1, 2, 4, 5}   # incl. the trailing u5
+    assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_runs_random_chunking_parity(spark, tmp_path):
+    """Random event sets at random chronological cut points (unordered
+    within a chunk): streamed runs equal batch for every boundary."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_runs,
+    )
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 15):
+            for _ in range(rng.randint(3, 12)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 5400)),
+                    rng.choice(["F", "F", "ok", "noise"])))
+                eid += 1
+        pdf = (pd.DataFrame(rows, columns=COLS)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        d = str(tmp_path / f"runs_{seed}")
+        os.makedirs(d)
+        cuts = sorted(rng.sample(range(1, len(pdf)),
+                                 k=rng.randint(2, 5)))
+        chunks = [pdf.iloc[a:b] for a, b in
+                  zip([0] + cuts, cuts + [len(pdf)])]
+        for i, chunk in enumerate(chunks):
+            _write_chunk(d, f"c{i}.parquet",
+                         chunk.sample(frac=1, random_state=seed), i)
+        _write_chunk(d, "zz.parquet",
+                     _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)),
+                     len(chunks) + 5)
+        out = streaming_match_runs(
+            _read(spark, d), "F", min_run=2, max_gap_seconds=600)
+        q = (out.writeStream.format("memory")
+             .queryName(f"cep_runs_{seed}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = _run_rows(spark.table(f"cep_runs_{seed}").collect())
+        truth = _run_rows(match_runs(
+            spark.createDataFrame(pdf), "F", min_run=2,
+            max_gap_seconds=600).collect())
+        assert got == truth, f"seed {seed}: stream != batch"
+        assert out.dropped_events_acc.value == 0
