@@ -124,7 +124,8 @@ def interval_join(
     band-1 when the timestamp sits exactly on a band boundary).
     (The streaming twin needs no bands: Spark's stream-stream join
     takes the time-bound condition natively and sizes its state from
-    it — see tests/test_streaming_cep.py.)
+    it — ``streaming/joins.py:streaming_interval_join``, parity-tested
+    in tests/test_streaming_cep.py.)
 
     Output: ``by + (left_id, right_id AS right_<right_id>, dt_sec)``
     with ``dt_sec = right.ts - left.ts`` rounded to exact microseconds

@@ -370,3 +370,55 @@ def test_streaming_match_runs_random_chunking_parity(spark, tmp_path):
             max_gap_seconds=600).collect())
         assert got == truth, f"seed {seed}: stream != batch"
         assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Native time-bound stream-stream join == batch banded
+    interval_join on the same drained input, including cross-chunk
+    pairs, negative dt, and the |dt| == gap boundary."""
+    from bigdata_event_stream_detection_spark.operators.asof import (
+        interval_join,
+    )
+    from bigdata_event_stream_detection_spark.streaming.joins import (
+        streaming_interval_join,
+    )
+
+    rng = random.Random(3)
+    lrows, rrows = [], []
+    eid = 0
+    for u in range(1, 10):
+        for _ in range(rng.randint(1, 6)):
+            lrows.append((u, eid, T0 + timedelta(
+                seconds=rng.randint(0, 5400)), "error"))
+            eid += 1
+        for _ in range(rng.randint(1, 6)):
+            rrows.append((u, eid, T0 + timedelta(
+                seconds=rng.randint(0, 5400)), "purchase"))
+            eid += 1
+    # exact-boundary pair: dt == gap must be included
+    lrows.append((99, 9900, T0, "error"))
+    rrows.append((99, 9901, T0 + timedelta(seconds=600), "purchase"))
+    lpdf = (pd.DataFrame(lrows, columns=COLS)
+            .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    rpdf = (pd.DataFrame(rrows, columns=COLS)
+            .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    for d, pdf in ((ld, lpdf), (rd, rpdf)):
+        os.makedirs(d)
+        half = len(pdf) // 2
+        _write_chunk(d, "c0.parquet", pdf.iloc[:half], 0)
+        _write_chunk(d, "c1.parquet", pdf.iloc[half:], 1)
+
+    out = streaming_interval_join(_read(spark, ld), _read(spark, rd),
+                                  600.0)
+    q = (out.writeStream.format("memory").queryName("sij")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("sij").collect()))
+
+    truth = sorted(map(tuple, interval_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        600.0).collect()))
+    assert got == truth
+    assert (99, 9900, 9901, 600.0) in got      # boundary pair included
+    assert any(r[3] < 0 for r in got)          # negative dt present

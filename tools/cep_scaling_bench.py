@@ -72,9 +72,9 @@ print("GENERATED", df.count())
 
 WORKER = r"""
 import json, sys, time
-mode, cores, in_dir, out_root, partitions, horizon, tag = (
+mode, cores, in_dir, out_root, partitions, horizon, tag, family = (
     sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
-    int(sys.argv[5]), int(sys.argv[6]), sys.argv[7])
+    int(sys.argv[5]), int(sys.argv[6]), sys.argv[7], sys.argv[8])
 from bigdata_event_stream_detection_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark("cep-%s-%d" % (mode, cores), cores=cores,
@@ -85,18 +85,26 @@ spark = get_spark("cep-%s-%d" % (mode, cores), cores=cores,
 PAT = ("view", "purchase", "error")
 n_events = spark.read.parquet(in_dir).count()
 if mode == "batch":
-    from bigdata_event_stream_detection_spark.operators.cep import (
-        match_absence)
     ev = spark.read.parquet(in_dir)
     t0 = time.perf_counter()
-    res = (match_absence(ev, *PAT, within_seconds=horizon)
-           .agg(F.count("*").alias("n"),
-                F.sum("first_event_id").alias("dig")).collect()[0])
+    if family == "runs":
+        from bigdata_event_stream_detection_spark.operators.cep import (
+            match_runs)
+        m = match_runs(ev, "error", min_run=2, max_gap_seconds=horizon)
+        dig = F.sum(F.col("run_len")
+                    + F.unix_micros("start_ts") % 1000000007)
+    else:
+        from bigdata_event_stream_detection_spark.operators.cep import (
+            match_absence)
+        m = match_absence(ev, *PAT, within_seconds=horizon)
+        dig = F.sum("first_event_id")
+    res = m.agg(F.count("*").alias("n"),
+                dig.alias("dig")).collect()[0]
     wall = time.perf_counter() - t0
     n_match, digest = res["n"], res["dig"]
 else:
     from bigdata_event_stream_detection_spark.streaming.cep import (
-        streaming_match_absence)
+        streaming_match_absence)  # noqa: F401 (absence family)
     stream = (spark.readStream
               .schema("event_id long, user_id long, event_type string,"
                       " ts timestamp")
@@ -105,17 +113,28 @@ else:
     # would replay nothing and report a bogus near-zero wall
     out = out_root + "/out_%s_%d_%s" % (mode, cores, tag)
     ckpt = out_root + "/ckpt_%s_%d_%s" % (mode, cores, tag)
-    m = streaming_match_absence(stream, *PAT, within_seconds=horizon,
-                                watermark_delay="30 minutes")
+    if family == "runs":
+        from bigdata_event_stream_detection_spark.streaming.cep import (
+            streaming_match_runs)
+        m = streaming_match_runs(stream, "error", min_run=2,
+                                 max_gap_seconds=horizon,
+                                 watermark_delay="30 minutes")
+    else:
+        m = streaming_match_absence(
+            stream, *PAT, within_seconds=horizon,
+            watermark_delay="30 minutes")
     t0 = time.perf_counter()
     q = (m.writeStream.format("parquet").option("path", out)
          .option("checkpointLocation", ckpt)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
+    sdig = (F.sum(F.col("run_len")
+                  + F.unix_micros("start_ts") % 1000000007)
+            if family == "runs" else F.sum("first_event_id"))
     res = (spark.read.parquet(out)
-           .agg(F.count("*").alias("n"),
-                F.sum("first_event_id").alias("dig")).collect()[0])
+           .agg(F.count("*").alias("n"), sdig.alias("dig"))
+           .collect()[0])
     n_match, digest = res["n"], res["dig"]
 print("RESULT " + json.dumps({
     "mode": mode, "cores": cores, "wall_sec": round(wall, 2),
@@ -125,13 +144,14 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_worker(mode, cores, in_dir, out_root, partitions, tag):
+def run_worker(mode, cores, in_dir, out_root, partitions, tag,
+               family="absence"):
     env = dict(os.environ, PYTHONPATH=REPO,
                OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
     env["SPARK_LOCAL_DIRS"] = out_root
     cmd = [sys.executable, "-c", WORKER, mode, str(cores), in_dir,
-           out_root, str(partitions), str(HORIZON_S), tag]
+           out_root, str(partitions), str(HORIZON_S), tag, family]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -151,6 +171,8 @@ def main():
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--modes", default="stream,batch")
+    ap.add_argument("--family", default="absence",
+                    choices=["absence", "runs"])
     ap.add_argument("--local-dir", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
@@ -172,16 +194,19 @@ def main():
         for mode in args.modes.split(","):
             for cores in (args.n, 4 * args.n):
                 r = run_worker(mode, cores, in_dir, work, partitions,
-                               f"r{rep}")
+                               f"r{rep}", args.family)
                 raw.setdefault((mode, cores), []).append(r)
                 print(json.dumps(r), flush=True)
 
-    lines = ["", "## Absence-pattern CEP scaling "
+    fam_desc = ("2+ consecutive errors per user (Kleene-plus runs)"
+                if args.family == "runs"
+                else "view->purchase-without-error")
+    lines = ["", f"## {args.family.capitalize()}-pattern CEP scaling "
              f"(N={args.n} vs 4N={4 * args.n} cores, min of "
              f"{args.repeats} interleaved sweeps)", "",
              f"Input: {args.events} synthetic events / {args.users} "
-             f"users (hash-deterministic), view->purchase-without-error,"
-             f" 6h horizon, {partitions} fixed shuffle/state "
+             f"users (hash-deterministic), {fam_desc},"
+             f" 6h horizon/gap, {partitions} fixed shuffle/state "
              f"partitions.", "",
              "| job | cores | best wall (s) | events/s | matches | "
              "digest | all walls (s) |", "|---|---|---|---|---|---|---|"]
