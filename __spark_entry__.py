@@ -300,6 +300,22 @@ def _q_interval_error_purchase(spark, sf_dir):
     return interval_join(errors, purchases, 1800.0, by=("user_id",))
 
 
+def _q_timeout_rule_alerts(spark, sf_dir):
+    # dynamic-rules CEP: the pattern set is DATA (a 3-row rules table),
+    # incl. a self-type "no repeat within T" rule
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout_rules,
+    )
+
+    rules = spark.createDataFrame(
+        [("err_no_purchase", "error", "purchase", 1800.0),
+         ("view_no_click", "view", "click", 600.0),
+         ("no_repeat_signup", "signup", "signup", 3600.0)],
+        "rule_id string, first_type string, then_type string,"
+        " within_seconds double")
+    return match_timeout_rules(_t(spark, sf_dir, "events"), rules)
+
+
 def _q_error_runs(spark, sf_dir):
     # Kleene-plus CEP: 2+ consecutive errors per user, <=2h apart
     from bigdata_event_stream_detection_spark.operators.cep import (
@@ -1424,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "interval_error_purchase": _q_interval_error_purchase,
         "error_runs": _q_error_runs,
+        "timeout_rule_alerts": _q_timeout_rule_alerts,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
@@ -1988,6 +2005,27 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE event_type = 'error'
             GROUP BY user_id, run_id
             HAVING count(*) >= 2
+        """,
+        "timeout_rule_alerts": """
+            WITH rules(rule_id, first_type, then_type, horizon_us) AS (
+              VALUES
+                ('err_no_purchase', 'error', 'purchase',
+                 1800000000::BIGINT),
+                ('view_no_click', 'view', 'click', 600000000::BIGINT),
+                ('no_repeat_signup', 'signup', 'signup',
+                 3600000000::BIGINT)
+            )
+            SELECT e.user_id, r.rule_id, e.event_id AS first_event_id,
+                   e.ts AS first_ts,
+                   e.ts + to_microseconds(r.horizon_us) AS deadline_ts
+            FROM events e JOIN rules r ON e.event_type = r.first_type
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events s
+              WHERE s.user_id = e.user_id
+                AND s.event_type = r.then_type
+                AND (s.ts > e.ts
+                     OR (s.ts = e.ts AND s.event_id > e.event_id))
+                AND epoch_us(s.ts) - epoch_us(e.ts) <= r.horizon_us)
         """,
         "burst_windows": """
             WITH c AS (

@@ -198,3 +198,74 @@ def match_runs(
                  F.count("*").alias("run_len"))
             .filter(F.col("run_len") >= min_run))
     return runs.select(key_col, "start_ts", "end_ts", "run_len")
+
+
+def match_timeout_rules(
+    events: DataFrame,
+    rules: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dynamic-rules timeout CEP: :func:`match_timeout` where the
+    patterns live in a TABLE — ``rules(rule_id, first_type, then_type,
+    within_seconds)`` — instead of code. New alert rules deploy as a
+    row insert, not a code change (the broadcast-state idiom of CEP
+    engines; the streaming twin re-reads the static rules side every
+    micro-batch).
+
+    One alert row per (rule, anchor event of that rule's
+    ``first_type``) with no ``then_type`` event inside the rule's own
+    horizon. A rule may have ``first_type == then_type`` ("no repeat
+    within T"): the anchor never silences itself — the tagged union
+    orders the silencer copy of an event BEFORE its anchor copy at the
+    same (ts, id), so only genuinely later events fall in the forward
+    frame.
+
+    Plan: two broadcast joins of the (tiny) rules table fan each event
+    out to the rules it participates in, then the match_timeout
+    forward-minimum runs per (key, rule_id) — ONE exchange+sort whose
+    key space is |keys| x |matching rules| (MORE parallel than the
+    static operator, never less), event duplication bounded by rules
+    per type, no per-row Python.
+
+    Output: ``(user_id, rule_id, first_event_id, first_ts,
+    deadline_ts)``.
+    """
+    r = rules.select(
+        "rule_id", "first_type", "then_type",
+        (F.col("within_seconds").cast("double") * 1e6)
+        .cast("long").alias("_horizon_us"))
+    base = events.select(key_col, id_col, time_col, type_col)
+    anchors = base.join(
+        F.broadcast(r), F.col(type_col) == F.col("first_type")) \
+        .withColumn("_role", F.lit(0))
+    silencers = base.join(
+        F.broadcast(r), F.col(type_col) == F.col("then_type")) \
+        .withColumn("_role", F.lit(1))
+    tagged = anchors.unionByName(silencers)
+    # silencer copy sorts BEFORE the anchor copy of the same event
+    # (role desc), so an event can never silence itself; any distinct
+    # later event still lands in the anchor's forward frame
+    w_ord = Window.partitionBy(key_col, "rule_id").orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc(),
+        F.col("_role").desc())
+    w_fwd = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    fwd = tagged.select(
+        key_col, "rule_id", id_col, time_col, "_role", "_horizon_us",
+        F.min(F.when(F.col("_role") == 1, F.col(time_col)))
+        .over(w_fwd).alias("_then_ts"),
+    )
+    silent = (F.col("_then_ts").isNotNull()
+              & (F.expr(f"timestampdiff(MICROSECOND, {time_col},"
+                        " _then_ts)") <= F.col("_horizon_us")))
+    return (fwd.filter((F.col("_role") == 0) & ~silent)
+            .select(
+                F.col(key_col),
+                F.col("rule_id"),
+                F.col(id_col).alias("first_event_id"),
+                F.col(time_col).alias("first_ts"),
+                F.timestamp_micros(
+                    F.unix_micros(F.col(time_col).cast("timestamp"))
+                    + F.col("_horizon_us")).alias("deadline_ts")))

@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BinaryType, DoubleType, LongType, StructField, StructType,
-    TimestampType,
+    BinaryType, DoubleType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 CEP_STATE_SCHEMA = StructType([
@@ -465,6 +465,151 @@ def streaming_match_runs(
         fn,
         outputStructType=RUNS_OUT_SCHEMA,
         stateStructType=RUNS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out
+
+
+RULES_STATE_SCHEMA = StructType([
+    StructField("types", BinaryType()),     # int8: 0 anchor / 1 silencer
+    StructField("ts_us", BinaryType()),     # int64 event-time micros
+    StructField("eids", BinaryType()),      # int64 event ids (tie order)
+    StructField("horizon_us", LongType()),  # this rule's own horizon
+])
+
+RULES_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("rule_id", StringType()),
+    StructField("first_event_id", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("deadline_ts", TimestampType()),
+])
+
+
+def streaming_match_timeout_rules(
+    stream: DataFrame,
+    rules: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Continuous dynamic-rules timeout CEP: the streaming twin of
+    ``operators.cep.match_timeout_rules``. Emits the same
+    ``(user_id, rule_id, first_event_id, first_ts, deadline_ts)`` rows,
+    each exactly once, at the moment the watermark passes the rule's
+    deadline.
+
+    ``rules`` is the STATIC side of a stream-static join, re-read every
+    micro-batch: inserting a rule row starts matching it on the next
+    trigger with no redeploy (the broadcast-state idiom). State is
+    keyed by (user, rule) — the key space is |users| x |matching
+    rules|, strictly more parallel than the single-pattern twin — and
+    each group stores the rule's own horizon alongside the usual
+    bounded event buffer, so a group stays decidable on a pure timeout
+    wake-up with no rules lookup.
+    """
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+
+    def fn(key, pdf_iter, state: GroupState):
+        user, rule = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb, horizon_us = state.get
+            typ = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            typ = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+            horizon_us = 0
+
+        if not state.hasTimedOut:
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                nt.append(pdf["_code"].to_numpy(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64) // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64))
+                horizon_us = int(pdf["_horizon_us"].iloc[0])
+            if nt:
+                typ = np.concatenate([typ] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if typ.size > max_events_in_state:
+                    dropped_acc.add(typ.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        rows = []
+        drop = np.zeros(typ.size, dtype=bool)
+        pending_deadline_us = []
+        for i in np.flatnonzero(typ == 0):
+            f_us, f_eid = int(us[i]), int(eid[i])
+            silencer = (
+                (typ == 1)
+                & ((us > f_us) | ((us == f_us) & (eid > f_eid)))
+                & (us - f_us <= horizon_us))
+            if silencer.any():
+                drop[i] = True            # answered early: never alerts
+            elif wm_us > f_us + horizon_us:
+                rows.append([user, rule, f_eid,
+                             pd.Timestamp(f_us, unit="us"),
+                             pd.Timestamp(f_us + horizon_us,
+                                          unit="us")])
+                drop[i] = True            # deadline passed: alert once
+            else:
+                pending_deadline_us.append(f_us + horizon_us)
+
+        keep = ~drop
+        # silencers only matter inside a live or future anchor's
+        # horizon; anchors are kept by their own pending deadline
+        keep &= (typ == 0) | (us >= wm_us - horizon_us)
+        typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        if not typ.size:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((typ.tobytes(), us.tobytes(), eid.tobytes(),
+                          int(horizon_us)))
+            fire_us = (min(pending_deadline_us) if pending_deadline_us
+                       else int(us.min()) + horizon_us)
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "rule_id", "first_event_id", "first_ts",
+                "deadline_ts"])
+
+    r = rules.select(
+        "rule_id", "first_type", "then_type",
+        (F.col("within_seconds").cast("double") * 1e6)
+        .cast("long").alias("_horizon_us"))
+    base = (stream.withWatermark(time_col, watermark_delay)
+            .select(F.col(key_col).alias("user_id"), time_col,
+                    F.col(id_col).cast("long").alias(id_col),
+                    type_col))
+    anchors = base.join(
+        F.broadcast(r), F.col(type_col) == F.col("first_type")) \
+        .withColumn("_code", F.lit(0).cast("tinyint"))
+    silencers = base.join(
+        F.broadcast(r), F.col(type_col) == F.col("then_type")) \
+        .withColumn("_code", F.lit(1).cast("tinyint"))
+    keyed = anchors.unionByName(silencers).select(
+        "user_id", "rule_id", time_col, id_col, "_code", "_horizon_us")
+    out = keyed.groupBy("user_id", "rule_id").applyInPandasWithState(
+        fn,
+        outputStructType=RULES_OUT_SCHEMA,
+        stateStructType=RULES_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

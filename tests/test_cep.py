@@ -280,3 +280,83 @@ def test_match_runs_plan_single_sort_then_agg(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def _rules_df(spark, rules):
+    return spark.createDataFrame(
+        pd.DataFrame(rules, columns=[
+            "rule_id", "first_type", "then_type", "within_seconds"]))
+
+
+def _brute_timeout_rules(rows, rules):
+    out = set()
+    for rid, first, then, within in rules:
+        for u, fe, fts, ftyp in rows:
+            if ftyp != first:
+                continue
+            silenced = any(
+                uu == u and ty == then and (ts, e) > (fts, fe)
+                and (ts - fts) <= timedelta(seconds=within)
+                for (uu, e, ts, ty) in rows)
+            if not silenced:
+                out.add((u, rid, fe, fts,
+                         fts + timedelta(seconds=within)))
+    return out
+
+
+def test_match_timeout_rules_fixture(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout_rules,
+    )
+
+    m = timedelta(minutes=1)
+    rows = [
+        # r1 (A->B, 30m): u1 answered, u2 alerts
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * m, "B"),
+        (2, 20, T0, "A"),
+        # r2 (B->C, 10m): u1's B alerts (no C), u3's B answered
+        (3, 30, T0, "B"), (3, 31, T0 + 2 * m, "C"),
+        # r3 (C->C, 15m: "no repeat C within 15m"): u4 burst — only the
+        # last C alerts; the anchor must NOT silence itself
+        (4, 40, T0, "C"), (4, 41, T0 + 5 * m, "C"),
+        (4, 42, T0 + 10 * m, "C"),
+    ]
+    rules = [("r1", "A", "B", 1800.0), ("r2", "B", "C", 600.0),
+             ("r3", "C", "C", 900.0)]
+    got = {(r["user_id"], r["rule_id"], r["first_event_id"],
+            r["first_ts"], r["deadline_ts"])
+           for r in match_timeout_rules(
+               _df(spark, rows), _rules_df(spark, rules)).collect()}
+    assert got == _brute_timeout_rules(rows, rules)
+    # r3 self-type rule: u4's burst alerts ONCE, from the LAST event
+    # (earlier C's are silenced by the next C, never by themselves);
+    # u3's lone C alerts too
+    r3 = {g for g in got if g[1] == "r3"}
+    assert r3 == {
+        (4, "r3", 42, T0 + 10 * m, T0 + 10 * m + timedelta(seconds=900)),
+        (3, "r3", 31, T0 + 2 * m, T0 + 2 * m + timedelta(seconds=900)),
+    }
+
+
+def test_match_timeout_rules_matches_bruteforce_random(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout_rules,
+    )
+
+    rng = random.Random(19)
+    rows = []
+    eid = 0
+    for u in range(1, 12):
+        for _ in range(rng.randint(3, 14)):
+            rows.append((
+                u, eid,
+                T0 + timedelta(seconds=rng.randint(0, 7200)),
+                rng.choice(["A", "B", "C", "noise"])))
+            eid += 1
+    rules = [("r1", "A", "B", 1800.0), ("r2", "B", "A", 600.0),
+             ("r3", "C", "C", 900.0), ("r4", "A", "C", 60.0)]
+    got = {(r["user_id"], r["rule_id"], r["first_event_id"],
+            r["first_ts"], r["deadline_ts"])
+           for r in match_timeout_rules(
+               _df(spark, rows), _rules_df(spark, rules)).collect()}
+    assert got == _brute_timeout_rules(rows, rules)
