@@ -485,3 +485,52 @@ def test_streaming_match_timeout_rules_matches_batch(spark, tmp_path):
     assert burst == {(4, "r3", 42, T0 + 10 * M,
                       T0 + 10 * M + pd.Timedelta(seconds=900))}
     assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_runs_resumes_from_checkpoint(spark, tmp_path):
+    """Kill mid-input with an OPEN run in fold state, restart from the
+    checkpoint: emissions still equal batch and no run fires twice
+    (the fold accumulator must round-trip through the state store)."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_runs,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_runs,
+    )
+    rows = [
+        (1, 10, T0, "F"), (1, 11, T0 + M, "F"),          # chunk 1
+        (1, 12, T0 + 2 * M, "F"), (1, 13, T0 + 3 * M, "ok"),  # chunk 2
+        (2, 20, T0 + M, "F"), (2, 21, T0 + 2 * M, "F"),  # split run
+        (3, 30, T0 + 4 * M, "F"), (3, 31, T0 + 5 * M, "F"),
+    ]
+    gap = 3600.0
+    pdf = (pd.DataFrame(rows, columns=COLS)
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    half = len(pdf) // 2
+
+    def run_once():
+        q = (streaming_match_runs(
+                _read(spark, in_dir), "F", min_run=2,
+                max_gap_seconds=gap)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_chunk(in_dir, "c0.parquet", pdf.iloc[:half], 0)
+    run_once()                 # phase 1: open runs held in fold state
+    _write_chunk(in_dir, "c1.parquet", pdf.iloc[half:], 1)
+    _write_chunk(in_dir, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+    run_once()                 # phase 2: resume, drain, settle all
+
+    final = spark.read.parquet(out_dir)
+    assert (final.groupBy("user_id", "start_ts").count()
+            .filter(F.col("count") > 1).count()) == 0
+    truth = _run_rows(match_runs(
+        spark.createDataFrame(pdf), "F", min_run=2,
+        max_gap_seconds=gap).collect())
+    assert _run_rows(final.collect()) == truth
