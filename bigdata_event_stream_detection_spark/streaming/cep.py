@@ -506,7 +506,11 @@ def streaming_match_timeout_rules(
 
     ``rules`` is the STATIC side of a stream-static join, re-read every
     micro-batch: inserting a rule row starts matching it on the next
-    trigger with no redeploy (the broadcast-state idiom). State is
+    trigger with no redeploy (the broadcast-state idiom). Deleting a
+    rule stops NEW anchors immediately while already-buffered anchors
+    still resolve with the horizon stored in their group's state;
+    changing a horizon applies to a group the next time data for it
+    arrives. State is
     keyed by (user, rule) — the key space is |users| x |matching
     rules|, strictly more parallel than the single-pattern twin — and
     each group stores the rule's own horizon alongside the usual
