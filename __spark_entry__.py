@@ -300,6 +300,22 @@ def _q_interval_error_purchase(spark, sf_dir):
     return interval_join(errors, purchases, 1800.0, by=("user_id",))
 
 
+def _q_expectation_summary(spark, sf_dir):
+    # declarative quality gate: all checks in ONE scan; NULL = violation
+    from bigdata_event_stream_detection_spark.operators.expectations import (
+        expectation_summary,
+    )
+
+    checks = [
+        ("value_nonneg", "value >= 0"),
+        ("value_reasonable", "value <= 200"),
+        ("type_known",
+         "event_type IN ('click', 'view', 'purchase', 'signup')"),
+        ("ts_present", "ts IS NOT NULL"),
+    ]
+    return expectation_summary(_t(spark, sf_dir, "events"), checks)
+
+
 def _q_timeout_rule_alerts(spark, sf_dir):
     # dynamic-rules CEP: the pattern set is DATA (a 3-row rules table),
     # incl. a self-type "no repeat within T" rule
@@ -1441,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_purchase": _q_interval_error_purchase,
         "error_runs": _q_error_runs,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
+        "expectation_summary": _q_expectation_summary,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
@@ -2005,6 +2022,29 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE event_type = 'error'
             GROUP BY user_id, run_id
             HAVING count(*) >= 2
+        """,
+        "expectation_summary": """
+            WITH t AS (
+              SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                CAST(sum(CASE WHEN NOT coalesce(value <= 200, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN NOT coalesce(event_type IN
+                         ('click', 'view', 'purchase', 'signup'),
+                         FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                CAST(sum(CASE WHEN ts IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v3
+              FROM events
+            )
+            SELECT c.expectation, t.n_rows, c.n_violations,
+                   round(c.n_violations * 1.0
+                         / greatest(t.n_rows, 1), 6) AS violation_rate,
+                   c.n_violations = 0 AS passed
+            FROM t, LATERAL (VALUES
+              ('value_nonneg', t.v0), ('value_reasonable', t.v1),
+              ('type_known', t.v2), ('ts_present', t.v3))
+              AS c(expectation, n_violations)
         """,
         "timeout_rule_alerts": """
             WITH rules(rule_id, first_type, then_type, horizon_us) AS (
