@@ -132,6 +132,10 @@ def interval_join(
     (negative when the right event precedes the left).
     """
     gap_us = int(round(float(max_gap_seconds) * 1e6))
+    if gap_us <= 0:
+        raise ValueError(
+            f"max_gap_seconds={max_gap_seconds} must be positive "
+            "(band width would be zero)")
     t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
     lt = left.select(
         *by, F.col(left_id).alias("_lid"), t_us.alias("_lus"),

@@ -370,6 +370,10 @@ def streaming_match_runs(
       operator takes the same parameter so the two stay row-identical.
     """
     gap_us = int(round(float(max_gap_seconds) * 1e6))
+    if gap_us <= 0:
+        raise ValueError(
+            f"max_gap_seconds={max_gap_seconds} must be positive — a "
+            "finite positive gap is what makes trailing runs decidable")
     dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
 
     def fn(key, pdf_iter, state: GroupState):

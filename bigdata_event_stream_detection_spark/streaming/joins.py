@@ -42,6 +42,9 @@ def streaming_interval_join(
     (negative when the right event precedes the left).
     """
     gap_us = int(round(float(max_gap_seconds) * 1e6))
+    if gap_us <= 0:
+        raise ValueError(
+            f"max_gap_seconds={max_gap_seconds} must be positive")
     lt = left.withWatermark(time_col, watermark_delay).select(
         *by, F.col(left_id).alias("_lid"),
         F.col(time_col).alias("_lts"))

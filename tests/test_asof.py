@@ -146,3 +146,16 @@ def test_interval_join_plan_is_equi_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_rejects_nonpositive_gap(spark):
+    import pytest
+
+    from bigdata_event_stream_detection_spark.operators.asof import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1, _t(0))], "event_id string, user_id int, ts timestamp")
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(left, left, 0)
