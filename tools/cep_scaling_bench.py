@@ -93,6 +93,22 @@ if mode == "batch":
         m = match_runs(ev, "error", min_run=2, max_gap_seconds=horizon)
         dig = F.sum(F.col("run_len")
                     + F.unix_micros("start_ts") % 1000000007)
+    elif family == "rules":
+        from bigdata_event_stream_detection_spark.operators.cep import (
+            match_timeout_rules)
+        rules = spark.createDataFrame(
+            [("r1", "view", "purchase", float(horizon)),
+             ("r2", "error", "view", float(horizon)),
+             ("r3", "purchase", "purchase", float(horizon))],
+            "rule_id string, first_type string, then_type string,"
+            " within_seconds double")
+        # the far-future sentinel (user -1, type view) is r1-anchor
+        # shaped: batch would alert it but a stream never can (the
+        # watermark stops AT it), so it is excluded from the digest on
+        # both sides
+        m = match_timeout_rules(ev, rules).filter(
+            F.col("user_id") >= 0)
+        dig = F.sum("first_event_id")
     else:
         from bigdata_event_stream_detection_spark.operators.cep import (
             match_absence)
@@ -119,6 +135,17 @@ else:
         m = streaming_match_runs(stream, "error", min_run=2,
                                  max_gap_seconds=horizon,
                                  watermark_delay="30 minutes")
+    elif family == "rules":
+        from bigdata_event_stream_detection_spark.streaming.cep import (
+            streaming_match_timeout_rules)
+        rules = spark.createDataFrame(
+            [("r1", "view", "purchase", float(horizon)),
+             ("r2", "error", "view", float(horizon)),
+             ("r3", "purchase", "purchase", float(horizon))],
+            "rule_id string, first_type string, then_type string,"
+            " within_seconds double")
+        m = streaming_match_timeout_rules(
+            stream, rules, watermark_delay="30 minutes")
     else:
         m = streaming_match_absence(
             stream, *PAT, within_seconds=horizon,
@@ -132,7 +159,12 @@ else:
     sdig = (F.sum(F.col("run_len")
                   + F.unix_micros("start_ts") % 1000000007)
             if family == "runs" else F.sum("first_event_id"))
-    res = (spark.read.parquet(out)
+    # rules/absence both digest on first_event_id; rules drops the
+    # sentinel user to mirror the batch-side exclusion
+    outdf = spark.read.parquet(out)
+    if family == "rules":
+        outdf = outdf.filter(F.col("user_id") >= 0)
+    res = (outdf
            .agg(F.count("*").alias("n"), sdig.alias("dig"))
            .collect()[0])
     n_match, digest = res["n"], res["dig"]
@@ -172,7 +204,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--modes", default="stream,batch")
     ap.add_argument("--family", default="absence",
-                    choices=["absence", "runs"])
+                    choices=["absence", "runs", "rules"])
     ap.add_argument("--local-dir", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
@@ -198,9 +230,11 @@ def main():
                 raw.setdefault((mode, cores), []).append(r)
                 print(json.dumps(r), flush=True)
 
-    fam_desc = ("2+ consecutive errors per user (Kleene-plus runs)"
-                if args.family == "runs"
-                else "view->purchase-without-error")
+    fam_desc = {"runs": "2+ consecutive errors per user (Kleene-plus"
+                " runs)",
+                "rules": "3-rule dynamic timeout table, (user, rule)-"
+                "keyed state",
+                "absence": "view->purchase-without-error"}[args.family]
     lines = ["", f"## {args.family.capitalize()}-pattern CEP scaling "
              f"(N={args.n} vs 4N={4 * args.n} cores, min of "
              f"{args.repeats} interleaved sweeps)", "",
