@@ -534,3 +534,61 @@ def test_streaming_match_runs_resumes_from_checkpoint(spark, tmp_path):
         spark.createDataFrame(pdf), "F", min_run=2,
         max_gap_seconds=gap).collect())
     assert _run_rows(final.collect()) == truth
+
+
+def test_streaming_match_timeout_rules_random_chunking_parity(
+        spark, tmp_path):
+    """Random event sets at random chronological cut points: streamed
+    rule alerts equal batch for every boundary, every rule."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_timeout_rules,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_timeout_rules,
+    )
+    rules_df = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "A", "B", 1800.0), ("r2", "B", "A", 600.0),
+             ("r3", "C", "C", 900.0)],
+            columns=["rule_id", "first_type", "then_type",
+                     "within_seconds"]))
+    for seed in (17, 43):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 15):
+            for _ in range(rng.randint(3, 12)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 5400)),
+                    rng.choice(["A", "B", "C", "noise"])))
+                eid += 1
+        pdf = (pd.DataFrame(rows, columns=COLS)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        d = str(tmp_path / f"rules_{seed}")
+        os.makedirs(d)
+        cuts = sorted(rng.sample(range(1, len(pdf)),
+                                 k=rng.randint(2, 5)))
+        chunks = [pdf.iloc[a:b] for a, b in
+                  zip([0] + cuts, cuts + [len(pdf)])]
+        for i, chunk in enumerate(chunks):
+            _write_chunk(d, f"c{i}.parquet",
+                         chunk.sample(frac=1, random_state=seed), i)
+        # sentinel type must not anchor/silence any rule: 'noise'
+        sent = pd.DataFrame(
+            [(99, 990, pdf["ts"].max() + pd.Timedelta(days=30),
+              "noise")], columns=COLS)
+        _write_chunk(d, "zz.parquet", sent, len(chunks) + 5)
+        out = streaming_match_timeout_rules(_read(spark, d), rules_df)
+        q = (out.writeStream.format("memory")
+             .queryName(f"cep_rules_{seed}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        keyset = lambda rs: {  # noqa: E731
+            (r["user_id"], r["rule_id"], r["first_event_id"],
+             r["first_ts"], r["deadline_ts"]) for r in rs}
+        got = keyset(spark.table(f"cep_rules_{seed}").collect())
+        truth = keyset(match_timeout_rules(
+            spark.createDataFrame(pdf), rules_df).collect())
+        assert got == truth, f"seed {seed}: stream != batch"
+        assert out.dropped_events_acc.value == 0
