@@ -37,6 +37,9 @@ HEADLINE = [
     "anti_join_inactive", "grouping_sets_counts", "percent_rank_prices",
     "above_avg_orders", "trailing_value_sums", "value_change_lag",
     "json_props_stats",
+    # final round-2 additions: interval/run/rules CEP + quality gate
+    "interval_error_purchase", "error_runs", "timeout_rule_alerts",
+    "expectation_summary",
 ]
 
 
