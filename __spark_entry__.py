@@ -316,6 +316,20 @@ def _q_expectation_summary(spark, sf_dir):
     return expectation_summary(_t(spark, sf_dir, "events"), checks)
 
 
+def _q_expectation_violations(spark, sf_dir):
+    # the quarantine feed: (row id, failed check), violations-sized
+    from bigdata_event_stream_detection_spark.operators.expectations import (
+        violating_rows,
+    )
+
+    checks = [
+        ("value_reasonable", "value <= 200"),
+        ("type_known",
+         "event_type IN ('click', 'view', 'purchase', 'signup')"),
+    ]
+    return violating_rows(_t(spark, sf_dir, "events"), checks)
+
+
 def _q_timeout_rule_alerts(spark, sf_dir):
     # dynamic-rules CEP: the pattern set is DATA (a 3-row rules table),
     # incl. a self-type "no repeat within T" rule
@@ -1458,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_runs": _q_error_runs,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
+        "expectation_violations": _q_expectation_violations,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
@@ -2045,6 +2060,14 @@ def oracle_sql() -> dict[str, str]:
               ('value_nonneg', t.v0), ('value_reasonable', t.v1),
               ('type_known', t.v2), ('ts_present', t.v3))
               AS c(expectation, n_violations)
+        """,
+        "expectation_violations": """
+            SELECT event_id, 'value_reasonable' AS expectation
+            FROM events WHERE NOT coalesce(value <= 200, FALSE)
+            UNION ALL
+            SELECT event_id, 'type_known' AS expectation
+            FROM events WHERE NOT coalesce(event_type IN
+              ('click', 'view', 'purchase', 'signup'), FALSE)
         """,
         "timeout_rule_alerts": """
             WITH rules(rule_id, first_type, then_type, horizon_us) AS (
