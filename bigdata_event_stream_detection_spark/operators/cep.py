@@ -169,7 +169,9 @@ def match_runs(
     differently typed, or too old; the cumulative head count is then a
     stable run id. lag and the running sum share one partition+order —
     ONE hash exchange and one sort (two chained WindowExecs over the
-    same sorted partition), then a runs-sized groupBy.
+    same sorted partition); the closing (key, run_id) groupBy adds NO
+    second shuffle, since partitioning by the key already clusters
+    every (key, run) group (plan audit in BENCH.md).
 
     Output: ``(user_id, start_ts, end_ts, run_len)``, one row per
     qualifying maximal run.
