@@ -300,6 +300,21 @@ def _q_interval_error_purchase(spark, sf_dir):
     return interval_join(errors, purchases, 1800.0, by=("user_id",))
 
 
+def _q_absence_rule_matches(spark, sf_dir):
+    # dynamic-rules absence CEP, incl. a self-type-then rule
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_absence_rules,
+    )
+
+    rules = spark.createDataFrame(
+        [("r1", "view", "purchase", "error", 1800.0),
+         ("r2", "click", "signup", "view", 600.0),
+         ("r3", "error", "error", "purchase", 900.0)],
+        "rule_id string, first_type string, then_type string,"
+        " without_type string, within_seconds double")
+    return match_absence_rules(_t(spark, sf_dir, "events"), rules)
+
+
 def _q_expectation_summary(spark, sf_dir):
     # declarative quality gate: all checks in ONE scan; NULL = violation
     from bigdata_event_stream_detection_spark.operators.expectations import (
@@ -1473,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
+        "absence_rule_matches": _q_absence_rule_matches,
         "funnel_conversion": _q_funnel_conversion,
         "funnel_times_within": _q_funnel_times_within,
         "absence_patterns": _q_absence_patterns,
@@ -2060,6 +2076,50 @@ def oracle_sql() -> dict[str, str]:
               ('value_nonneg', t.v0), ('value_reasonable', t.v1),
               ('type_known', t.v2), ('ts_present', t.v3))
               AS c(expectation, n_violations)
+        """,
+        "absence_rule_matches": """
+            WITH rules(rule_id, first_type, then_type, without_type,
+                       horizon_us) AS (VALUES
+              ('r1', 'view', 'purchase', 'error', 1800000000::BIGINT),
+              ('r2', 'click', 'signup', 'view', 600000000::BIGINT),
+              ('r3', 'error', 'error', 'purchase', 900000000::BIGINT)),
+            member AS (
+              SELECT DISTINCT rule_id, et FROM (
+                SELECT rule_id, unnest([first_type, then_type,
+                                        without_type]) AS et
+                FROM rules)),
+            tagged AS (
+              SELECT e.user_id, m.rule_id, e.event_id, e.ts,
+                     e.event_type, r.first_type, r.then_type,
+                     r.without_type, r.horizon_us
+              FROM events e
+              JOIN member m ON e.event_type = m.et
+              JOIN rules r ON r.rule_id = m.rule_id),
+            ranked AS (
+              SELECT *, row_number() OVER w AS rn FROM tagged
+              WINDOW w AS (PARTITION BY user_id, rule_id
+                           ORDER BY ts, event_id)),
+            fwd AS (
+              SELECT *,
+                min(CASE WHEN event_type = then_type THEN rn END)
+                  OVER w2 AS then_rn,
+                min(CASE WHEN event_type = then_type THEN ts END)
+                  OVER w2 AS then_ts,
+                min(CASE WHEN event_type = without_type THEN rn END)
+                  OVER w2 AS wo_rn
+              FROM ranked
+              WINDOW w2 AS (PARTITION BY user_id, rule_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING))
+            SELECT user_id, rule_id, event_id AS first_event_id,
+                   ts AS first_ts, then_ts,
+                   round(date_diff('microsecond', ts, then_ts) / 1e6, 6)
+                     AS gap_sec
+            FROM fwd
+            WHERE event_type = first_type AND then_rn IS NOT NULL
+              AND (wo_rn IS NULL OR then_rn < wo_rn)
+              AND date_diff('microsecond', ts, then_ts) <= horizon_us
         """,
         "expectation_violations": """
             SELECT event_id, 'value_reasonable' AS expectation

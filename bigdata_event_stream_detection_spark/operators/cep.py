@@ -271,3 +271,86 @@ def match_timeout_rules(
                 F.timestamp_micros(
                     F.unix_micros(F.col(time_col).cast("timestamp"))
                     + F.col("_horizon_us")).alias("deadline_ts")))
+
+
+def match_absence_rules(
+    events: DataFrame,
+    rules: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dynamic-rules absence CEP: :func:`match_absence` with the
+    patterns in a TABLE — ``rules(rule_id, first_type, then_type,
+    without_type, within_seconds)`` — completing the rules-as-data
+    story begun by :func:`match_timeout_rules`.
+
+    Unlike the timeout twin's role-tagged union, the fan-out here is a
+    MEMBERSHIP join: the rules table is exploded (driver-side, it is
+    tiny) to distinct ``(rule_id, participating_type)`` pairs, events
+    equi-join that, and the full rule row re-attaches by rule_id — two
+    broadcast hash joins, one row per (event, rule), NO nested loop
+    and no role bookkeeping. Each row carries its rule's type columns,
+    so the single-pattern forward-minima logic runs verbatim per
+    (key, rule_id) partition; the strictly-after frame excludes
+    self-matches naturally, which makes ``first_type == then_type``
+    ("A then the next A") work with no tie tricks.
+
+    ``then_type == without_type`` is rejected: the silencer would
+    always tie its own match and the rule could never fire.
+
+    Output: ``(user_id, rule_id, first_event_id, first_ts, then_ts,
+    gap_sec)`` — the batch twin of the streaming form, row-identical
+    on drained input.
+    """
+    bad = rules.filter(
+        F.col("then_type") == F.col("without_type")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"rule {bad[0]['rule_id']}: then_type == without_type "
+            "can never fire (the silencer ties every match)")
+    r = rules.select(
+        "rule_id", "first_type", "then_type", "without_type",
+        (F.col("within_seconds").cast("double") * 1e6)
+        .cast("long").alias("_horizon_us"))
+    membership = (r.select(
+        "rule_id", F.explode(F.array(
+            "first_type", "then_type", "without_type")).alias("_et"))
+        .distinct())
+    tagged = (events.select(key_col, id_col, time_col, type_col)
+              .join(F.broadcast(membership),
+                    F.col(type_col) == F.col("_et"))
+              .join(F.broadcast(r), "rule_id"))
+    w_ord = Window.partitionBy(key_col, "rule_id").orderBy(
+        time_col, id_col)
+    w_fwd = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    typ = F.col(type_col)
+    ranked = tagged.select(
+        key_col, "rule_id", id_col, time_col, type_col,
+        "first_type", "then_type", "without_type", "_horizon_us",
+        F.row_number().over(w_ord).alias("_rn"))
+    fwd = ranked.select(
+        key_col, "rule_id", id_col, time_col, type_col,
+        "first_type", "_horizon_us",
+        F.min(F.when(typ == F.col("then_type"), F.col("_rn")))
+        .over(w_fwd).alias("_then_rn"),
+        F.min(F.when(typ == F.col("then_type"), F.col(time_col)))
+        .over(w_fwd).alias("then_ts"),
+        F.min(F.when(typ == F.col("without_type"), F.col("_rn")))
+        .over(w_fwd).alias("_wo_rn"))
+    gap_us = F.expr(
+        f"timestampdiff(MICROSECOND, {time_col}, then_ts)")
+    matched = fwd.filter(
+        (typ == F.col("first_type"))
+        & F.col("_then_rn").isNotNull()
+        & (F.col("_wo_rn").isNull()
+           | (F.col("_then_rn") < F.col("_wo_rn")))
+        & (gap_us <= F.col("_horizon_us")))
+    return matched.select(
+        F.col(key_col),
+        F.col("rule_id"),
+        F.col(id_col).alias("first_event_id"),
+        F.col(time_col).alias("first_ts"),
+        "then_ts",
+        F.round(gap_us / F.lit(1e6), 6).alias("gap_sec"))

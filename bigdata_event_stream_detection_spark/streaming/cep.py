@@ -623,3 +623,166 @@ def streaming_match_timeout_rules(
     )
     out.dropped_events_acc = dropped_acc
     return out
+
+
+ABSENCE_RULES_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("rule_id", StringType()),
+    StructField("first_event_id", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("then_ts", TimestampType()),
+    StructField("gap_sec", DoubleType()),
+])
+
+
+def streaming_match_absence_rules(
+    stream: DataFrame,
+    rules: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Continuous dynamic-rules absence CEP: the streaming twin of
+    ``operators.cep.match_absence_rules``, emitting the same
+    ``(user_id, rule_id, first_event_id, first_ts, then_ts, gap_sec)``
+    rows exactly once at watermark finality.
+
+    Same architecture as :func:`streaming_match_timeout_rules` —
+    rules are the static side of a per-micro-batch join, state is
+    keyed by (user, rule) and stores the rule's horizon — but events
+    fan out to one buffered copy PER ROLE (anchor 0 / then 1 /
+    without 2): a rule whose first and then types coincide ("A then
+    the next A") buffers an A twice, and the strictly-after
+    (ts, event_id) comparison keeps an anchor from matching its own
+    copy, mirroring the batch frame semantics with no special cases.
+    """
+    bad = rules.filter(
+        F.col("then_type") == F.col("without_type")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"rule {bad[0]['rule_id']}: then_type == without_type "
+            "can never fire (the silencer ties every match)")
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+
+    def fn(key, pdf_iter, state: GroupState):
+        user, rule = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb, horizon_us = state.get
+            typ = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            typ = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+            horizon_us = 0
+
+        if not state.hasTimedOut:
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                nt.append(pdf["_code"].to_numpy(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64) // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64))
+                horizon_us = int(pdf["_horizon_us"].iloc[0])
+            if nt:
+                typ = np.concatenate([typ] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if typ.size > max_events_in_state:
+                    dropped_acc.add(typ.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        def after(ts, ei, t0, e0):
+            return (ts > t0) | ((ts == t0) & (ei > e0))
+
+        rows = []
+        drop = np.zeros(typ.size, dtype=bool)
+        pending_decision_us = []
+        for i in np.flatnonzero(typ == 0):
+            f_us, f_eid = int(us[i]), int(eid[i])
+            fol = after(us, eid, f_us, f_eid)
+            t_mask = fol & (typ == 1)
+            w_mask = fol & (typ == 2)
+            t_us = t_eid = None
+            if t_mask.any():
+                j = np.flatnonzero(t_mask)
+                jj = j[np.lexsort((eid[j], us[j]))[0]]
+                t_us, t_eid = int(us[jj]), int(eid[jj])
+            w_us = w_eid = None
+            if w_mask.any():
+                j = np.flatnonzero(w_mask)
+                jj = j[np.lexsort((eid[j], us[j]))[0]]
+                w_us, w_eid = int(us[jj]), int(eid[jj])
+            then_first = t_us is not None and (
+                w_us is None or (t_us, t_eid) < (w_us, w_eid))
+            if then_first and t_us - f_us <= horizon_us:
+                if t_us < wm_us:          # match final: emit + retire
+                    gap = round((t_us - f_us) / 1e6, 6)
+                    rows.append([user, rule, int(f_eid),
+                                 pd.Timestamp(int(f_us), unit="us"),
+                                 pd.Timestamp(t_us, unit="us"), gap])
+                    drop[i] = True
+                else:                     # match pending finality
+                    pending_decision_us.append(t_us)
+            elif (w_us is not None and w_us < wm_us
+                  and (t_us is None or (w_us, w_eid) < (t_us, t_eid))):
+                drop[i] = True            # negation final: retire silently
+            elif wm_us > f_us + horizon_us:
+                drop[i] = True            # horizon final: no match
+            else:
+                pending_decision_us.append(f_us + horizon_us)
+
+        keep = ~drop
+        keep &= (typ == 0) | (us >= wm_us - horizon_us)
+        typ, us, eid = typ[keep], us[keep], eid[keep]
+
+        if not typ.size:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((typ.tobytes(), us.tobytes(), eid.tobytes(),
+                          int(horizon_us)))
+            fire_us = (min(pending_decision_us) if pending_decision_us
+                       else int(us.min()) + horizon_us)
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "rule_id", "first_event_id", "first_ts",
+                "then_ts", "gap_sec"])
+
+    r = rules.select(
+        "rule_id", "first_type", "then_type", "without_type",
+        (F.col("within_seconds").cast("double") * 1e6)
+        .cast("long").alias("_horizon_us"))
+    base = (stream.withWatermark(time_col, watermark_delay)
+            .select(F.col(key_col).alias("user_id"), time_col,
+                    F.col(id_col).cast("long").alias(id_col),
+                    type_col))
+    roles = []
+    for code, rcol in ((0, "first_type"), (1, "then_type"),
+                       (2, "without_type")):
+        roles.append(base.join(
+            F.broadcast(r), F.col(type_col) == F.col(rcol))
+            .withColumn("_code", F.lit(code).cast("tinyint")))
+    keyed = roles[0].unionByName(roles[1]).unionByName(roles[2]) \
+        .select("user_id", "rule_id", time_col, id_col, "_code",
+                "_horizon_us")
+    out = keyed.groupBy("user_id", "rule_id").applyInPandasWithState(
+        fn,
+        outputStructType=ABSENCE_RULES_OUT_SCHEMA,
+        stateStructType=RULES_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out

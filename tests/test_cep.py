@@ -360,3 +360,68 @@ def test_match_timeout_rules_matches_bruteforce_random(spark):
            for r in match_timeout_rules(
                _df(spark, rows), _rules_df(spark, rules)).collect()}
     assert got == _brute_timeout_rules(rows, rules)
+
+
+def test_match_absence_rules_matches_per_rule_bruteforce(spark):
+    """Per-rule absence == the single-pattern brute force applied rule
+    by rule, including a self-type 'A then the next A' rule."""
+    import pytest
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_absence_rules,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    eid = 0
+    for u in range(1, 12):
+        for _ in range(rng.randint(3, 14)):
+            rows.append((
+                u, eid,
+                T0 + timedelta(seconds=rng.randint(0, 7200)),
+                rng.choice(["A", "B", "C", "noise"])))
+            eid += 1
+    rules = [("r1", "A", "B", "C", 1800.0),
+             ("r2", "B", "C", "A", 600.0),
+             ("r3", "A", "A", "C", 900.0)]   # self-type then
+    rules_df = spark.createDataFrame(
+        pd.DataFrame(rules, columns=[
+            "rule_id", "first_type", "then_type", "without_type",
+            "within_seconds"]))
+    got = {(r["user_id"], r["rule_id"], r["first_event_id"],
+            r["first_ts"], r["then_ts"], r["gap_sec"])
+           for r in match_absence_rules(
+               _df(spark, rows), rules_df).collect()}
+    want = set()
+    for rid, first, then, wo, within in rules:
+        for (u, fe, fts, tts, gap) in _brute(
+                rows, first, then, wo, within):
+            want.add((u, rid, fe, fts, tts, gap))
+    assert got == want
+    assert any(g[1] == "r3" for g in got)   # the self-type rule fires
+
+    # then_type == without_type can never fire: rejected up front
+    dead = spark.createDataFrame(
+        pd.DataFrame([("rx", "A", "B", "B", 60.0)], columns=[
+            "rule_id", "first_type", "then_type", "without_type",
+            "within_seconds"]))
+    with pytest.raises(ValueError, match="never fire"):
+        match_absence_rules(_df(spark, rows), dead)
+
+
+def test_match_absence_rules_plan_broadcasts_rules(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_absence_rules,
+    )
+
+    rows = [(1, 10, T0, "A"), (1, 11, T0 + timedelta(minutes=1), "B")]
+    rules_df = spark.createDataFrame(
+        pd.DataFrame([("r1", "A", "B", "C", 600.0)], columns=[
+            "rule_id", "first_type", "then_type", "without_type",
+            "within_seconds"]))
+    plan = match_absence_rules(
+        _df(spark, rows), rules_df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2

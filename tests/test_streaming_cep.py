@@ -592,3 +592,63 @@ def test_streaming_match_timeout_rules_random_chunking_parity(
             spark.createDataFrame(pdf), rules_df).collect())
         assert got == truth, f"seed {seed}: stream != batch"
         assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_absence_rules_random_chunking_parity(
+        spark, tmp_path):
+    """Dynamic-rules absence CEP: streamed matches equal batch across
+    random micro-batch boundaries, for every rule, including a
+    self-type-then rule whose anchors buffer two role copies."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_absence_rules,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_absence_rules,
+    )
+    rules_df = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "A", "B", "C", 1800.0),
+             ("r2", "B", "C", "A", 600.0),
+             ("r3", "A", "A", "C", 900.0)],
+            columns=["rule_id", "first_type", "then_type",
+                     "without_type", "within_seconds"]))
+    for seed in (7, 31):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 15):
+            for _ in range(rng.randint(3, 12)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 5400)),
+                    rng.choice(["A", "B", "C", "noise"])))
+                eid += 1
+        pdf = (pd.DataFrame(rows, columns=COLS)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        d = str(tmp_path / f"ar_{seed}")
+        os.makedirs(d)
+        cuts = sorted(rng.sample(range(1, len(pdf)),
+                                 k=rng.randint(2, 5)))
+        chunks = [pdf.iloc[a:b] for a, b in
+                  zip([0] + cuts, cuts + [len(pdf)])]
+        for i, chunk in enumerate(chunks):
+            _write_chunk(d, f"c{i}.parquet",
+                         chunk.sample(frac=1, random_state=seed), i)
+        sent = pd.DataFrame(
+            [(99, 990, pdf["ts"].max() + pd.Timedelta(days=30),
+              "noise")], columns=COLS)
+        _write_chunk(d, "zz.parquet", sent, len(chunks) + 5)
+        out = streaming_match_absence_rules(_read(spark, d), rules_df)
+        q = (out.writeStream.format("memory")
+             .queryName(f"ar_{seed}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        keyset = lambda rs: {  # noqa: E731
+            (r["user_id"], r["rule_id"], r["first_event_id"],
+             r["first_ts"], r["then_ts"], r["gap_sec"]) for r in rs}
+        got = keyset(spark.table(f"ar_{seed}").collect())
+        truth = keyset(match_absence_rules(
+            spark.createDataFrame(pdf), rules_df).collect())
+        assert got == truth, f"seed {seed}: stream != batch"
+        assert any(g[1] == "r3" for g in got)
+        assert out.dropped_events_acc.value == 0
