@@ -371,6 +371,31 @@ def _q_error_runs(spark, sf_dir):
                       min_run=2, max_gap_seconds=7200)
 
 
+def _q_latest_user_state(spark, sf_dir):
+    # CDC latest-wins snapshot: events as a changelog over user_id
+    # (signup=I, error=D tombstone, else U); ONE max_by hash aggregate,
+    # no sort (operators/cdc.py)
+    from bigdata_event_stream_detection_spark.operators.cdc import (
+        events_as_changelog,
+        latest_snapshot,
+    )
+
+    cl = events_as_changelog(_t(spark, sf_dir, "events"))
+    return latest_snapshot(cl, attrs=["event_type", "value"])
+
+
+def _q_scd2_user_history(spark, sf_dir):
+    # SCD2 versioned history of the same changelog: validity intervals,
+    # tombstones close the last version and leave a version-number gap
+    from bigdata_event_stream_detection_spark.operators.cdc import (
+        events_as_changelog,
+        scd2_history,
+    )
+
+    cl = events_as_changelog(_t(spark, sf_dir, "events"))
+    return scd2_history(cl, attrs=["event_type", "value"])
+
+
 def _q_burst_windows(spark, sf_dir):
     from bigdata_event_stream_detection_spark.operators.windows import (
         burst_windows,
@@ -1485,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "interval_error_purchase": _q_interval_error_purchase,
         "error_runs": _q_error_runs,
+        "latest_user_state": _q_latest_user_state,
+        "scd2_user_history": _q_scd2_user_history,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2053,6 +2080,41 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE event_type = 'error'
             GROUP BY user_id, run_id
             HAVING count(*) >= 2
+        """,
+        "latest_user_state": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     CASE WHEN event_type = 'signup' THEN 'I'
+                          WHEN event_type = 'error' THEN 'D'
+                          ELSE 'U' END AS op
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM c)
+            SELECT user_id, event_type, value,
+                   ts AS last_ts, event_id AS last_id
+            FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "scd2_user_history": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     CASE WHEN event_type = 'signup' THEN 'I'
+                          WHEN event_type = 'error' THEN 'D'
+                          ELSE 'U' END AS op
+              FROM events),
+            v AS (
+              SELECT user_id, op, event_type, value,
+                     ts AS valid_from, event_id AS change_id,
+                     row_number() OVER w AS version,
+                     lead(ts) OVER w AS valid_to
+              FROM c
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, version, change_id, event_type, value,
+                   valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM v WHERE op <> 'D'
         """,
         "expectation_summary": """
             WITH t AS (
