@@ -361,6 +361,30 @@ def _q_timeout_rule_alerts(spark, sf_dir):
     return match_timeout_rules(_t(spark, sf_dir, "events"), rules)
 
 
+# MATCH_RECOGNIZE sequence pattern shared by the query and its
+# single-node oracle recompute (tools/local_oracle.seq_match_rows)
+_SEQ_STEPS = [("view", "view", "1"), ("click", "click", "+"),
+              ("purchase", "purchase", "1")]
+_SEQ_WITHIN_S = 3 * 86400
+
+
+def _q_seq_matches(spark, sf_dir):
+    # general quantified-pattern CEP: view click+ purchase within 3
+    # days — the shape funnel (all-'1') and runs (single '+') cannot
+    # express; Arrow per-key NFA scan (operators/cep.py:match_seq)
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = match_seq(_t(spark, sf_dir, "events"), _SEQ_STEPS,
+                  within_seconds=_SEQ_WITHIN_S)
+    return m.select(
+        "user_id", "first_event_id",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "n_events", "step_counts")
+
+
 def _q_error_runs(spark, sf_dir):
     # Kleene-plus CEP: 2+ consecutive errors per user, <=2h apart
     from bigdata_event_stream_detection_spark.operators.cep import (
@@ -1510,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "interval_error_purchase": _q_interval_error_purchase,
         "error_runs": _q_error_runs,
+        "seq_matches": _q_seq_matches,
         "latest_user_state": _q_latest_user_state,
         "scd2_user_history": _q_scd2_user_history,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
@@ -3331,6 +3356,12 @@ def _model_oracles() -> dict[str, str]:
                                min_word_count=2),
             [("doc_id", "BIGINT"), ("n_words", "BIGINT"),
              ("n_bpe", "BIGINT"), ("token_fingerprint", "VARCHAR")]),
+        "seq_matches": lo.values_sql(
+            lo.seq_match_rows(_ORACLE_SF_DIR, _SEQ_STEPS,
+                              _SEQ_WITHIN_S),
+            [("user_id", "BIGINT"), ("first_event_id", "BIGINT"),
+             ("start_us", "BIGINT"), ("end_us", "BIGINT"),
+             ("n_events", "BIGINT"), ("step_counts", "VARCHAR")]),
     }
     _MODEL_ORACLE_CACHE = out
     return out

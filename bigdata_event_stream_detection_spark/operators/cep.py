@@ -29,8 +29,15 @@ standard absence pattern of CEP engines (Flink MATCH_RECOGNIZE's
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
 
 
 def match_timeout(
@@ -200,6 +207,183 @@ def match_runs(
                  F.count("*").alias("run_len"))
             .filter(F.col("run_len") >= min_run))
     return runs.select(key_col, "start_ts", "end_ts", "run_len")
+
+
+def _validate_steps(steps: Sequence[tuple[str, str, str]]):
+    """Shared validation for :func:`match_seq` patterns. Returns
+    ``(labels, types, plus_flags)``."""
+    if not steps:
+        raise ValueError("pattern needs at least one step")
+    labels, types, quants = zip(*steps)
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"step labels must be unique: {labels}")
+    bad = [q for q in quants if q not in ("1", "+")]
+    if bad:
+        raise ValueError(f"quantifiers must be '1' or '+', got {bad}")
+    for i in range(len(steps) - 1):
+        if quants[i] == "+" and types[i] == types[i + 1]:
+            raise ValueError(
+                f"step {labels[i]}: a '+' step followed by a step of "
+                f"the SAME type ({types[i]}) can never transition — "
+                "greedy absorption shadows it")
+    return list(labels), list(types), [q == "+" for q in quants]
+
+
+def _seq_scan(tid, us, eid, step_tids, step_plus, horizon_us, wm_us):
+    """The shared per-key pattern scan (batch AND streaming twin AND the
+    single-node oracle recompute all pin THESE semantics).
+
+    Events (``tid`` step-type codes, ``us`` micros, ``eid`` ids) are
+    sorted by ``(us, eid)``. Relaxed contiguity (non-matching events are
+    ignored), greedy quantifiers, AFTER MATCH SKIP PAST LAST ROW, and on
+    a failed anchor the scan resumes at anchor+1. A ``+`` step absorbs
+    its own type until an event of the NEXT step's type transitions; the
+    final step's ``+`` run absorbs until the horizon closes it. All
+    matched events lie within ``horizon_us`` of the anchor.
+
+    ``wm_us`` is the decidability frontier: an anchor is only decided
+    (matched OR failed) once ``wm_us > anchor+horizon``, i.e. every
+    event that could participate is final. Batch passes ``wm_us=2**63``
+    so everything decides. Returns ``(matches, consumed)`` where matches
+    are ``(anchor_idx, last_idx, counts_per_step)`` and ``consumed`` is
+    the array index before which no event can ever matter again.
+    """
+    n = int(tid.size)
+    k = len(step_tids)
+    anchor_tid = step_tids[0]
+    out = []
+    i = 0
+    while i < n:
+        rel = np.flatnonzero(tid[i:] == anchor_tid)
+        if rel.size == 0:
+            i = n
+            break
+        a = i + int(rel[0])
+        deadline = int(us[a]) + horizon_us
+        if wm_us <= deadline:
+            i = a               # not decidable yet: stop consuming here
+            break
+        s = 0
+        counts = [0] * k
+        counts[0] = 1
+        last = a
+        matched = k == 1 and not step_plus[0]
+        pos = a + 1
+        while not matched and pos < n and int(us[pos]) <= deadline:
+            t = int(tid[pos])
+            if step_plus[s] and t == step_tids[s]:
+                counts[s] += 1
+                last = pos
+            elif s + 1 < k and t == step_tids[s + 1]:
+                s += 1
+                counts[s] = 1
+                last = pos
+                if s == k - 1 and not step_plus[s]:
+                    matched = True
+            pos += 1
+        if not matched and s == k - 1:
+            matched = True      # final '+' run: horizon closed it
+        if matched:
+            out.append((a, last, counts))
+            i = last + 1        # AFTER MATCH SKIP PAST LAST ROW
+        else:
+            i = a + 1           # failed anchor: retry from the next event
+    return out, i
+
+
+def match_seq(
+    events: DataFrame,
+    steps: Sequence[tuple[str, str, str]],
+    within_seconds: float | None = None,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """General MATCH_RECOGNIZE-style sequence patterns — the
+    generalization the specialized CEP operators compile from:
+    ``steps`` is an ordered list of ``(label, event_type, quant)`` with
+    ``quant`` in ``{'1', '+'}`` (``PATTERN (A B+ C)``), matched per key
+    in (ts, id) order under relaxed contiguity, greedy quantifiers,
+    AFTER MATCH SKIP PAST LAST ROW, and an optional overall horizon
+    (``within_seconds`` from anchor to last matched event).
+
+    Prefer the codegen specializations when the pattern fits — they are
+    pure whole-stage-codegen window plans: all-``'1'`` chains are
+    :func:`~..operators.funnel.funnel_times`, a single ``'+'`` step is
+    :func:`match_runs`, negation is :func:`match_absence`. This
+    operator covers the general shape those cannot express (e.g.
+    ``view click+ purchase``), at the cost of an Arrow-batched per-key
+    scan kernel (`applyInPandas`) — the same cost model as every CEP
+    engine's NFA: one hash exchange on the key, a linear scan per key
+    (quadratic only under adversarial anchor-retry pile-ups), perfect
+    cross-key parallelism, and only pattern-relevant event types ever
+    reach the kernel (the type filter prunes at the scan).
+
+    Output: ``(key, first_event_id, start_ts, end_ts, n_events,
+    step_counts)`` with ``step_counts`` like ``"view=1,click=3,
+    purchase=1"``. Reference parity: extends the reference's event
+    query family (SURVEY.md §2 funnel rows) with Flink/Trino
+    MATCH_RECOGNIZE quantified patterns, built Spark-first.
+    """
+    labels, types, plus = _validate_steps(steps)
+    horizon_us = (int(round(float(within_seconds) * 1e6))
+                  if within_seconds is not None else 2 ** 62)
+    if horizon_us <= 0:
+        raise ValueError("within_seconds must be positive")
+    distinct_types = list(dict.fromkeys(types))
+    tid_of = {t: i for i, t in enumerate(distinct_types)}
+    step_tids = [tid_of[t] for t in types]
+
+    out_schema = StructType([
+        StructField(key_col, events.schema[key_col].dataType),
+        StructField("first_event_id", events.schema[id_col].dataType),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("step_counts", StringType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = (pdf[time_col].to_numpy("datetime64[ns]")
+              .astype(np.int64) // 1_000)
+        eid = pdf[id_col].to_numpy()
+        tid = pdf["_tid"].to_numpy(np.int8)
+        order = np.lexsort((eid, us))
+        us, eid, tid = us[order], eid[order], tid[order]
+        matches, _ = _seq_scan(tid, us, eid, step_tids, plus,
+                               horizon_us, 2 ** 63)
+        if not matches:
+            return pd.DataFrame({
+                key_col: pd.Series(dtype=pdf[key_col].dtype),
+                "first_event_id": pd.Series(dtype=pdf[id_col].dtype),
+                "start_ts": pd.Series(dtype="datetime64[ns]"),
+                "end_ts": pd.Series(dtype="datetime64[ns]"),
+                "n_events": pd.Series(dtype=np.int64),
+                "step_counts": pd.Series(dtype=object),
+            })
+        key_val = pdf[key_col].iloc[0]
+        rows = []
+        for a, last, counts in matches:
+            rows.append((
+                key_val, eid[a],
+                pd.Timestamp(int(us[a]), unit="us"),
+                pd.Timestamp(int(us[last]), unit="us"),
+                int(sum(counts)),
+                ",".join(f"{lb}={c}" for lb, c in zip(labels, counts)),
+            ))
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    pairs = []
+    for t, i in tid_of.items():
+        pairs += [F.lit(t), F.lit(i)]
+    code_of = F.create_map(*pairs)
+    coded = (events
+             .filter(F.col(type_col).isin(distinct_types))
+             .select(key_col, time_col, id_col,
+                     code_of[F.col(type_col)].cast("tinyint")
+                     .alias("_tid")))
+    return coded.groupBy(key_col).applyInPandas(kernel, out_schema)
 
 
 def match_timeout_rules(

@@ -476,6 +476,154 @@ def streaming_match_runs(
     return out
 
 
+SEQ_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("first_event_id", LongType()),
+    StructField("start_ts", TimestampType()),
+    StructField("end_ts", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("step_counts", StringType()),
+])
+
+
+def streaming_match_seq(
+    stream: DataFrame,
+    steps,
+    within_seconds: float,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Continuous MATCH_RECOGNIZE sequences: the streaming twin of
+    ``operators.cep.match_seq`` — same ``steps`` grammar, REQUIRED
+    horizon — emitting row-identical matches exactly once.
+
+    Batch and streaming share ONE scan (``operators.cep._seq_scan``);
+    the stream drives it with the watermark as the decidability
+    frontier: an anchor resolves (match or fail, exactly once) when the
+    watermark passes ``anchor + horizon``, because every event that
+    could participate is then final — this is why the horizon is
+    mandatory here (same reason ``streaming_match_runs`` requires a
+    finite gap). The scan also returns how far the buffer can never
+    matter again (events behind the first undecided anchor), clamped to
+    the finality frontier so out-of-order suffix events survive; state
+    per key is the bounded (type, ts, id) buffer between those two
+    frontiers, and a key whose buffer empties is REMOVED.
+
+    Note (applies to every CEP twin in this module): the type filter is
+    pushed below the watermark node by Catalyst, so only
+    pattern-relevant events advance the watermark — a quiet stream of
+    non-pattern events does not flush pending anchors. Feed the
+    pattern-relevant types, or union a heartbeat of one of them.
+    """
+    from ..operators.cep import _seq_scan, _validate_steps
+
+    labels, types, plus = _validate_steps(steps)
+    horizon_us = int(round(float(within_seconds) * 1e6))
+    if horizon_us <= 0:
+        raise ValueError("within_seconds must be positive — the "
+                         "horizon is what makes anchors decidable")
+    distinct_types = list(dict.fromkeys(types))
+    tid_of = {t: i for i, t in enumerate(distinct_types)}
+    step_tids = [tid_of[t] for t in types]
+    anchor_tid = step_tids[0]
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb = state.get
+            tid = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            tid = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+
+        if not state.hasTimedOut:
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                nt.append(pdf["_tid"].to_numpy(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64) // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64))
+            if nt:
+                tid = np.concatenate([tid] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if tid.size > max_events_in_state:
+                    dropped_acc.add(tid.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    tid, us, eid = tid[keep], us[keep], eid[keep]
+
+        order = np.lexsort((eid, us))
+        tid, us, eid = tid[order], us[order], eid[order]
+        matches, consumed = _seq_scan(tid, us, eid, step_tids, plus,
+                                      horizon_us, wm_us)
+        # never drop the out-of-order suffix: a future anchor (ts >=
+        # watermark) may still be followed by buffered ts >= wm events
+        consumed = min(consumed,
+                       int(np.searchsorted(us, wm_us, side="left")))
+        rows = []
+        for a, last, counts in matches:
+            rows.append([
+                user, int(eid[a]),
+                pd.Timestamp(int(us[a]), unit="us"),
+                pd.Timestamp(int(us[last]), unit="us"),
+                int(sum(counts)),
+                ",".join(f"{lb}={c}" for lb, c in zip(labels, counts)),
+            ])
+        tid, us, eid = tid[consumed:], us[consumed:], eid[consumed:]
+
+        if not tid.size:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((tid.tobytes(), us.tobytes(), eid.tobytes()))
+            anchors = np.flatnonzero(tid == anchor_tid)
+            if anchors.size:
+                # wake when the first pending anchor becomes decidable
+                fire_us = int(us[int(anchors[0])]) + horizon_us
+            else:
+                # only non-anchor suffix events: prune once final
+                fire_us = int(us.min())
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "first_event_id", "start_ts", "end_ts",
+                "n_events", "step_counts"])
+
+    pairs = []
+    for t, i in tid_of.items():
+        pairs += [F.lit(t), F.lit(i)]
+    code_of = F.create_map(*pairs)
+    keyed = (
+        stream.withWatermark(time_col, watermark_delay)
+        .filter(F.col(type_col).isin(distinct_types))
+        .select(F.col(key_col).alias("user_id"), time_col,
+                F.col(id_col).cast("long").alias(id_col),
+                code_of[F.col(type_col)].cast("tinyint").alias("_tid"))
+    )
+    out = keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SEQ_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out
+
+
 RULES_STATE_SCHEMA = StructType([
     StructField("types", BinaryType()),     # int8: 0 anchor / 1 silencer
     StructField("ts_us", BinaryType()),     # int64 event-time micros

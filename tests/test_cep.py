@@ -425,3 +425,180 @@ def test_match_absence_rules_plan_broadcasts_rules(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+# ---------------------------------------------------------------------------
+# match_seq: general MATCH_RECOGNIZE quantified patterns
+# ---------------------------------------------------------------------------
+
+def _seq_rows(df):
+    return {(r["user_id"], r["first_event_id"],
+             r["start_ts"], r["end_ts"],
+             r["n_events"], r["step_counts"]) for r in df.collect()}
+
+
+VCP = [("a", "A", "1"), ("b", "B", "+"), ("c", "C", "1")]
+
+
+def test_match_seq_fixture(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = timedelta(minutes=1)
+    rows = [
+        # u1: plain A B B C — '+' absorbs both Bs
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * m, "B"),
+        (1, 12, T0 + 7 * m, "B"), (1, 13, T0 + 10 * m, "C"),
+        # u2: A then C but no B -> C is ignored while waiting for B
+        (2, 20, T0, "A"), (2, 21, T0 + 5 * m, "C"),
+        # u3: C lands beyond the horizon -> fail
+        (3, 30, T0, "A"), (3, 31, T0 + 5 * m, "B"),
+        (3, 32, T0 + 40 * m, "C"),
+        # u4: two back-to-back matches (skip past last row)
+        (4, 40, T0, "A"), (4, 41, T0 + 2 * m, "B"),
+        (4, 42, T0 + 4 * m, "C"), (4, 43, T0 + 5 * m, "A"),
+        (4, 44, T0 + 6 * m, "B"), (4, 45, T0 + 8 * m, "C"),
+        # u5: failed first anchor, second anchor succeeds
+        (5, 50, T0, "A"), (5, 51, T0 + 20 * m, "A"),
+        (5, 52, T0 + 35 * m, "B"), (5, 53, T0 + 45 * m, "C"),
+        # u6: a second A inside the B-run is ignored (relaxed contiguity)
+        (6, 60, T0, "A"), (6, 61, T0 + 1 * m, "B"),
+        (6, 62, T0 + 2 * m, "A"), (6, 63, T0 + 3 * m, "B"),
+        (6, 64, T0 + 4 * m, "C"),
+    ]
+    got = _seq_rows(match_seq(_df(spark, rows), VCP,
+                              within_seconds=1800))
+    exp = {
+        (1, 10, T0, T0 + 10 * m, 4, "a=1,b=2,c=1"),
+        (4, 40, T0, T0 + 4 * m, 3, "a=1,b=1,c=1"),
+        (4, 43, T0 + 5 * m, T0 + 8 * m, 3, "a=1,b=1,c=1"),
+        (5, 51, T0 + 20 * m, T0 + 45 * m, 3, "a=1,b=1,c=1"),
+        (6, 60, T0, T0 + 4 * m, 4, "a=1,b=2,c=1"),
+    }
+    assert got == exp
+
+
+def test_match_seq_trailing_plus_and_single_step(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = timedelta(minutes=1)
+    rows = [
+        (1, 10, T0, "A"), (1, 11, T0 + 1 * m, "B"),
+        (1, 12, T0 + 2 * m, "B"), (1, 13, T0 + 50 * m, "B"),
+    ]
+    # trailing '+': the horizon closes the run; the out-of-horizon B
+    # is excluded from THIS match (no A left to re-anchor afterwards)
+    got = _seq_rows(match_seq(
+        _df(spark, rows), [("a", "A", "1"), ("b", "B", "+")],
+        within_seconds=600))
+    assert got == {(1, 10, T0, T0 + 2 * m, 3, "a=1,b=2")}
+    # single '1' step: every occurrence matches on its own
+    got1 = _seq_rows(match_seq(
+        _df(spark, rows), [("a", "A", "1")], within_seconds=600))
+    assert got1 == {(1, 10, T0, T0, 1, "a=1")}
+    # single '+' step: a greedy run per horizon window — the B beyond
+    # the first run's horizon anchors its own length-1 run
+    gotp = _seq_rows(match_seq(
+        _df(spark, rows), [("b", "B", "+")], within_seconds=600))
+    assert gotp == {
+        (1, 11, T0 + 1 * m, T0 + 2 * m, 2, "b=2"),
+        (1, 13, T0 + 50 * m, T0 + 50 * m, 1, "b=1"),
+    }
+
+
+def test_match_seq_validation(spark):
+    import pytest
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    df = _df(spark, [(1, 10, T0, "A")])
+    with pytest.raises(ValueError, match="at least one"):
+        match_seq(df, [])
+    with pytest.raises(ValueError, match="quantifiers"):
+        match_seq(df, [("a", "A", "*")])
+    with pytest.raises(ValueError, match="unique"):
+        match_seq(df, [("a", "A", "1"), ("a", "B", "1")])
+    with pytest.raises(ValueError, match="never transition"):
+        match_seq(df, [("a", "A", "+"), ("b", "A", "1")])
+    with pytest.raises(ValueError, match="positive"):
+        match_seq(df, [("a", "A", "1")], within_seconds=0)
+
+
+def test_match_seq_matches_local_oracle_random(spark):
+    """The Spark kernel must equal the independent single-node state
+    machine (tools/local_oracle.seq_match_rows_pdf) on random data —
+    ties, retries, greedy absorption and horizon edges included."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import local_oracle as lo
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    for seed, steps, within in [
+        (3, VCP, 900),
+        (17, [("x", "X", "+"), ("y", "Y", "1")], 600),
+        (23, [("a", "A", "1"), ("b", "B", "1"), ("a2", "A", "+")], 1200),
+    ]:
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 20):
+            for _ in range(rng.randint(2, 25)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 3600)),
+                    rng.choice(["A", "B", "C", "X", "Y", "noise"])))
+                eid += 1
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "event_type"])
+        got = {(r["user_id"], r["first_event_id"],
+                int(r["start_ts"].timestamp() * 1e6),
+                int(r["end_ts"].timestamp() * 1e6),
+                r["n_events"], r["step_counts"])
+               for r in match_seq(spark.createDataFrame(pdf), steps,
+                                  within_seconds=within).collect()}
+        exp = set(lo.seq_match_rows_pdf(pdf, steps, within))
+        assert got == exp, f"seed {seed}"
+
+
+def test_match_seq_invariants_random(spark):
+    """Structural invariants: per-key matches are disjoint and ordered,
+    spans respect the horizon, counts respect the quantifiers."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    eid = 0
+    for u in range(1, 30):
+        for _ in range(rng.randint(5, 40)):
+            rows.append((u, eid,
+                         T0 + timedelta(seconds=rng.randint(0, 7200)),
+                         rng.choice(["A", "B", "C", "noise"])))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type"])
+    out = (match_seq(spark.createDataFrame(pdf), VCP,
+                     within_seconds=900)
+           .orderBy("user_id", "start_ts").toPandas())
+    assert len(out) > 0
+    for _, g in out.groupby("user_id"):
+        spans = list(zip(g["start_ts"], g["end_ts"]))
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2          # disjoint, ordered
+        for s, e in spans:
+            assert (e - s).total_seconds() <= 900
+    for sc, n in zip(out["step_counts"], out["n_events"]):
+        parts = dict(p.split("=") for p in sc.split(","))
+        assert parts["a"] == "1" and parts["c"] == "1"
+        assert int(parts["b"]) >= 1
+        assert sum(map(int, parts.values())) == n

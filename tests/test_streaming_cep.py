@@ -652,3 +652,155 @@ def test_streaming_match_absence_rules_random_chunking_parity(
         assert got == truth, f"seed {seed}: stream != batch"
         assert any(g[1] == "r3" for g in got)
         assert out.dropped_events_acc.value == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming_match_seq: continuous MATCH_RECOGNIZE quantified patterns
+# ---------------------------------------------------------------------------
+
+VCP = [("a", "A", "1"), ("b", "B", "+"), ("c", "C", "1")]
+
+
+def _seq_rows(collected):
+    return {(r["user_id"], r["first_event_id"], r["start_ts"],
+             r["end_ts"], r["n_events"], r["step_counts"])
+            for r in collected}
+
+
+def test_streaming_match_seq_matches_batch(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_seq,
+    )
+
+    rows = [
+        # u1: B-run split ACROSS micro-batches
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * M, "B"),
+        (1, 12, T0 + 7 * M, "B"), (1, 13, T0 + 10 * M, "C"),
+        # u2: failed anchor (C beyond horizon), later anchor succeeds
+        (2, 20, T0, "A"), (2, 21, T0 + 20 * M, "A"),
+        (2, 22, T0 + 35 * M, "B"), (2, 23, T0 + 45 * M, "C"),
+        # u3: trailing '+'-less pattern noise
+        (3, 30, T0 + 1 * M, "noise"),
+    ]
+    pdf = (pd.DataFrame(rows, columns=COLS)
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    d = str(tmp_path / "seq_in")
+    os.makedirs(d)
+    half = len(pdf) // 2
+    _write_chunk(d, "c0.parquet", pdf.iloc[:half], 0)
+    _write_chunk(d, "c1.parquet", pdf.iloc[half:], 1)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+
+    out = streaming_match_seq(_read(spark, d), VCP, within_seconds=1800)
+    q = (out.writeStream.format("memory").queryName("seq_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _seq_rows(spark.table("seq_s").collect())
+    truth = _seq_rows(match_seq(
+        spark.createDataFrame(pdf), VCP,
+        within_seconds=1800).collect())
+    assert got == truth
+    assert {g[0] for g in got} == {1, 2}
+    assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_seq_random_chunking_parity(spark, tmp_path):
+    """Random events at random chronological cut points (shuffled
+    within each chunk): streamed matches equal batch for every split —
+    decidability, consumption, and suffix retention included."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_seq,
+    )
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 15):
+            for _ in range(rng.randint(3, 20)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 5400)),
+                    rng.choice(["A", "B", "B", "C", "noise"])))
+                eid += 1
+        pdf = (pd.DataFrame(rows, columns=COLS)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        d = str(tmp_path / f"seq_{seed}")
+        os.makedirs(d)
+        cuts = sorted(rng.sample(range(1, len(pdf)),
+                                 k=rng.randint(2, 5)))
+        chunks = [pdf.iloc[a:b] for a, b in
+                  zip([0] + cuts, cuts + [len(pdf)])]
+        for i, chunk in enumerate(chunks):
+            _write_chunk(d, f"c{i}.parquet",
+                         chunk.sample(frac=1, random_state=seed), i)
+        _write_chunk(d, "zz.parquet",
+                     _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)),
+                     len(chunks) + 5)
+        out = streaming_match_seq(
+            _read(spark, d), VCP, within_seconds=900)
+        q = (out.writeStream.format("memory")
+             .queryName(f"seq_p_{seed}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = _seq_rows(spark.table(f"seq_p_{seed}").collect())
+        truth = _seq_rows(match_seq(
+            spark.createDataFrame(pdf), VCP,
+            within_seconds=900).collect())
+        assert got == truth, f"seed {seed}: stream != batch"
+        assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_seq_resumes_from_checkpoint(spark, tmp_path):
+    """Kill after the first batches, restart on the same checkpoint:
+    the union of emissions equals batch with no duplicates."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_seq,
+    )
+
+    rows = [
+        (1, 10, T0, "A"), (1, 11, T0 + 5 * M, "B"),
+        (1, 12, T0 + 7 * M, "B"), (1, 13, T0 + 10 * M, "C"),
+        (2, 20, T0 + 2 * M, "A"), (2, 21, T0 + 6 * M, "B"),
+        (2, 22, T0 + 9 * M, "C"),
+    ]
+    pdf = (pd.DataFrame(rows, columns=COLS)
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    d = str(tmp_path / "seq_ck_in")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "seq_ck")
+    sink = str(tmp_path / "seq_out")
+    _write_chunk(d, "c0.parquet", pdf.iloc[:4], 0)
+
+    def run():
+        out = streaming_match_seq(
+            _read(spark, d), VCP, within_seconds=1800)
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()                                 # phase 1: nothing decidable yet
+    _write_chunk(d, "c1.parquet", pdf.iloc[4:], 1)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)), 9)
+    run()                                 # phase 2: resume, decide, emit
+    run()                                 # phase 3: no new data, no dupes
+
+    got = _seq_rows(spark.read.parquet(sink).collect())
+    truth = _seq_rows(match_seq(
+        spark.createDataFrame(pdf), VCP,
+        within_seconds=1800).collect())
+    assert got == truth
+    n_files = spark.read.parquet(sink).count()
+    assert n_files == len(truth)          # exactly once, no duplicates

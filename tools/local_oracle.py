@@ -973,3 +973,82 @@ def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
             s = s + float(v)
         rows.append((str(doc_id), spark_round(s, 6)))
     return rows
+
+
+def seq_match_rows_pdf(
+    pdf: pd.DataFrame,
+    steps: list[tuple[str, str, str]],
+    within_seconds: float | None,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> list[tuple]:
+    """Single-node recompute of operators/cep.py:match_seq — the same
+    documented semantics (relaxed contiguity, greedy quantifiers, skip
+    past last row, retry after a failed anchor, horizon from anchor to
+    last matched event) written as an explicit per-user state machine
+    over plain row tuples instead of the Spark kernel's index scan.
+    Rows: (key, first_event_id, start_us, end_us, n_events,
+    step_counts)."""
+    labels = [s[0] for s in steps]
+    types = [s[1] for s in steps]
+    quants = [s[2] for s in steps]
+    k = len(steps)
+    horizon_us = (int(round(float(within_seconds) * 1e6))
+                  if within_seconds is not None else 2 ** 62)
+    wanted = set(types)
+    rows = []
+    sub = pdf[pdf[type_col].isin(wanted)]
+    for key, g in sub.groupby(key_col, sort=True):
+        evs = sorted(
+            (int(pd.Timestamp(t).value) // 1_000, int(e), str(ty))
+            for t, e, ty in zip(g[time_col], g[id_col], g[type_col]))
+        n = len(evs)
+        i = 0
+        while i < n:
+            # next anchor
+            while i < n and evs[i][2] != types[0]:
+                i += 1
+            if i == n:
+                break
+            a = i
+            deadline = evs[a][0] + horizon_us
+            s = 0
+            counts = [0] * k
+            counts[0] = 1
+            last = a
+            done = (k == 1 and quants[0] == "1")
+            j = a + 1
+            while not done and j < n and evs[j][0] <= deadline:
+                t = evs[j][2]
+                if quants[s] == "+" and t == types[s]:
+                    counts[s] += 1
+                    last = j
+                elif s + 1 < k and t == types[s + 1]:
+                    s += 1
+                    counts[s] = 1
+                    last = j
+                    if s == k - 1 and quants[s] == "1":
+                        done = True
+                j += 1
+            if not done and s == k - 1:
+                done = True       # trailing '+' run closed by horizon
+            if done:
+                rows.append((
+                    key, evs[a][1], evs[a][0], evs[last][0],
+                    int(sum(counts)),
+                    ",".join(f"{lb}={c}"
+                             for lb, c in zip(labels, counts))))
+                i = last + 1
+            else:
+                i = a + 1
+    return rows
+
+
+def seq_match_rows(sf_dir: str, steps, within_seconds) -> list[tuple]:
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return [(int(key),) + tuple(rest) for key, *rest in
+            seq_match_rows_pdf(ev, steps, within_seconds)]
