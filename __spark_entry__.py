@@ -385,6 +385,31 @@ def _q_seq_matches(spark, sf_dir):
         "n_events", "step_counts")
 
 
+# dynamic-rules sequence patterns shared by the query and its oracle
+_SEQ_RULES = [("journey", "view:1,click:+,purchase:1", 3 * 86400),
+              ("err_burst", "error:+", 86400),
+              ("signup_convert", "signup:1,purchase:1", 7 * 86400)]
+
+
+def _q_seq_rule_matches(spark, sf_dir):
+    # rules-as-data for QUANTIFIED sequences: the pattern specs are a
+    # 3-row table (operators/cep.py:match_seq_rules); key space is
+    # (user x matching rules)
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq_rules,
+    )
+
+    rules = spark.createDataFrame(
+        [(rid, spec, float(w)) for rid, spec, w in _SEQ_RULES],
+        "rule_id string, steps string, within_seconds double")
+    m = match_seq_rules(_t(spark, sf_dir, "events"), rules)
+    return m.select(
+        "user_id", "rule_id", "first_event_id",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "n_events", "step_counts")
+
+
 def _q_error_runs(spark, sf_dir):
     # Kleene-plus CEP: 2+ consecutive errors per user, <=2h apart
     from bigdata_event_stream_detection_spark.operators.cep import (
@@ -1535,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_purchase": _q_interval_error_purchase,
         "error_runs": _q_error_runs,
         "seq_matches": _q_seq_matches,
+        "seq_rule_matches": _q_seq_rule_matches,
         "latest_user_state": _q_latest_user_state,
         "scd2_user_history": _q_scd2_user_history,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
@@ -3362,6 +3388,12 @@ def _model_oracles() -> dict[str, str]:
             [("user_id", "BIGINT"), ("first_event_id", "BIGINT"),
              ("start_us", "BIGINT"), ("end_us", "BIGINT"),
              ("n_events", "BIGINT"), ("step_counts", "VARCHAR")]),
+        "seq_rule_matches": lo.values_sql(
+            lo.seq_rules_rows(_ORACLE_SF_DIR, _SEQ_RULES),
+            [("user_id", "BIGINT"), ("rule_id", "VARCHAR"),
+             ("first_event_id", "BIGINT"), ("start_us", "BIGINT"),
+             ("end_us", "BIGINT"), ("n_events", "BIGINT"),
+             ("step_counts", "VARCHAR")]),
     }
     _MODEL_ORACLE_CACHE = out
     return out

@@ -308,17 +308,19 @@ def match_seq(
     AFTER MATCH SKIP PAST LAST ROW, and an optional overall horizon
     (``within_seconds`` from anchor to last matched event).
 
-    Prefer the codegen specializations when the pattern fits — they are
-    pure whole-stage-codegen window plans: all-``'1'`` chains are
-    :func:`~..operators.funnel.funnel_times`, a single ``'+'`` step is
+    Prefer the codegen specializations when their (deliberately
+    stricter) semantics fit — they are pure whole-stage-codegen window
+    plans: once-per-user step chains are ``funnel_times``, strictly
+    consecutive same-type runs (any other type breaks) are
     :func:`match_runs`, negation is :func:`match_absence`. This
-    operator covers the general shape those cannot express (e.g.
-    ``view click+ purchase``), at the cost of an Arrow-batched per-key
-    scan kernel (`applyInPandas`) — the same cost model as every CEP
-    engine's NFA: one hash exchange on the key, a linear scan per key
-    (quadratic only under adversarial anchor-retry pile-ups), perfect
-    cross-key parallelism, and only pattern-relevant event types ever
-    reach the kernel (the type filter prunes at the scan).
+    operator covers the general quantified shape those cannot express
+    (e.g. ``view click+ purchase``, repeated per key), at the cost of
+    an Arrow-batched per-key scan kernel (`applyInPandas`) — the same
+    cost model as every CEP engine's NFA: one hash exchange on the
+    key, a linear scan per key (quadratic only under adversarial
+    anchor-retry pile-ups), perfect cross-key parallelism, and only
+    pattern-relevant event types ever reach the kernel (the type
+    filter prunes at the scan).
 
     Output: ``(key, first_event_id, start_ts, end_ts, n_events,
     step_counts)`` with ``step_counts`` like ``"view=1,click=3,
@@ -384,6 +386,135 @@ def match_seq(
                      code_of[F.col(type_col)].cast("tinyint")
                      .alias("_tid")))
     return coded.groupBy(key_col).applyInPandas(kernel, out_schema)
+
+
+def _parse_steps_spec(spec: str) -> list[tuple[str, str, str]]:
+    """Parse a rules-table pattern spec — ``"A:1,B:+,C:1"`` — into
+    :func:`match_seq` steps. Labels are the step types, suffixed
+    ``#i`` (1-based step position) when a type repeats, so
+    ``step_counts`` stays self-describing."""
+    raw = []
+    for part in spec.split(","):
+        t, _, q = part.strip().rpartition(":")
+        if not t:
+            raise ValueError(f"bad step {part!r} in pattern {spec!r}"
+                             " (want type:quant)")
+        raw.append((t, q))
+    types = [t for t, _ in raw]
+    labels = [t if types.count(t) == 1 else f"{t}#{i + 1}"
+              for i, t in enumerate(types)]
+    return [(lb, t, q) for lb, (t, q) in zip(labels, raw)]
+
+
+def match_seq_rules(
+    events: DataFrame,
+    rules: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dynamic-rules quantified-sequence CEP: :func:`match_seq` with
+    the patterns in a TABLE — ``rules(rule_id, steps, within_seconds)``
+    where ``steps`` is a spec string like ``"view:1,click:+,
+    purchase:1"`` — completing rules-as-data across every pattern
+    class (timeout, absence, and now general sequences). A new
+    quantified pattern deploys as a row insert, not a code change.
+
+    Plan: the rules table is exploded (driver-side validation only
+    touches the tiny rules side) to distinct ``(rule_id, type)``
+    membership pairs; events broadcast-equi-join that and re-attach
+    their rule's spec + horizon, then the :func:`match_seq` scan runs
+    per ``(key, rule_id)`` group — key space |keys| x |matching rules|,
+    strictly more parallel than the single-pattern operator, event
+    duplication bounded by rules per type. The kernel parses each
+    group's spec string (one parse per Arrow group, cached per batch),
+    so the scan itself is rule-agnostic.
+
+    Output: ``(key, rule_id, first_event_id, start_ts, end_ts,
+    n_events, step_counts)``.
+    """
+    rrows = rules.select("rule_id", "steps", "within_seconds").collect()
+    if not rrows:
+        raise ValueError("rules table is empty")
+    for r in rrows:                       # fail fast on bad specs
+        _validate_steps(_parse_steps_spec(r["steps"]))
+        if not (float(r["within_seconds"]) > 0):
+            raise ValueError(
+                f"rule {r['rule_id']}: within_seconds must be positive")
+
+    out_schema = StructType([
+        StructField(key_col, events.schema[key_col].dataType),
+        StructField("rule_id", StringType()),
+        StructField("first_event_id", events.schema[id_col].dataType),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("step_counts", StringType()),
+    ])
+
+    def kernel(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        key_val, rule = keys
+        empty = pd.DataFrame({
+            key_col: pd.Series(dtype=pdf[key_col].dtype),
+            "rule_id": pd.Series(dtype=object),
+            "first_event_id": pd.Series(dtype=pdf[id_col].dtype),
+            "start_ts": pd.Series(dtype="datetime64[ns]"),
+            "end_ts": pd.Series(dtype="datetime64[ns]"),
+            "n_events": pd.Series(dtype=np.int64),
+            "step_counts": pd.Series(dtype=object),
+        })
+        if not len(pdf):
+            return empty
+        steps = _parse_steps_spec(pdf["_steps"].iloc[0])
+        labels, types, plus = _validate_steps(steps)
+        horizon_us = int(pdf["_horizon_us"].iloc[0])
+        tid_of = {t: i for i, t in enumerate(dict.fromkeys(types))}
+        step_tids = [tid_of[t] for t in types]
+        keep = pdf[type_col].isin(tid_of.keys()).to_numpy()
+        pdf = pdf[keep]
+        if not len(pdf):
+            return empty
+        us = (pdf[time_col].to_numpy("datetime64[ns]")
+              .astype(np.int64) // 1_000)
+        eid = pdf[id_col].to_numpy()
+        tid = pdf[type_col].map(tid_of).to_numpy(np.int8)
+        order = np.lexsort((eid, us))
+        us, eid, tid = us[order], eid[order], tid[order]
+        matches, _ = _seq_scan(tid, us, eid, step_tids, plus,
+                               horizon_us, 2 ** 63)
+        if not matches:
+            return empty
+        rows = []
+        for a, last, counts in matches:
+            rows.append((
+                key_val, rule, eid[a],
+                pd.Timestamp(int(us[a]), unit="us"),
+                pd.Timestamp(int(us[last]), unit="us"),
+                int(sum(counts)),
+                ",".join(f"{lb}={c}" for lb, c in zip(labels, counts)),
+            ))
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    r = rules.select(
+        "rule_id", F.col("steps").alias("_steps"),
+        (F.col("within_seconds").cast("double") * 1e6)
+        .cast("long").alias("_horizon_us"))
+    membership = (r.select(
+        "rule_id",
+        F.explode(F.transform(
+            F.split("_steps", ","),
+            lambda p: F.trim(F.regexp_extract(p, r"^(.*):[^:]*$", 1))))
+        .alias("_et"))
+        .distinct())
+    tagged = (events.select(key_col, time_col, id_col, type_col)
+              .join(F.broadcast(membership),
+                    F.col(type_col) == F.col("_et"))
+              .join(F.broadcast(r), "rule_id")
+              .select(key_col, "rule_id", time_col, id_col, type_col,
+                      "_steps", "_horizon_us"))
+    return tagged.groupBy(key_col, "rule_id").applyInPandas(
+        kernel, out_schema)
 
 
 def match_timeout_rules(

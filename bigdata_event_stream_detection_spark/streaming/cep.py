@@ -624,6 +624,195 @@ def streaming_match_seq(
     return out
 
 
+SEQ_RULES_STATE_SCHEMA = StructType([
+    StructField("types", BinaryType()),     # int8 step-type codes
+    StructField("ts_us", BinaryType()),     # int64 event-time micros
+    StructField("eids", BinaryType()),      # int64 event ids (tie order)
+    StructField("steps", StringType()),     # the spec the codes use
+    StructField("horizon_us", LongType()),
+])
+
+SEQ_RULES_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("rule_id", StringType()),
+    StructField("first_event_id", LongType()),
+    StructField("start_ts", TimestampType()),
+    StructField("end_ts", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("step_counts", StringType()),
+])
+
+
+def streaming_match_seq_rules(
+    stream: DataFrame,
+    rules: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark_delay: str = "30 minutes",
+    max_events_in_state: int = 10_000,
+) -> DataFrame:
+    """Continuous dynamic-rules sequence CEP: the streaming twin of
+    ``operators.cep.match_seq_rules`` — quantified pattern specs live
+    in a TABLE (``rules(rule_id, steps, within_seconds)``, re-read as
+    the static join side every micro-batch), matches emitted exactly
+    once at watermark finality, row-identical to batch on drained
+    input.
+
+    Same architecture as the other rules twins: state is keyed by
+    (user, rule) and carries the rule's spec + horizon next to the
+    bounded event buffer, so a pure timeout wake-up decides with no
+    rules lookup. If a rule's spec string CHANGES mid-stream, a group
+    re-encodes its buffered events under the new spec the next time
+    data for it arrives (buffered types absent from the new spec are
+    dropped); already-emitted matches are never retracted.
+    """
+    from ..operators.cep import (
+        _parse_steps_spec, _seq_scan, _validate_steps,
+    )
+
+    rrows = rules.select("rule_id", "steps", "within_seconds").collect()
+    if not rrows:
+        raise ValueError("rules table is empty")
+    for r in rrows:
+        _validate_steps(_parse_steps_spec(r["steps"]))
+        if not (float(r["within_seconds"]) > 0):
+            raise ValueError(
+                f"rule {r['rule_id']}: within_seconds must be positive")
+    dropped_acc = stream.sparkSession.sparkContext.accumulator(0)
+
+    def fn(key, pdf_iter, state: GroupState):
+        user, rule = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            tb, ub, eb, spec, horizon_us = state.get
+            tid = np.frombuffer(tb, dtype=np.int8)
+            us = np.frombuffer(ub, dtype=np.int64)
+            eid = np.frombuffer(eb, dtype=np.int64)
+        else:
+            tid = np.empty(0, np.int8)
+            us = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+            spec, horizon_us = None, 0
+
+        if not state.hasTimedOut:
+            new_spec = None
+            nt, nu, ne = [], [], []
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                if new_spec is None:
+                    new_spec = pdf["_steps"].iloc[0]
+                    horizon_us = int(pdf["_horizon_us"].iloc[0])
+                    if spec is not None and new_spec != spec:
+                        # re-encode the buffer under the new spec
+                        old_types = [s[1] for s in
+                                     _parse_steps_spec(spec)]
+                        old_of = list(dict.fromkeys(old_types))
+                        new_steps = _parse_steps_spec(new_spec)
+                        new_of = {t: i for i, t in enumerate(
+                            dict.fromkeys(s[1] for s in new_steps))}
+                        remap = np.full(len(old_of), -1, np.int8)
+                        for i, t in enumerate(old_of):
+                            remap[i] = new_of.get(t, -1)
+                        tid = remap[tid]
+                        keep = tid >= 0
+                        tid, us, eid = tid[keep], us[keep], eid[keep]
+                    spec = new_spec
+                steps = _parse_steps_spec(spec)
+                t_of = {t: i for i, t in enumerate(
+                    dict.fromkeys(s[1] for s in steps))}
+                codes = pdf[type_col].map(t_of)
+                ok = codes.notna().to_numpy()
+                nt.append(codes.to_numpy(np.float64)[ok]
+                          .astype(np.int8))
+                nu.append(pdf[time_col].to_numpy("datetime64[ns]")
+                          .astype(np.int64)[ok] // 1_000)
+                ne.append(pdf[id_col].to_numpy(np.int64)[ok])
+            if nt:
+                tid = np.concatenate([tid] + nt)
+                us = np.concatenate([us] + nu)
+                eid = np.concatenate([eid] + ne)
+                if tid.size > max_events_in_state:
+                    dropped_acc.add(tid.size - max_events_in_state)
+                    order = np.lexsort((eid, us))
+                    keep = np.sort(order[:max_events_in_state])
+                    tid, us, eid = tid[keep], us[keep], eid[keep]
+
+        if spec is None:        # timed out before ever seeing data
+            if state.exists:
+                state.remove()
+            return
+        steps = _parse_steps_spec(spec)
+        labels, types, plus = _validate_steps(steps)
+        t_of = {t: i for i, t in enumerate(dict.fromkeys(types))}
+        step_tids = [t_of[t] for t in types]
+        order = np.lexsort((eid, us))
+        tid, us, eid = tid[order], us[order], eid[order]
+        matches, consumed = _seq_scan(tid, us, eid, step_tids, plus,
+                                      horizon_us, wm_us)
+        consumed = min(consumed,
+                       int(np.searchsorted(us, wm_us, side="left")))
+        rows = []
+        for a, last, counts in matches:
+            rows.append([
+                user, rule, int(eid[a]),
+                pd.Timestamp(int(us[a]), unit="us"),
+                pd.Timestamp(int(us[last]), unit="us"),
+                int(sum(counts)),
+                ",".join(f"{lb}={c}" for lb, c in zip(labels, counts)),
+            ])
+        tid, us, eid = tid[consumed:], us[consumed:], eid[consumed:]
+
+        if not tid.size:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((tid.tobytes(), us.tobytes(), eid.tobytes(),
+                          spec, int(horizon_us)))
+            anchors = np.flatnonzero(tid == step_tids[0])
+            if anchors.size:
+                fire_us = int(us[int(anchors[0])]) + horizon_us
+            else:
+                fire_us = int(us.min())
+            state.setTimeoutTimestamp(
+                max(fire_us // 1000 + 1, wm_us // 1000 + 1))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "rule_id", "first_event_id", "start_ts",
+                "end_ts", "n_events", "step_counts"])
+
+    r = rules.select(
+        "rule_id", F.col("steps").alias("_steps"),
+        (F.col("within_seconds").cast("double") * 1e6)
+        .cast("long").alias("_horizon_us"))
+    membership = (r.select(
+        "rule_id",
+        F.explode(F.transform(
+            F.split("_steps", ","),
+            lambda p: F.trim(F.regexp_extract(p, r"^(.*):[^:]*$", 1))))
+        .alias("_et"))
+        .distinct())
+    keyed = (
+        stream.withWatermark(time_col, watermark_delay)
+        .join(F.broadcast(membership), F.col(type_col) == F.col("_et"))
+        .join(F.broadcast(r), "rule_id")
+        .select(F.col(key_col).alias("user_id"), "rule_id", time_col,
+                F.col(id_col).cast("long").alias(id_col), type_col,
+                "_steps", "_horizon_us")
+    )
+    out = keyed.groupBy("user_id", "rule_id").applyInPandasWithState(
+        fn,
+        outputStructType=SEQ_RULES_OUT_SCHEMA,
+        stateStructType=SEQ_RULES_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out.dropped_events_acc = dropped_acc
+    return out
+
+
 RULES_STATE_SCHEMA = StructType([
     StructField("types", BinaryType()),     # int8: 0 anchor / 1 silencer
     StructField("ts_us", BinaryType()),     # int64 event-time micros

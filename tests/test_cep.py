@@ -602,3 +602,77 @@ def test_match_seq_invariants_random(spark):
         assert parts["a"] == "1" and parts["c"] == "1"
         assert int(parts["b"]) >= 1
         assert sum(map(int, parts.values())) == n
+
+
+def test_match_seq_rules_equals_per_rule_match_seq(spark):
+    """match_seq_rules == UNION over rules of match_seq with that
+    rule's parsed steps — on random data, labels and counts included."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        _parse_steps_spec,
+        match_seq,
+        match_seq_rules,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    for u in range(1, 25):
+        for _ in range(rng.randint(3, 30)):
+            rows.append((u, eid,
+                         T0 + timedelta(seconds=rng.randint(0, 5400)),
+                         rng.choice(["A", "B", "C", "D", "noise"])))
+            eid += 1
+    df = _df(spark, rows)
+    rules = [("r1", "A:1,B:+,C:1", 900.0),
+             ("r2", "D:+", 600.0),
+             ("r3", "B:1,B:+", 1200.0)]       # '1' then '+' of SAME type
+    rdf = spark.createDataFrame(
+        rules, "rule_id string, steps string, within_seconds double")
+    got = {(r["user_id"], r["rule_id"], r["first_event_id"],
+            r["start_ts"], r["end_ts"], r["n_events"], r["step_counts"])
+           for r in match_seq_rules(df, rdf).collect()}
+    exp = set()
+    for rid, spec, w in rules:
+        for r in match_seq(df, _parse_steps_spec(spec),
+                           within_seconds=w).collect():
+            exp.add((r["user_id"], rid, r["first_event_id"],
+                     r["start_ts"], r["end_ts"], r["n_events"],
+                     r["step_counts"]))
+    assert got == exp
+    assert len({g[1] for g in got}) == 3      # every rule fired
+
+
+def test_match_seq_rules_validation(spark):
+    import pytest
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq_rules,
+    )
+
+    df = _df(spark, [(1, 10, T0, "A")])
+
+    def rdf(rows):
+        return spark.createDataFrame(
+            rows, "rule_id string, steps string, within_seconds double")
+
+    with pytest.raises(ValueError, match="empty"):
+        match_seq_rules(df, rdf([]).filter("false"))
+    with pytest.raises(ValueError, match="never transition"):
+        match_seq_rules(df, rdf([("r", "A:+,A:1", 60.0)]))
+    with pytest.raises(ValueError, match="positive"):
+        match_seq_rules(df, rdf([("r", "A:1", 0.0)]))
+    with pytest.raises(ValueError, match="bad step"):
+        match_seq_rules(df, rdf([("r", "A", 60.0)]))
+
+
+def test_parse_steps_spec_labels(spark):
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        _parse_steps_spec,
+    )
+
+    assert _parse_steps_spec("view:1, click:+ ,purchase:1") == [
+        ("view", "view", "1"), ("click", "click", "+"),
+        ("purchase", "purchase", "1")]
+    # repeated types get positional #i suffixes (1-based)
+    assert _parse_steps_spec("A:1,B:1,A:+") == [
+        ("A#1", "A", "1"), ("B", "B", "1"), ("A#3", "A", "+")]

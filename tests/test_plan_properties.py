@@ -40,6 +40,8 @@ HEADLINE = [
     # final round-2 additions: interval/run/rules CEP + quality gate
     "interval_error_purchase", "error_runs", "timeout_rule_alerts",
     "expectation_summary",
+    # round-2 continuation: CDC family + MATCH_RECOGNIZE sequences
+    "latest_user_state", "scd2_user_history", "seq_matches",
 ]
 
 

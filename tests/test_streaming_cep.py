@@ -804,3 +804,107 @@ def test_streaming_match_seq_resumes_from_checkpoint(spark, tmp_path):
     assert got == truth
     n_files = spark.read.parquet(sink).count()
     assert n_files == len(truth)          # exactly once, no duplicates
+
+
+def test_streaming_match_seq_rules_random_chunking_parity(
+        spark, tmp_path):
+    """Dynamic-rules sequence CEP: streamed == batch at random
+    chronological cut points, per (user, rule) group."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq_rules,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_seq_rules,
+    )
+
+    rules_rows = [("r1", "A:1,B:+,C:1", 900.0),
+                  ("r2", "D:+", 600.0),
+                  ("r3", "B:1,B:+", 1200.0)]
+
+    def _rules():
+        return spark.createDataFrame(
+            rules_rows,
+            "rule_id string, steps string, within_seconds double")
+
+    def _rowset(collected):
+        return {(r["user_id"], r["rule_id"], r["first_event_id"],
+                 r["start_ts"], r["end_ts"], r["n_events"],
+                 r["step_counts"]) for r in collected}
+
+    for seed in (13,):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(1, 15):
+            for _ in range(rng.randint(3, 20)):
+                rows.append((
+                    u, eid,
+                    T0 + timedelta(seconds=rng.randint(0, 5400)),
+                    rng.choice(["A", "B", "B", "C", "D", "noise"])))
+                eid += 1
+        pdf = (pd.DataFrame(rows, columns=COLS)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        d = str(tmp_path / f"seqr_{seed}")
+        os.makedirs(d)
+        cuts = sorted(rng.sample(range(1, len(pdf)), k=3))
+        chunks = [pdf.iloc[a:b] for a, b in
+                  zip([0] + cuts, cuts + [len(pdf)])]
+        for i, chunk in enumerate(chunks):
+            _write_chunk(d, f"c{i}.parquet",
+                         chunk.sample(frac=1, random_state=seed), i)
+        _write_chunk(d, "zz.parquet",
+                     _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)),
+                     len(chunks) + 5)
+        out = streaming_match_seq_rules(_read(spark, d), _rules())
+        q = (out.writeStream.format("memory")
+             .queryName(f"seqr_{seed}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = _rowset(spark.table(f"seqr_{seed}").collect())
+        truth = _rowset(match_seq_rules(
+            spark.createDataFrame(pdf), _rules()).collect())
+        assert got == truth, f"seed {seed}: stream != batch"
+        assert len({g[1] for g in got}) == 3
+        assert out.dropped_events_acc.value == 0
+
+
+def test_streaming_match_seq_rules_spec_change_reencodes(
+        spark, tmp_path):
+    """Restart with a CHANGED spec for the same rule_id: buffered state
+    re-encodes under the new spec (types dropped from the pattern fall
+    out of the buffer) and matching continues with no crash."""
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_seq_rules,
+    )
+
+    d = str(tmp_path / "seqchg_in")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "seqchg_ck")
+    sink = str(tmp_path / "seqchg_out")
+    # phase 1: rule = A then B+ ; anchor A arrives, undecided
+    rows1 = [(1, 10, T0, "A"), (1, 11, T0 + 2 * M, "B")]
+    _write_chunk(d, "c0.parquet", pd.DataFrame(rows1, columns=COLS), 0)
+
+    def run(spec):
+        rules = spark.createDataFrame(
+            [("r", spec, 900.0)],
+            "rule_id string, steps string, within_seconds double")
+        out = streaming_match_seq_rules(_read(spark, d), rules)
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run("A:1,B:+")
+    # phase 2: same rule_id, NEW spec A then C — buffered B is dropped,
+    # the buffered A still anchors and matches the arriving C
+    rows2 = [(1, 12, T0 + 5 * M, "C")]
+    _write_chunk(d, "c1.parquet", pd.DataFrame(rows2, columns=COLS), 1)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(T0 + pd.Timedelta(days=30)), 9)
+    run("A:1,C:1")
+
+    got = spark.read.parquet(sink).collect()
+    assert {(r["user_id"], r["rule_id"], r["first_event_id"],
+             r["n_events"], r["step_counts"]) for r in got} == {
+        (1, "r", 10, 2, "A=1,C=1")}

@@ -83,6 +83,8 @@ spark = get_spark("cep-%s-%d" % (mode, cores), cores=cores,
                       "spark.sql.adaptive.coalescePartitions.enabled":
                       "false"})
 PAT = ("view", "purchase", "error")
+SEQ_STEPS = [("v", "view", "1"), ("e", "error", "+"),
+             ("p", "purchase", "1")]
 n_events = spark.read.parquet(in_dir).count()
 if mode == "batch":
     ev = spark.read.parquet(in_dir)
@@ -109,6 +111,12 @@ if mode == "batch":
         m = match_timeout_rules(ev, rules).filter(
             F.col("user_id") >= 0)
         dig = F.sum("first_event_id")
+    elif family == "seq":
+        from bigdata_event_stream_detection_spark.operators.cep import (
+            match_seq)
+        m = match_seq(ev, SEQ_STEPS, within_seconds=horizon)
+        dig = F.sum(F.col("first_event_id") + F.col("n_events")
+                    + F.unix_micros("end_ts") % 1000000007)
     else:
         from bigdata_event_stream_detection_spark.operators.cep import (
             match_absence)
@@ -146,6 +154,12 @@ else:
             " within_seconds double")
         m = streaming_match_timeout_rules(
             stream, rules, watermark_delay="30 minutes")
+    elif family == "seq":
+        from bigdata_event_stream_detection_spark.streaming.cep import (
+            streaming_match_seq)
+        m = streaming_match_seq(stream, SEQ_STEPS,
+                                within_seconds=horizon,
+                                watermark_delay="30 minutes")
     else:
         m = streaming_match_absence(
             stream, *PAT, within_seconds=horizon,
@@ -156,9 +170,14 @@ else:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
-    sdig = (F.sum(F.col("run_len")
-                  + F.unix_micros("start_ts") % 1000000007)
-            if family == "runs" else F.sum("first_event_id"))
+    if family == "runs":
+        sdig = F.sum(F.col("run_len")
+                     + F.unix_micros("start_ts") % 1000000007)
+    elif family == "seq":
+        sdig = F.sum(F.col("first_event_id") + F.col("n_events")
+                     + F.unix_micros("end_ts") % 1000000007)
+    else:
+        sdig = F.sum("first_event_id")
     # rules/absence both digest on first_event_id; rules drops the
     # sentinel user to mirror the batch-side exclusion
     outdf = spark.read.parquet(out)
@@ -204,7 +223,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--modes", default="stream,batch")
     ap.add_argument("--family", default="absence",
-                    choices=["absence", "runs", "rules"])
+                    choices=["absence", "runs", "rules", "seq"])
     ap.add_argument("--local-dir", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
@@ -234,6 +253,8 @@ def main():
                 " runs)",
                 "rules": "3-rule dynamic timeout table, (user, rule)-"
                 "keyed state",
+                "seq": "MATCH_RECOGNIZE view error+ purchase"
+                " (quantified sequence, shared scan kernel)",
                 "absence": "view->purchase-without-error"}[args.family]
     lines = ["", f"## {args.family.capitalize()}-pattern CEP scaling "
              f"(N={args.n} vs 4N={4 * args.n} cores, min of "

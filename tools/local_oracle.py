@@ -1052,3 +1052,26 @@ def seq_match_rows(sf_dir: str, steps, within_seconds) -> list[tuple]:
         columns=["user_id", "ts", "event_id", "event_type"])
     return [(int(key),) + tuple(rest) for key, *rest in
             seq_match_rows_pdf(ev, steps, within_seconds)]
+
+
+def seq_rules_rows(sf_dir: str, rules: list[tuple]) -> list[tuple]:
+    """Union of seq_match_rows over a (rule_id, steps_spec,
+    within_seconds) rules table — the single-node recompute for
+    operators/cep.py:match_seq_rules. Spec parsing (and its label
+    suffixing) is shared with the operator; the match semantics
+    recompute stays the independent state machine above."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        _parse_steps_spec,
+    )
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    out = []
+    for rule_id, spec, within in rules:
+        steps = _parse_steps_spec(spec)
+        for key, eid, s, e, n, sc in seq_match_rows_pdf(
+                ev, steps, within):
+            out.append((int(key), str(rule_id), int(eid), int(s),
+                        int(e), int(n), str(sc)))
+    return out
