@@ -385,6 +385,31 @@ def _q_seq_matches(spark, sf_dir):
         "n_events", "step_counts")
 
 
+# DEFINE-clause (predicate) steps shared by the query and its oracle;
+# written dialect-portably so Spark and DuckDB evaluate them alike
+_SEQ_DEFINE_STEPS = [
+    ("hi_view", "event_type = 'view' AND value >= 10.0", "1"),
+    ("clicks", "event_type = 'click'", "+"),
+    ("buy", "event_type = 'purchase'", "1"),
+]
+
+
+def _q_seq_define_matches(spark, sf_dir):
+    # MATCH_RECOGNIZE DEFINE clauses: steps are SQL predicates, not
+    # types — only views worth >= 10 anchor the journey
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = match_seq(_t(spark, sf_dir, "events"), _SEQ_DEFINE_STEPS,
+                  within_seconds=_SEQ_WITHIN_S, classify="predicate")
+    return m.select(
+        "user_id", "first_event_id",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "n_events", "step_counts")
+
+
 # dynamic-rules sequence patterns shared by the query and its oracle
 _SEQ_RULES = [("journey", "view:1,click:+,purchase:1", 3 * 86400),
               ("err_burst", "error:+", 86400),
@@ -1561,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_runs": _q_error_runs,
         "seq_matches": _q_seq_matches,
         "seq_rule_matches": _q_seq_rule_matches,
+        "seq_define_matches": _q_seq_define_matches,
         "latest_user_state": _q_latest_user_state,
         "scd2_user_history": _q_scd2_user_history,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
@@ -3394,6 +3420,12 @@ def _model_oracles() -> dict[str, str]:
              ("first_event_id", "BIGINT"), ("start_us", "BIGINT"),
              ("end_us", "BIGINT"), ("n_events", "BIGINT"),
              ("step_counts", "VARCHAR")]),
+        "seq_define_matches": lo.values_sql(
+            lo.seq_match_pred_rows(_ORACLE_SF_DIR, _SEQ_DEFINE_STEPS,
+                                   _SEQ_WITHIN_S),
+            [("user_id", "BIGINT"), ("first_event_id", "BIGINT"),
+             ("start_us", "BIGINT"), ("end_us", "BIGINT"),
+             ("n_events", "BIGINT"), ("step_counts", "VARCHAR")]),
     }
     _MODEL_ORACLE_CACHE = out
     return out

@@ -291,6 +291,28 @@ def _seq_scan(tid, us, eid, step_tids, step_plus, horizon_us, wm_us):
     return out, i
 
 
+def _step_code_expr(tid_of: dict, classify: str, type_col: str):
+    """The row -> step-code classifier both match_seq and its streaming
+    twin select with: a map lookup on ``type_col`` (``classify="type"``)
+    or a first-match-wins ``CASE`` chain over SQL predicates
+    (``classify="predicate"`` — MATCH_RECOGNIZE's DEFINE clauses).
+    Rows matching nothing code to NULL and are filtered out before the
+    kernel."""
+    if classify == "type":
+        pairs = []
+        for t, i in tid_of.items():
+            pairs += [F.lit(t), F.lit(i)]
+        return F.create_map(*pairs)[F.col(type_col)].cast("tinyint")
+    if classify == "predicate":
+        chain = None
+        for p, i in tid_of.items():
+            chain = (F.when(F.expr(p), F.lit(i)) if chain is None
+                     else chain.when(F.expr(p), F.lit(i)))
+        return chain.cast("tinyint")
+    raise ValueError(f"classify must be 'type' or 'predicate', "
+                     f"got {classify!r}")
+
+
 def match_seq(
     events: DataFrame,
     steps: Sequence[tuple[str, str, str]],
@@ -299,6 +321,7 @@ def match_seq(
     key_col: str = "user_id",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    classify: str = "type",
 ) -> DataFrame:
     """General MATCH_RECOGNIZE-style sequence patterns — the
     generalization the specialized CEP operators compile from:
@@ -321,6 +344,14 @@ def match_seq(
     anchor-retry pile-ups), perfect cross-key parallelism, and only
     pattern-relevant event types ever reach the kernel (the type
     filter prunes at the scan).
+
+    With ``classify="predicate"`` each step's second element is a SQL
+    boolean expression instead of an event type — MATCH_RECOGNIZE's
+    DEFINE clauses (``("hi_view", "event_type = 'view' AND value >=
+    10", "1")``). A row is classified to the FIRST step predicate it
+    satisfies (deterministic resolution of overlapping DEFINEs, one
+    codegen CASE chain); rows satisfying none are ignored exactly like
+    non-pattern types.
 
     Output: ``(key, first_event_id, start_ts, end_ts, n_events,
     step_counts)`` with ``step_counts`` like ``"view=1,click=3,
@@ -376,15 +407,11 @@ def match_seq(
             ))
         return pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
-    pairs = []
-    for t, i in tid_of.items():
-        pairs += [F.lit(t), F.lit(i)]
-    code_of = F.create_map(*pairs)
     coded = (events
-             .filter(F.col(type_col).isin(distinct_types))
              .select(key_col, time_col, id_col,
-                     code_of[F.col(type_col)].cast("tinyint")
-                     .alias("_tid")))
+                     _step_code_expr(tid_of, classify, type_col)
+                     .alias("_tid"))
+             .filter(F.col("_tid").isNotNull()))
     return coded.groupBy(key_col).applyInPandas(kernel, out_schema)
 
 

@@ -496,6 +496,7 @@ def streaming_match_seq(
     id_col: str = "event_id",
     watermark_delay: str = "30 minutes",
     max_events_in_state: int = 10_000,
+    classify: str = "type",
 ) -> DataFrame:
     """Continuous MATCH_RECOGNIZE sequences: the streaming twin of
     ``operators.cep.match_seq`` — same ``steps`` grammar, REQUIRED
@@ -519,7 +520,9 @@ def streaming_match_seq(
     non-pattern events does not flush pending anchors. Feed the
     pattern-relevant types, or union a heartbeat of one of them.
     """
-    from ..operators.cep import _seq_scan, _validate_steps
+    from ..operators.cep import (
+        _seq_scan, _step_code_expr, _validate_steps,
+    )
 
     labels, types, plus = _validate_steps(steps)
     horizon_us = int(round(float(within_seconds) * 1e6))
@@ -602,16 +605,13 @@ def streaming_match_seq(
                 "user_id", "first_event_id", "start_ts", "end_ts",
                 "n_events", "step_counts"])
 
-    pairs = []
-    for t, i in tid_of.items():
-        pairs += [F.lit(t), F.lit(i)]
-    code_of = F.create_map(*pairs)
     keyed = (
         stream.withWatermark(time_col, watermark_delay)
-        .filter(F.col(type_col).isin(distinct_types))
         .select(F.col(key_col).alias("user_id"), time_col,
                 F.col(id_col).cast("long").alias(id_col),
-                code_of[F.col(type_col)].cast("tinyint").alias("_tid"))
+                _step_code_expr(tid_of, classify, type_col)
+                .alias("_tid"))
+        .filter(F.col("_tid").isNotNull())
     )
     out = keyed.groupBy("user_id").applyInPandasWithState(
         fn,

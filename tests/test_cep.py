@@ -676,3 +676,43 @@ def test_parse_steps_spec_labels(spark):
     # repeated types get positional #i suffixes (1-based)
     assert _parse_steps_spec("A:1,B:1,A:+") == [
         ("A#1", "A", "1"), ("B", "B", "1"), ("A#3", "A", "+")]
+
+
+def test_match_seq_predicate_classify(spark):
+    """DEFINE-clause steps: rows classify to the FIRST predicate they
+    satisfy; value conditions gate which events participate."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = timedelta(minutes=1)
+    pdf = pd.DataFrame(
+        [(1, 10, T0, "view", 50.0),          # hi_view anchor
+         (1, 11, T0 + 2 * m, "click", 1.0),
+         (1, 12, T0 + 3 * m, "click", 2.0),
+         (1, 13, T0 + 5 * m, "purchase", 9.0),
+         (2, 20, T0, "view", 3.0),           # value too low: never anchors
+         (2, 21, T0 + 2 * m, "click", 1.0),
+         (2, 22, T0 + 4 * m, "purchase", 9.0)],
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    steps = [("hi_view", "event_type = 'view' AND value >= 10.0", "1"),
+             ("clicks", "event_type = 'click'", "+"),
+             ("buy", "event_type = 'purchase'", "1")]
+    got = _seq_rows(match_seq(spark.createDataFrame(pdf), steps,
+                              within_seconds=1800,
+                              classify="predicate"))
+    assert got == {(1, 10, T0, T0 + 5 * m, 4,
+                    "hi_view=1,clicks=2,buy=1")}
+    # overlapping DEFINEs: first match wins — a 'view' with value >= 10
+    # is hi_view even though it also satisfies the catch-all
+    steps2 = [("hi_view", "event_type = 'view' AND value >= 10.0", "1"),
+              ("any_view", "event_type = 'view'", "1")]
+    got2 = _seq_rows(match_seq(spark.createDataFrame(pdf), steps2,
+                               within_seconds=1800,
+                               classify="predicate"))
+    # u1: view@50 -> hi_view; no later plain view -> no match for u1;
+    # u2 has only a low view (any_view), no hi_view anchor
+    assert got2 == set()
+    with __import__("pytest").raises(ValueError, match="classify"):
+        match_seq(spark.createDataFrame(pdf), steps,
+                  within_seconds=60, classify="regex")

@@ -1075,3 +1075,28 @@ def seq_rules_rows(sf_dir: str, rules: list[tuple]) -> list[tuple]:
             out.append((int(key), str(rule_id), int(eid), int(s),
                         int(e), int(n), str(sc)))
     return out
+
+
+def seq_match_pred_rows(
+    sf_dir: str,
+    steps: list[tuple[str, str, str]],
+    within_seconds: float,
+) -> list[tuple]:
+    """Single-node recompute of match_seq(classify="predicate"): rows
+    are classified to the FIRST step predicate they satisfy with a
+    DuckDB CASE chain (predicates are written dialect-portably), then
+    the independent state machine runs on the step codes."""
+    import duckdb
+
+    preds = list(dict.fromkeys(s[1] for s in steps))
+    case = ("CASE " + " ".join(f"WHEN ({p}) THEN {i}"
+                               for i, p in enumerate(preds)) + " END")
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"SELECT user_id, ts, event_id, tid FROM ("
+        f"SELECT user_id, ts, event_id, {case} AS tid "
+        f"FROM '{sf_dir}/events.parquet') WHERE tid IS NOT NULL").df()
+    pdf["event_type"] = pdf["tid"].astype(int).astype(str)
+    coded_steps = [(lb, str(preds.index(p)), q) for lb, p, q in steps]
+    return [(int(key),) + tuple(rest) for key, *rest in
+            seq_match_rows_pdf(pdf, coded_steps, within_seconds)]
