@@ -211,35 +211,58 @@ def match_runs(
 
 def _validate_steps(steps: Sequence[tuple[str, str, str]]):
     """Shared validation for :func:`match_seq` patterns. Returns
-    ``(labels, types, plus_flags)``."""
+    ``(labels, types, quants)``."""
     if not steps:
         raise ValueError("pattern needs at least one step")
     labels, types, quants = zip(*steps)
     if len(set(labels)) != len(labels):
         raise ValueError(f"step labels must be unique: {labels}")
-    bad = [q for q in quants if q not in ("1", "+")]
+    bad = [q for q in quants if q not in ("1", "+", "?")]
     if bad:
-        raise ValueError(f"quantifiers must be '1' or '+', got {bad}")
-    for i in range(len(steps) - 1):
-        if quants[i] == "+" and types[i] == types[i + 1]:
-            raise ValueError(
-                f"step {labels[i]}: a '+' step followed by a step of "
-                f"the SAME type ({types[i]}) can never transition — "
-                "greedy absorption shadows it")
-    return list(labels), list(types), [q == "+" for q in quants]
+        raise ValueError(
+            f"quantifiers must be '1', '+' or '?', got {bad}")
+    if quants[0] == "?":
+        raise ValueError(
+            f"step {labels[0]}: the anchor step cannot be optional — "
+            "the match start would be ambiguous")
+    k = len(steps)
+    for i in range(k - 1):
+        if quants[i] != "+":
+            continue
+        # every step reachable from a '+' step (the next step plus any
+        # run of optional steps behind it) must differ in type, or
+        # greedy absorption shadows the transition forever
+        j = i + 1
+        while j < k:
+            if types[j] == types[i]:
+                raise ValueError(
+                    f"step {labels[i]}: a '+' step with a reachable "
+                    f"next step of the SAME type ({types[i]}) can "
+                    "never transition — greedy absorption shadows it")
+            if quants[j] != "?":
+                break
+            j += 1
+    return list(labels), list(types), list(quants)
 
 
-def _seq_scan(tid, us, eid, step_tids, step_plus, horizon_us, wm_us):
+def _seq_scan(tid, us, eid, step_tids, step_quants, horizon_us, wm_us):
     """The shared per-key pattern scan (batch AND streaming twin AND the
     single-node oracle recompute all pin THESE semantics).
 
     Events (``tid`` step-type codes, ``us`` micros, ``eid`` ids) are
     sorted by ``(us, eid)``. Relaxed contiguity (non-matching events are
-    ignored), greedy quantifiers, AFTER MATCH SKIP PAST LAST ROW, and on
-    a failed anchor the scan resumes at anchor+1. A ``+`` step absorbs
-    its own type until an event of the NEXT step's type transitions; the
-    final step's ``+`` run absorbs until the horizon closes it. All
-    matched events lie within ``horizon_us`` of the anchor.
+    ignored), deterministic earliest-transition semantics (each event
+    takes the EARLIEST reachable step it matches; no backtracking
+    within a match attempt), AFTER MATCH SKIP PAST LAST ROW, and on a
+    failed anchor the scan resumes at anchor+1. A ``+`` step absorbs
+    its own type until an event of a reachable next step's type
+    transitions; ``?`` steps are skippable — an event matching a later
+    step may hop over a run of optional steps. A match attempt keeps
+    scanning while an extension is still possible (a trailing ``+``
+    run, or unfilled optional tail steps) and completes when the
+    horizon closes it; an attempt whose remaining steps are all
+    optional is a match. All matched events lie within ``horizon_us``
+    of the anchor.
 
     ``wm_us`` is the decidability frontier: an anchor is only decided
     (matched OR failed) once ``wm_us > anchor+horizon``, i.e. every
@@ -267,22 +290,32 @@ def _seq_scan(tid, us, eid, step_tids, step_plus, horizon_us, wm_us):
         counts = [0] * k
         counts[0] = 1
         last = a
-        matched = k == 1 and not step_plus[0]
+        # complete-and-inextensible: final non-'+' step matched
+        matched = k == 1 and step_quants[0] != "+"
         pos = a + 1
         while not matched and pos < n and int(us[pos]) <= deadline:
             t = int(tid[pos])
-            if step_plus[s] and t == step_tids[s]:
+            if step_quants[s] == "+" and t == step_tids[s]:
                 counts[s] += 1
                 last = pos
-            elif s + 1 < k and t == step_tids[s + 1]:
-                s += 1
-                counts[s] = 1
-                last = pos
-                if s == k - 1 and not step_plus[s]:
-                    matched = True
+            else:
+                s2 = s + 1
+                while s2 < k:
+                    if t == step_tids[s2]:
+                        s = s2
+                        counts[s] = 1
+                        last = pos
+                        if s == k - 1 and step_quants[s] != "+":
+                            matched = True
+                        break
+                    if step_quants[s2] != "?":
+                        break   # a mandatory step cannot be hopped
+                    s2 += 1
             pos += 1
-        if not matched and s == k - 1:
-            matched = True      # final '+' run: horizon closed it
+        if not matched and all(step_quants[j] == "?"
+                               for j in range(s + 1, k)):
+            matched = True      # horizon closed a trailing '+' run or
+            # an all-optional tail; s == k-1 is the empty-tail case
         if matched:
             out.append((a, last, counts))
             i = last + 1        # AFTER MATCH SKIP PAST LAST ROW
@@ -326,10 +359,16 @@ def match_seq(
     """General MATCH_RECOGNIZE-style sequence patterns — the
     generalization the specialized CEP operators compile from:
     ``steps`` is an ordered list of ``(label, event_type, quant)`` with
-    ``quant`` in ``{'1', '+'}`` (``PATTERN (A B+ C)``), matched per key
-    in (ts, id) order under relaxed contiguity, greedy quantifiers,
-    AFTER MATCH SKIP PAST LAST ROW, and an optional overall horizon
-    (``within_seconds`` from anchor to last matched event).
+    ``quant`` in ``{'1', '+', '?'}`` (``PATTERN (A B+ C? D)``), matched
+    per key in (ts, id) order under relaxed contiguity, greedy
+    quantifiers, AFTER MATCH SKIP PAST LAST ROW, and an optional
+    overall horizon (``within_seconds`` from anchor to last matched
+    event). ``?`` steps are skippable: an event matching a later step
+    hops over a run of optional steps (deterministic
+    earliest-transition semantics — each event takes the earliest
+    reachable step it matches, no backtracking); a match whose
+    remaining tail is all-optional completes when the horizon closes
+    it. The anchor step cannot be ``?``.
 
     Prefer the codegen specializations when their (deliberately
     stricter) semantics fit — they are pure whole-stage-codegen window
@@ -359,7 +398,7 @@ def match_seq(
     query family (SURVEY.md §2 funnel rows) with Flink/Trino
     MATCH_RECOGNIZE quantified patterns, built Spark-first.
     """
-    labels, types, plus = _validate_steps(steps)
+    labels, types, quants = _validate_steps(steps)
     horizon_us = (int(round(float(within_seconds) * 1e6))
                   if within_seconds is not None else 2 ** 62)
     if horizon_us <= 0:
@@ -384,7 +423,7 @@ def match_seq(
         tid = pdf["_tid"].to_numpy(np.int8)
         order = np.lexsort((eid, us))
         us, eid, tid = us[order], eid[order], tid[order]
-        matches, _ = _seq_scan(tid, us, eid, step_tids, plus,
+        matches, _ = _seq_scan(tid, us, eid, step_tids, quants,
                                horizon_us, 2 ** 63)
         if not matches:
             return pd.DataFrame({
@@ -494,7 +533,7 @@ def match_seq_rules(
         if not len(pdf):
             return empty
         steps = _parse_steps_spec(pdf["_steps"].iloc[0])
-        labels, types, plus = _validate_steps(steps)
+        labels, types, quants = _validate_steps(steps)
         horizon_us = int(pdf["_horizon_us"].iloc[0])
         tid_of = {t: i for i, t in enumerate(dict.fromkeys(types))}
         step_tids = [tid_of[t] for t in types]
@@ -508,7 +547,7 @@ def match_seq_rules(
         tid = pdf[type_col].map(tid_of).to_numpy(np.int8)
         order = np.lexsort((eid, us))
         us, eid, tid = us[order], eid[order], tid[order]
-        matches, _ = _seq_scan(tid, us, eid, step_tids, plus,
+        matches, _ = _seq_scan(tid, us, eid, step_tids, quants,
                                horizon_us, 2 ** 63)
         if not matches:
             return empty

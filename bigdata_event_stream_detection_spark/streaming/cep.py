@@ -524,7 +524,7 @@ def streaming_match_seq(
         _seq_scan, _step_code_expr, _validate_steps,
     )
 
-    labels, types, plus = _validate_steps(steps)
+    labels, types, quants = _validate_steps(steps)
     horizon_us = int(round(float(within_seconds) * 1e6))
     if horizon_us <= 0:
         raise ValueError("within_seconds must be positive — the "
@@ -569,7 +569,7 @@ def streaming_match_seq(
 
         order = np.lexsort((eid, us))
         tid, us, eid = tid[order], us[order], eid[order]
-        matches, consumed = _seq_scan(tid, us, eid, step_tids, plus,
+        matches, consumed = _seq_scan(tid, us, eid, step_tids, quants,
                                       horizon_us, wm_us)
         # never drop the out-of-order suffix: a future anchor (ts >=
         # watermark) may still be followed by buffered ts >= wm events
@@ -745,12 +745,12 @@ def streaming_match_seq_rules(
                 state.remove()
             return
         steps = _parse_steps_spec(spec)
-        labels, types, plus = _validate_steps(steps)
+        labels, types, quants = _validate_steps(steps)
         t_of = {t: i for i, t in enumerate(dict.fromkeys(types))}
         step_tids = [t_of[t] for t in types]
         order = np.lexsort((eid, us))
         tid, us, eid = tid[order], us[order], eid[order]
-        matches, consumed = _seq_scan(tid, us, eid, step_tids, plus,
+        matches, consumed = _seq_scan(tid, us, eid, step_tids, quants,
                                       horizon_us, wm_us)
         consumed = min(consumed,
                        int(np.searchsorted(us, wm_us, side="left")))

@@ -716,3 +716,93 @@ def test_match_seq_predicate_classify(spark):
     with __import__("pytest").raises(ValueError, match="classify"):
         match_seq(spark.createDataFrame(pdf), steps,
                   within_seconds=60, classify="regex")
+
+
+def test_match_seq_optional_quantifier(spark):
+    """'?' steps: skippable, greedy when their type arrives first,
+    earliest-transition when a later step's type arrives first."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = timedelta(minutes=1)
+    steps = [("a", "A", "1"), ("b", "B", "?"), ("c", "C", "1")]
+    rows = [
+        # u1: A B C -> optional B filled
+        (1, 10, T0, "A"), (1, 11, T0 + 1 * m, "B"),
+        (1, 12, T0 + 2 * m, "C"),
+        # u2: A C -> optional B skipped
+        (2, 20, T0, "A"), (2, 21, T0 + 1 * m, "C"),
+        # u3: A C B -> earliest transition takes C; the later B is
+        # outside the match (documented determinism)
+        (3, 30, T0, "A"), (3, 31, T0 + 1 * m, "C"),
+        (3, 32, T0 + 2 * m, "B"),
+        # u4: A B only -> mandatory C missing, no match
+        (4, 40, T0, "A"), (4, 41, T0 + 1 * m, "B"),
+    ]
+    got = _seq_rows(match_seq(_df(spark, rows), steps,
+                              within_seconds=1800))
+    assert got == {
+        (1, 10, T0, T0 + 2 * m, 3, "a=1,b=1,c=1"),
+        (2, 20, T0, T0 + 1 * m, 2, "a=1,b=0,c=1"),
+        (3, 30, T0, T0 + 1 * m, 2, "a=1,b=0,c=1"),
+    }
+    # all-optional TAIL: A B? -> the horizon closes an unfilled tail
+    tail = [("a", "A", "1"), ("b", "B", "?")]
+    got2 = _seq_rows(match_seq(
+        _df(spark, [(5, 50, T0, "A"), (6, 60, T0, "A"),
+                    (6, 61, T0 + 1 * m, "B")]),
+        tail, within_seconds=600))
+    assert got2 == {(5, 50, T0, T0, 1, "a=1,b=0"),
+                    (6, 60, T0, T0 + 1 * m, 2, "a=1,b=1")}
+
+
+def test_match_seq_optional_validation(spark):
+    import pytest
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    df = _df(spark, [(1, 10, T0, "A")])
+    with pytest.raises(ValueError, match="anchor step cannot be"):
+        match_seq(df, [("a", "A", "?"), ("b", "B", "1")],
+                  within_seconds=60)
+    # '+' shadow check looks THROUGH optional steps
+    with pytest.raises(ValueError, match="never transition"):
+        match_seq(df, [("a", "A", "+"), ("x", "X", "?"),
+                       ("a2", "A", "1")], within_seconds=60)
+
+
+def test_match_seq_optional_matches_local_oracle_random(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import local_oracle as lo
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    steps = [("a", "A", "1"), ("b", "B", "?"), ("c", "C", "+"),
+             ("d", "D", "?")]
+    rng = random.Random(47)
+    rows = []
+    eid = 0
+    for u in range(1, 25):
+        for _ in range(rng.randint(3, 30)):
+            rows.append((u, eid,
+                         T0 + timedelta(seconds=rng.randint(0, 3600)),
+                         rng.choice(["A", "B", "C", "D", "noise"])))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type"])
+    got = {(r["user_id"], r["first_event_id"],
+            int(r["start_ts"].timestamp() * 1e6),
+            int(r["end_ts"].timestamp() * 1e6),
+            r["n_events"], r["step_counts"])
+           for r in match_seq(spark.createDataFrame(pdf), steps,
+                              within_seconds=900).collect()}
+    exp = set(lo.seq_match_rows_pdf(pdf, steps, 900))
+    assert got == exp
+    assert len(got) > 0

@@ -1018,22 +1018,32 @@ def seq_match_rows_pdf(
             counts = [0] * k
             counts[0] = 1
             last = a
-            done = (k == 1 and quants[0] == "1")
+            done = (k == 1 and quants[0] != "+")
             j = a + 1
             while not done and j < n and evs[j][0] <= deadline:
                 t = evs[j][2]
                 if quants[s] == "+" and t == types[s]:
                     counts[s] += 1
                     last = j
-                elif s + 1 < k and t == types[s + 1]:
-                    s += 1
-                    counts[s] = 1
-                    last = j
-                    if s == k - 1 and quants[s] == "1":
-                        done = True
+                else:
+                    # earliest reachable transition: optional ('?')
+                    # steps may be hopped, a mandatory step may not
+                    nxt = s + 1
+                    while nxt < k:
+                        if t == types[nxt]:
+                            s = nxt
+                            counts[s] = 1
+                            last = j
+                            if s == k - 1 and quants[s] != "+":
+                                done = True
+                            break
+                        if quants[nxt] != "?":
+                            break
+                        nxt += 1
                 j += 1
-            if not done and s == k - 1:
-                done = True       # trailing '+' run closed by horizon
+            if not done and all(q == "?" for q in quants[s + 1:]):
+                done = True   # trailing '+' run / all-optional tail
+                              # closed by the horizon
             if done:
                 rows.append((
                     key, evs[a][1], evs[a][0], evs[last][0],
