@@ -1,7 +1,11 @@
-"""Streaming absence-pattern CEP: the continuous form of
-``operators.cep.match_absence`` with a required horizon.
+"""Streaming CEP twins: the continuous forms of every pattern class in
+``operators/cep.py`` — absence, timeout/SLA (static and rules-table),
+Kleene-plus runs, and general MATCH_RECOGNIZE quantified sequences
+(static, rules-table, and DEFINE-predicate classified) — each with a
+required horizon so every pattern instance resolves exactly once at
+watermark finality.
 
-Semantics (identical to batch): per key, every ``first``-typed event is
+Absence semantics (identical to batch): per key, every ``first``-typed event is
 an anchor; it matches if the earliest following ``then`` event (per-key
 (ts, event_id) order) has no ``without`` event between them and lands
 within ``within_seconds``. The horizon makes every anchor decidable in
