@@ -242,3 +242,83 @@ def test_local_pagerank_mass_conservation(pairs, damping):
     # undirected graph, no dangling mass: total rank conserves to 1
     assert abs(r.sum() - 1.0) < 1e-9
     assert (r > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# sequence-CEP scan vs the independent oracle state machine (no Spark)
+# ---------------------------------------------------------------------------
+
+_SEQ_TYPES = ["A", "B", "C", "D"]
+
+
+@st.composite
+def _seq_case(draw):
+    k = draw(st.integers(1, 4))
+    types = [draw(st.sampled_from(_SEQ_TYPES)) for _ in range(k)]
+    quants = [draw(st.sampled_from(["1", "+", "?"])) for _ in range(k)]
+    quants[0] = draw(st.sampled_from(["1", "+"]))   # anchor not optional
+    steps = [(f"s{i}", t, q) for i, (t, q) in
+             enumerate(zip(types, quants))]
+    n = draw(st.integers(0, 60))
+    evs = [(draw(st.integers(0, 300)),               # seconds
+            i,                                       # event_id
+            draw(st.sampled_from(_SEQ_TYPES + ["noise"])))
+           for i in range(n)]
+    horizon = draw(st.integers(1, 120))
+    return steps, evs, horizon
+
+
+@given(_seq_case())
+@settings(max_examples=400, deadline=None)
+def test_seq_scan_equals_independent_state_machine(case):
+    """The shared Spark/streaming scan kernel (_seq_scan) and the
+    independently written oracle state machine
+    (tools/local_oracle.seq_match_rows_pdf) must agree on EVERY random
+    (pattern, event list, horizon) — including invalid patterns, where
+    both sides' validator must reject identically."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    import local_oracle as lo
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        _seq_scan, _validate_steps,
+    )
+
+    steps, evs, horizon = case
+    try:
+        labels, types, quants = _validate_steps(steps)
+    except ValueError:
+        return  # '+'-shadow rejections are themselves validated elsewhere
+    pdf = pd.DataFrame({
+        "user_id": [1] * len(evs),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta([s for s, _, _ in evs], unit="s"),
+        "event_id": [e for _, e, _ in evs],
+        "event_type": [t for _, _, t in evs],
+    })
+    exp = {(eid, s_us, e_us, n, sc) for _, eid, s_us, e_us, n, sc
+           in ((r[0], *r[1:]) for r in
+               lo.seq_match_rows_pdf(pdf, steps, horizon))}
+
+    tid_of = {t: i for i, t in enumerate(dict.fromkeys(types))}
+    sub = pdf[pdf["event_type"].isin(tid_of)]
+    us = (sub["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+          // 1_000)
+    eid = sub["event_id"].to_numpy(np.int64)
+    tid = sub["event_type"].map(tid_of).to_numpy(np.int8)
+    order = np.lexsort((eid, us))
+    us, eid, tid = us[order], eid[order], tid[order]
+    matches, consumed = _seq_scan(
+        tid, us, eid, [tid_of[t] for t in types], quants,
+        horizon * 10**6, 2 ** 63)
+    got = set()
+    for a, last, counts in matches:
+        got.add((int(eid[a]), int(us[a]), int(us[last]),
+                 int(sum(counts)),
+                 ",".join(f"{lb}={c}"
+                          for lb, c in zip(labels, counts))))
+    assert got == {(e, s, t, n, sc) for e, s, t, n, sc in exp}
+    assert consumed == tid.size     # batch consumes everything
