@@ -245,7 +245,18 @@ def _validate_steps(steps: Sequence[tuple[str, str, str]]):
     return list(labels), list(types), list(quants)
 
 
-def _seq_scan(tid, us, eid, step_tids, step_quants, horizon_us, wm_us):
+def _skip_past(after_match: str) -> bool:
+    """MATCH_RECOGNIZE AFTER MATCH option -> scan flag."""
+    if after_match == "past_last_row":
+        return True
+    if after_match == "next_row":
+        return False
+    raise ValueError("after_match must be 'past_last_row' or "
+                     f"'next_row', got {after_match!r}")
+
+
+def _seq_scan(tid, us, eid, step_tids, step_quants, horizon_us, wm_us,
+              skip_past=True):
     """The shared per-key pattern scan (batch AND streaming twin AND the
     single-node oracle recompute all pin THESE semantics).
 
@@ -318,7 +329,9 @@ def _seq_scan(tid, us, eid, step_tids, step_quants, horizon_us, wm_us):
             # an all-optional tail; s == k-1 is the empty-tail case
         if matched:
             out.append((a, last, counts))
-            i = last + 1        # AFTER MATCH SKIP PAST LAST ROW
+            # AFTER MATCH SKIP PAST LAST ROW (non-overlapping) or SKIP
+            # TO NEXT ROW (every later anchor also tried — overlapping)
+            i = last + 1 if skip_past else a + 1
         else:
             i = a + 1           # failed anchor: retry from the next event
     return out, i
@@ -355,6 +368,7 @@ def match_seq(
     type_col: str = "event_type",
     id_col: str = "event_id",
     classify: str = "type",
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """General MATCH_RECOGNIZE-style sequence patterns — the
     generalization the specialized CEP operators compile from:
@@ -363,7 +377,10 @@ def match_seq(
     per key in (ts, id) order under relaxed contiguity, greedy
     quantifiers, AFTER MATCH SKIP PAST LAST ROW, and an optional
     overall horizon (``within_seconds`` from anchor to last matched
-    event). ``?`` steps are skippable: an event matching a later step
+    event). ``after_match`` picks the MATCH_RECOGNIZE AFTER MATCH
+    option: ``"past_last_row"`` (default, non-overlapping) or
+    ``"next_row"`` (every later anchor also tried — overlapping
+    matches). ``?`` steps are skippable: an event matching a later step
     hops over a run of optional steps (deterministic
     earliest-transition semantics — each event takes the earliest
     reachable step it matches, no backtracking); a match whose
@@ -399,6 +416,7 @@ def match_seq(
     MATCH_RECOGNIZE quantified patterns, built Spark-first.
     """
     labels, types, quants = _validate_steps(steps)
+    skip_past = _skip_past(after_match)
     horizon_us = (int(round(float(within_seconds) * 1e6))
                   if within_seconds is not None else 2 ** 62)
     if horizon_us <= 0:
@@ -424,7 +442,7 @@ def match_seq(
         order = np.lexsort((eid, us))
         us, eid, tid = us[order], eid[order], tid[order]
         matches, _ = _seq_scan(tid, us, eid, step_tids, quants,
-                               horizon_us, 2 ** 63)
+                               horizon_us, 2 ** 63, skip_past)
         if not matches:
             return pd.DataFrame({
                 key_col: pd.Series(dtype=pdf[key_col].dtype),
@@ -479,6 +497,7 @@ def match_seq_rules(
     key_col: str = "user_id",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """Dynamic-rules quantified-sequence CEP: :func:`match_seq` with
     the patterns in a TABLE — ``rules(rule_id, steps, within_seconds)``
@@ -500,6 +519,7 @@ def match_seq_rules(
     Output: ``(key, rule_id, first_event_id, start_ts, end_ts,
     n_events, step_counts)``.
     """
+    skip_past = _skip_past(after_match)
     rrows = rules.select("rule_id", "steps", "within_seconds").collect()
     if not rrows:
         raise ValueError("rules table is empty")
@@ -548,7 +568,7 @@ def match_seq_rules(
         order = np.lexsort((eid, us))
         us, eid, tid = us[order], eid[order], tid[order]
         matches, _ = _seq_scan(tid, us, eid, step_tids, quants,
-                               horizon_us, 2 ** 63)
+                               horizon_us, 2 ** 63, skip_past)
         if not matches:
             return empty
         rows = []

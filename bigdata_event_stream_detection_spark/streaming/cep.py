@@ -501,6 +501,7 @@ def streaming_match_seq(
     watermark_delay: str = "30 minutes",
     max_events_in_state: int = 10_000,
     classify: str = "type",
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """Continuous MATCH_RECOGNIZE sequences: the streaming twin of
     ``operators.cep.match_seq`` — same ``steps`` grammar, REQUIRED
@@ -525,10 +526,11 @@ def streaming_match_seq(
     pattern-relevant types, or union a heartbeat of one of them.
     """
     from ..operators.cep import (
-        _seq_scan, _step_code_expr, _validate_steps,
+        _seq_scan, _skip_past, _step_code_expr, _validate_steps,
     )
 
     labels, types, quants = _validate_steps(steps)
+    skip_past = _skip_past(after_match)
     horizon_us = int(round(float(within_seconds) * 1e6))
     if horizon_us <= 0:
         raise ValueError("within_seconds must be positive — the "
@@ -574,7 +576,7 @@ def streaming_match_seq(
         order = np.lexsort((eid, us))
         tid, us, eid = tid[order], us[order], eid[order]
         matches, consumed = _seq_scan(tid, us, eid, step_tids, quants,
-                                      horizon_us, wm_us)
+                                      horizon_us, wm_us, skip_past)
         # never drop the out-of-order suffix: a future anchor (ts >=
         # watermark) may still be followed by buffered ts >= wm events
         consumed = min(consumed,

@@ -806,3 +806,31 @@ def test_match_seq_optional_matches_local_oracle_random(spark):
     exp = set(lo.seq_match_rows_pdf(pdf, steps, 900))
     assert got == exp
     assert len(got) > 0
+
+
+def test_match_seq_after_match_skip_to_next_row(spark):
+    """AFTER MATCH SKIP TO NEXT ROW: overlapping matches — every later
+    anchor is tried even inside an earlier match's extent."""
+    import pytest
+
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = timedelta(minutes=1)
+    rows = [(1, 10, T0, "A"), (1, 11, T0 + 1 * m, "A"),
+            (1, 12, T0 + 2 * m, "B")]
+    steps = [("a", "A", "1"), ("b", "B", "1")]
+    past = _seq_rows(match_seq(_df(spark, rows), steps,
+                               within_seconds=600))
+    assert past == {(1, 10, T0, T0 + 2 * m, 2, "a=1,b=1")}
+    overlap = _seq_rows(match_seq(_df(spark, rows), steps,
+                                  within_seconds=600,
+                                  after_match="next_row"))
+    assert overlap == {
+        (1, 10, T0, T0 + 2 * m, 2, "a=1,b=1"),
+        (1, 11, T0 + 1 * m, T0 + 2 * m, 2, "a=1,b=1"),
+    }
+    with pytest.raises(ValueError, match="after_match"):
+        match_seq(_df(spark, rows), steps, within_seconds=60,
+                  after_match="skip_to_last")

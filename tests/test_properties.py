@@ -265,7 +265,8 @@ def _seq_case(draw):
             draw(st.sampled_from(_SEQ_TYPES + ["noise"])))
            for i in range(n)]
     horizon = draw(st.integers(1, 120))
-    return steps, evs, horizon
+    after = draw(st.sampled_from(["past_last_row", "next_row"]))
+    return steps, evs, horizon, after
 
 
 @given(_seq_case())
@@ -287,7 +288,7 @@ def test_seq_scan_equals_independent_state_machine(case):
         _seq_scan, _validate_steps,
     )
 
-    steps, evs, horizon = case
+    steps, evs, horizon, after = case
     try:
         labels, types, quants = _validate_steps(steps)
     except ValueError:
@@ -301,7 +302,8 @@ def test_seq_scan_equals_independent_state_machine(case):
     })
     exp = {(eid, s_us, e_us, n, sc) for _, eid, s_us, e_us, n, sc
            in ((r[0], *r[1:]) for r in
-               lo.seq_match_rows_pdf(pdf, steps, horizon))}
+               lo.seq_match_rows_pdf(pdf, steps, horizon,
+                                     after_match=after))}
 
     tid_of = {t: i for i, t in enumerate(dict.fromkeys(types))}
     sub = pdf[pdf["event_type"].isin(tid_of)]
@@ -313,7 +315,7 @@ def test_seq_scan_equals_independent_state_machine(case):
     us, eid, tid = us[order], eid[order], tid[order]
     matches, consumed = _seq_scan(
         tid, us, eid, [tid_of[t] for t in types], quants,
-        horizon * 10**6, 2 ** 63)
+        horizon * 10**6, 2 ** 63, skip_past=(after == "past_last_row"))
     got = set()
     for a, last, counts in matches:
         got.add((int(eid[a]), int(us[a]), int(us[last]),

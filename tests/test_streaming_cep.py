@@ -970,3 +970,49 @@ def test_streaming_match_seq_predicate_matches_batch(spark, tmp_path):
     got = {g for g in got if g[0] != 99}
     assert got == truth
     assert len(got) > 0
+
+
+def test_streaming_match_seq_next_row_chunking_parity(spark, tmp_path):
+    """AFTER MATCH SKIP TO NEXT ROW (overlapping matches) streams
+    identically to batch across random chunk boundaries."""
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cep import (
+        streaming_match_seq,
+    )
+
+    rng = random.Random(61)
+    rows = []
+    eid = 0
+    for u in range(1, 12):
+        for _ in range(rng.randint(3, 18)):
+            rows.append((u, eid,
+                         T0 + timedelta(seconds=rng.randint(0, 5400)),
+                         rng.choice(["A", "A", "B", "C", "noise"])))
+            eid += 1
+    pdf = (pd.DataFrame(rows, columns=COLS)
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    d = str(tmp_path / "seq_nr")
+    os.makedirs(d)
+    cuts = sorted(rng.sample(range(1, len(pdf)), k=3))
+    chunks = [pdf.iloc[a:b] for a, b in
+              zip([0] + cuts, cuts + [len(pdf)])]
+    for i, chunk in enumerate(chunks):
+        _write_chunk(d, f"c{i}.parquet",
+                     chunk.sample(frac=1, random_state=61), i)
+    _write_chunk(d, "zz.parquet",
+                 _sentinel(pdf["ts"].max() + pd.Timedelta(days=30)),
+                 len(chunks) + 5)
+    out = streaming_match_seq(
+        _read(spark, d), VCP, within_seconds=900,
+        after_match="next_row")
+    q = (out.writeStream.format("memory").queryName("seq_nr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _seq_rows(spark.table("seq_nr").collect())
+    truth = _seq_rows(match_seq(
+        spark.createDataFrame(pdf), VCP, within_seconds=900,
+        after_match="next_row").collect())
+    assert got == truth
+    assert out.dropped_events_acc.value == 0

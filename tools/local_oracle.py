@@ -983,6 +983,7 @@ def seq_match_rows_pdf(
     key_col: str = "user_id",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    after_match: str = "past_last_row",
 ) -> list[tuple]:
     """Single-node recompute of operators/cep.py:match_seq — the same
     documented semantics (relaxed contiguity, greedy quantifiers, skip
@@ -1050,7 +1051,8 @@ def seq_match_rows_pdf(
                     int(sum(counts)),
                     ",".join(f"{lb}={c}"
                              for lb, c in zip(labels, counts))))
-                i = last + 1
+                i = (last + 1 if after_match == "past_last_row"
+                     else a + 1)
             else:
                 i = a + 1
     return rows
