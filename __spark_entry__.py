@@ -410,6 +410,23 @@ def _q_seq_define_matches(spark, sf_dir):
         "n_events", "step_counts")
 
 
+def _q_seq_overlap_matches(spark, sf_dir):
+    # AFTER MATCH SKIP TO NEXT ROW: overlapping matches — every later
+    # anchor tried even inside an earlier match's extent
+    from bigdata_event_stream_detection_spark.operators.cep import (
+        match_seq,
+    )
+
+    m = match_seq(_t(spark, sf_dir, "events"), _SEQ_STEPS,
+                  within_seconds=_SEQ_WITHIN_S,
+                  after_match="next_row")
+    return m.select(
+        "user_id", "first_event_id",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "n_events", "step_counts")
+
+
 # dynamic-rules sequence patterns shared by the query and its oracle
 _SEQ_RULES = [("journey", "view:1,click:+,purchase:1", 3 * 86400),
               ("err_burst", "error:+", 86400),
@@ -1585,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_purchase": _q_interval_error_purchase,
         "error_runs": _q_error_runs,
         "seq_matches": _q_seq_matches,
+        "seq_overlap_matches": _q_seq_overlap_matches,
         "seq_rule_matches": _q_seq_rule_matches,
         "seq_define_matches": _q_seq_define_matches,
         "latest_user_state": _q_latest_user_state,
@@ -3411,6 +3429,16 @@ def _model_oracles() -> dict[str, str]:
         "seq_matches": lo.values_sql(
             lo.seq_match_rows(_ORACLE_SF_DIR, _SEQ_STEPS,
                               _SEQ_WITHIN_S),
+            [("user_id", "BIGINT"), ("first_event_id", "BIGINT"),
+             ("start_us", "BIGINT"), ("end_us", "BIGINT"),
+             ("n_events", "BIGINT"), ("step_counts", "VARCHAR")]),
+        "seq_overlap_matches": lo.values_sql(
+            [(int(k),) + tuple(r) for k, *r in lo.seq_match_rows_pdf(
+                __import__("pandas").read_parquet(
+                    f"{_ORACLE_SF_DIR}/events.parquet",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"]),
+                _SEQ_STEPS, _SEQ_WITHIN_S, after_match="next_row")],
             [("user_id", "BIGINT"), ("first_event_id", "BIGINT"),
              ("start_us", "BIGINT"), ("end_us", "BIGINT"),
              ("n_events", "BIGINT"), ("step_counts", "VARCHAR")]),

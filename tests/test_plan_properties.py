@@ -42,7 +42,7 @@ HEADLINE = [
     "expectation_summary",
     # round-2 continuation: CDC family + MATCH_RECOGNIZE sequences
     "latest_user_state", "scd2_user_history", "seq_matches",
-    "seq_rule_matches", "seq_define_matches",
+    "seq_rule_matches", "seq_define_matches", "seq_overlap_matches",
 ]
 
 
