@@ -37,8 +37,14 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=100000)
     ap.add_argument("--files", type=int, default=10)
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--job", default="flagship",
+                    choices=["flagship", "seq"],
+                    help="flagship = EM/HMM detector; seq = the "
+                    "MATCH_RECOGNIZE sequence CEP stream")
     ap.add_argument("--local-dir", default=None)
     args = ap.parse_args()
+    if args.job == "seq":
+        return _seq_latency(args)
 
     in_dir = os.path.join(tempfile.gettempdir(),
                           f"scale_input_{args.docs}_{args.files}",
@@ -128,6 +134,91 @@ print("RESULT " + json.dumps({
               f"{statistics.median(lats):.1f} s, p95 "
               f"{sorted(lats)[max(0, int(len(lats) * 0.95) - 1)]:.1f} s, "
               f"max {max(lats):.1f} s "
+              f"(all: {', '.join(f'{x:.1f}' for x in lats)})")
+    return 0
+
+
+def _seq_latency(args) -> int:
+    """Watermark-to-sink latency for the MATCH_RECOGNIZE sequence CEP
+    stream (north-rule metric #2 for the CEP family). Reuses the CEP
+    scaling bench's deterministic event input; `--docs` is the event
+    count here."""
+    import statistics
+
+    import cep_scaling_bench as cb
+
+    events, users = args.docs, max(args.docs // 10, 1)
+    in_dir = os.path.join(tempfile.gettempdir(),
+                          f"cep_input_{events}_{users}", "events")
+    env = dict(os.environ, PYTHONPATH=REPO,
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    if args.local_dir:
+        env["SPARK_LOCAL_DIRS"] = args.local_dir
+    if not os.path.exists(os.path.join(in_dir, "zzz_sentinel.parquet")):
+        subprocess.run([sys.executable, "-c", cb.GEN, str(events),
+                        str(users), str(args.files), in_dir],
+                       check=True, env=env, cwd=REPO,
+                       capture_output=True, timeout=3600)
+
+    probe = r"""
+import json, sys, tempfile
+cores, in_dir, horizon = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+from bigdata_event_stream_detection_spark.session import get_spark
+from bigdata_event_stream_detection_spark.streaming.cep import (
+    streaming_match_seq)
+from bigdata_event_stream_detection_spark.streaming.metrics import (
+    MetricsListener)
+spark = get_spark("seq-latency", cores=cores, shuffle_partitions=96,
+                  extra_conf={
+                      "spark.sql.adaptive.coalescePartitions.enabled":
+                      "false"})
+listener = MetricsListener()
+spark.streams.addListener(listener)
+work = tempfile.mkdtemp(prefix="seq_latency_")
+stream = (spark.readStream
+          .schema("event_id long, user_id long, event_type string,"
+                  " ts timestamp")
+          .option("maxFilesPerTrigger", "1").parquet(in_dir))
+out = streaming_match_seq(
+    stream, [("v", "view", "1"), ("e", "error", "+"),
+             ("p", "purchase", "1")],
+    within_seconds=horizon, watermark_delay="30 minutes")
+q = (out.writeStream.format("parquet").option("path", work + "/out")
+     .option("checkpointLocation", work + "/ckpt")
+     .outputMode("append").trigger(availableNow=True).start())
+q.awaitTermination(1800)
+n = spark.read.parquet(work + "/out").count()
+print("RESULT " + json.dumps({
+    "batches": len(listener.progress), "n_matches": n,
+    "latency_sec": listener.watermark_to_sink_latency_sec(),
+    "events_per_sec": listener.throughput_rows_per_sec()}))
+"""
+    cmd = [sys.executable, "-c", probe, str(args.cores), in_dir,
+           str(cb.HORIZON_S)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{args.cores - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=REPO, timeout=3600)
+    result = None
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = __import__("json").loads(line[len("RESULT "):])
+    if result is None:
+        print(p.stdout[-2000:], p.stderr[-2000:])
+        return 1
+    lats = [x for x in result["latency_sec"] if x > 0]
+    print(f"### Seq-CEP watermark-to-sink latency ({events} events, "
+          f"{args.files} micro-batches, local[{args.cores}])")
+    print()
+    print(f"- batches: {result['batches']}; match rows: "
+          f"{result['n_matches']}; ingest "
+          f"{result['events_per_sec']:.0f} events/s steady-state")
+    if lats:
+        print(f"- per-batch watermark-to-sink latency: median "
+              f"{statistics.median(lats):.1f} s, p95 "
+              f"{sorted(lats)[max(0, int(len(lats) * 0.95) - 1)]:.1f} s,"
+              f" max {max(lats):.1f} s "
               f"(all: {', '.join(f'{x:.1f}' for x in lats)})")
     return 0
 
