@@ -1472,7 +1472,8 @@ def _model_prelude(spark, sf_dir):
 
     p = _small_params()
     seqs = _documents_as_sequences(spark, sf_dir)
-    seqs = win.filter_docs(seqs, min_tokens=p.min_doc_tokens).persist()
+    from bigdata_event_stream_detection_spark.util import persist_once
+    seqs = persist_once(win.filter_docs(seqs, min_tokens=p.min_doc_tokens))
     model = bg_ops.background_model(seqs, min_count=p.min_word_corpus_count)
     windowed = win.with_time_window(seqs, length=p.window_length)
     themes = em_ops.filter_themes(
@@ -1551,7 +1552,8 @@ def _q_top_docs_per_theme(spark, sf_dir):
 
     p = _small_params()
     seqs = _documents_as_sequences(spark, sf_dir)
-    seqs = win.filter_docs(seqs, min_tokens=p.min_doc_tokens).persist()
+    from bigdata_event_stream_detection_spark.util import persist_once
+    seqs = persist_once(win.filter_docs(seqs, min_tokens=p.min_doc_tokens))
     model = bg_ops.background_model(seqs, min_count=p.min_word_corpus_count)
     windowed = win.with_time_window(seqs, length=p.window_length)
     dw = em_ops.em_doc_weights(windowed, model, k=p.num_themes,

@@ -480,6 +480,10 @@ def _parse_steps_spec(spec: str) -> list[tuple[str, str, str]]:
     raw = []
     for part in spec.split(","):
         t, _, q = part.strip().rpartition(":")
+        # normalize exactly like the SQL membership extraction
+        # (F.trim(regexp_extract)) so ' click :+' can't pass driver
+        # validation yet never match the joined events
+        t, q = t.strip(), q.strip()
         if not t:
             raise ValueError(f"bad step {part!r} in pattern {spec!r}"
                              " (want type:quant)")
@@ -584,7 +588,7 @@ def match_seq_rules(
 
     r = rules.select(
         "rule_id", F.col("steps").alias("_steps"),
-        (F.col("within_seconds").cast("double") * 1e6)
+        F.round(F.col("within_seconds").cast("double") * 1e6)
         .cast("long").alias("_horizon_us"))
     membership = (r.select(
         "rule_id",
@@ -638,7 +642,7 @@ def match_timeout_rules(
     """
     r = rules.select(
         "rule_id", "first_type", "then_type",
-        (F.col("within_seconds").cast("double") * 1e6)
+        F.round(F.col("within_seconds").cast("double") * 1e6)
         .cast("long").alias("_horizon_us"))
     base = events.select(key_col, id_col, time_col, type_col)
     anchors = base.join(
@@ -713,7 +717,7 @@ def match_absence_rules(
             "can never fire (the silencer ties every match)")
     r = rules.select(
         "rule_id", "first_type", "then_type", "without_type",
-        (F.col("within_seconds").cast("double") * 1e6)
+        F.round(F.col("within_seconds").cast("double") * 1e6)
         .cast("long").alias("_horizon_us"))
     membership = (r.select(
         "rule_id", F.explode(F.array(

@@ -5,11 +5,13 @@ a typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` kernels so bytes
 move zero-copy and the Python work is per-batch, not per-row. The
 actual codecs (PIL/ffmpeg/soundfile) are NOT available in this
-environment, so the decode step is stubbed: ``decoder="fake"`` (the
+environment, so the decode step is pluggable: ``decoder="fake"`` (the
 default) produces a deterministic synthetic decode keyed by the content
 hash — schema, partitioning, UDF signatures, and batch shapes are all
-real and tested; ``decoder="real"`` raises NotImplementedError at the
-point where the codec call belongs.
+real and tested; a real deployment injects its codec as a callable
+(``decode_fn`` / ``resize_fn`` / ``frame_fn``) without touching engine
+code, and ``decoder="real"`` with no callable raises
+NotImplementedError at the point where the codec call belongs.
 
 Schema conventions:
     media(doc_id string, kind string, payload binary,
@@ -83,30 +85,40 @@ def extract_features(
     media: DataFrame,
     decoder: str = "fake",
     dim: int = _FEATURE_DIM,
+    decode_fn=None,
 ) -> DataFrame:
     """payload -> fixed-size feature vector (the embed step).
 
     Output (doc_id, kind, feature array<double>) drops the payload
     immediately — downstream stages (dedup, ANN, clustering) only ever
     shuffle the small vectors.
+
+    ``decode_fn(payload: bytes, meta: dict | None) -> array-like`` lets
+    a real deployment inject its codec (PIL/ffmpeg/soundfile) without
+    touching engine code; the Spark-side plumbing (Arrow batching,
+    payload pruning, schema) is identical for fake and real decoders.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder}")
+    if decoder == "real" and decode_fn is None:
+        raise NotImplementedError(
+            "real media decode requires a codec; pass "
+            "decode_fn=(payload, meta) -> feature vector "
+            "(PIL/ffmpeg/soundfile are absent in this environment)")
+    fn = decode_fn if decode_fn is not None else (
+        lambda payload, meta: _fake_decode(payload, dim))
 
     def run(batches):
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/soundfile; "
-                    "plug the codec call here")
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            feats = [np.asarray(fn(p, m), dtype=np.float64)
+                     for p, m in zip(pdf["payload"], pdf["meta"])]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],
                 "feature": feats,
             })
 
-    return media.select("doc_id", "kind", "payload").mapInPandas(
+    return media.select("doc_id", "kind", "payload", "meta").mapInPandas(
         run, schema="doc_id string, kind string, feature array<double>")
 
 
@@ -115,25 +127,30 @@ def resize_images(
     width: int,
     height: int,
     decoder: str = "fake",
+    resize_fn=None,
 ) -> DataFrame:
     """Image resize: binary in -> binary out + updated metadata.
 
     The fake decoder emits a deterministic payload of the target size
-    (hash-stretched); the real path decodes, resizes, re-encodes.
+    (hash-stretched); inject a real codec via
+    ``resize_fn(payload, width, height) -> bytes``.
     """
+    if decoder == "real" and resize_fn is None:
+        raise NotImplementedError(
+            "real resize requires an image codec; pass "
+            "resize_fn=(payload, width, height) -> bytes")
+
+    def _fake_resize(p: bytes, w: int, h: int) -> bytes:
+        digest = hashlib.md5(p).digest()
+        reps = (w * h * 3) // len(digest) + 1
+        return (digest * reps)[: w * h * 3]
+
+    fn = resize_fn if resize_fn is not None else _fake_resize
 
     def run(batches):
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real resize requires an image codec (PIL)")
-            out_payloads = []
-            for p in pdf["payload"]:
-                h = hashlib.md5(p).digest()
-                reps = (width * height * 3) // len(h) + 1
-                out_payloads.append((h * reps)[: width * height * 3])
             out = pdf[["doc_id", "kind"]].copy()
-            out["payload"] = out_payloads
+            out["payload"] = [fn(p, width, height) for p in pdf["payload"]]
             out["width"] = width
             out["height"] = height
             yield out
@@ -149,27 +166,34 @@ def sample_frames(
     media: DataFrame,
     every_n: int = 10,
     decoder: str = "fake",
+    frame_fn=None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (doc_id, frame_no, frame binary) — a UDTF-shaped mapInPandas that
     fans rows OUT, so downstream per-frame ops parallelize across the
     fan-out, not across videos (the skew-aware shape for long videos).
+
+    Inject a real extractor via ``frame_fn(payload, frame_no) -> bytes``.
     """
+    if decoder == "real" and frame_fn is None:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg; pass "
+            "frame_fn=(payload, frame_no) -> bytes")
+
+    def _fake_frame(payload: bytes, f_no: int) -> bytes:
+        return hashlib.md5(payload + f_no.to_bytes(4, "little")).digest()
+
+    fn = frame_fn if frame_fn is not None else _fake_frame
 
     def run(batches):
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real frame extraction requires ffmpeg")
             rows = []
             for doc_id, payload, meta in zip(
                     pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 n_frames = (meta["n_frames"] if meta is not None
                             and meta.get("n_frames") else 30)
                 for f_no in range(0, int(n_frames), every_n):
-                    fh = hashlib.md5(
-                        payload + f_no.to_bytes(4, "little")).digest()
-                    rows.append((doc_id, f_no, fh))
+                    rows.append((doc_id, f_no, fn(payload, f_no)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_no", "frame"])
 

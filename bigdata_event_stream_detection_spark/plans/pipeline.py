@@ -23,6 +23,7 @@ from ..operators import em as em_ops
 from ..operators import hmm as hmm_ops
 from ..operators import windows as win
 from ..params import DEFAULTS, Params
+from ..util import persist_once
 
 
 def _window_seconds(spec: str) -> int:
@@ -65,7 +66,7 @@ def detect_event_stream(
     fused = params.em_runs == 1
     consumers = (0 if model is not None else 1) + (1 if fused else 2)
     if consumers > 1:
-        seqs = seqs.persist()
+        seqs = persist_once(seqs)
     if model is None:
         model = em_ops.collect_background(
             bg.background_model(seqs, min_count=params.min_word_corpus_count))
@@ -97,7 +98,7 @@ def detect_event_stream(
     )
     # best-run selection reads the theme table twice (agg + join back),
     # so persist it
-    themes = em_ops.best_run_themes(themes.persist())
+    themes = em_ops.best_run_themes(persist_once(themes))
     themes = em_ops.filter_themes(
         themes, params.num_themes, params.theme_score_floor_factor)
     return hmm_ops.detect_events(
@@ -114,7 +115,8 @@ def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFram
     from ..operators.transitions import theme_transitions
 
     seqs = win.filter_docs(
-        sequences, min_tokens=params.min_doc_tokens).persist()
+        sequences, min_tokens=params.min_doc_tokens)
+    seqs = persist_once(seqs)
     model = em_ops.collect_background(
         bg.background_model(seqs, min_count=params.min_word_corpus_count))
     windowed = win.with_time_window(
@@ -125,12 +127,12 @@ def evolution_graph(sequences: DataFrame, params: Params = DEFAULTS) -> DataFram
         lambda_b=params.lambda_background,
         runs=params.em_runs)
     if params.em_runs > 1:
-        themes = em_ops.best_run_themes(themes.persist())
+        themes = em_ops.best_run_themes(persist_once(themes))
     themes = em_ops.filter_themes(
         themes, params.num_themes, params.theme_score_floor_factor)
     # the transition self-join reads themes twice (both sides) — persist
     # so EM does not recompute per side
-    themes = themes.persist()
+    themes = persist_once(themes)
     return theme_transitions(
         themes,
         window_length_seconds=_window_seconds(params.window_length),

@@ -791,7 +791,7 @@ def streaming_match_seq_rules(
 
     r = rules.select(
         "rule_id", F.col("steps").alias("_steps"),
-        (F.col("within_seconds").cast("double") * 1e6)
+        F.round(F.col("within_seconds").cast("double") * 1e6)
         .cast("long").alias("_horizon_us"))
     membership = (r.select(
         "rule_id",
@@ -943,7 +943,7 @@ def streaming_match_timeout_rules(
 
     r = rules.select(
         "rule_id", "first_type", "then_type",
-        (F.col("within_seconds").cast("double") * 1e6)
+        F.round(F.col("within_seconds").cast("double") * 1e6)
         .cast("long").alias("_horizon_us"))
     base = (stream.withWatermark(time_col, watermark_delay)
             .select(F.col(key_col).alias("user_id"), time_col,
@@ -1105,7 +1105,7 @@ def streaming_match_absence_rules(
 
     r = rules.select(
         "rule_id", "first_type", "then_type", "without_type",
-        (F.col("within_seconds").cast("double") * 1e6)
+        F.round(F.col("within_seconds").cast("double") * 1e6)
         .cast("long").alias("_horizon_us"))
     base = (stream.withWatermark(time_col, watermark_delay)
             .select(F.col(key_col).alias("user_id"), time_col,
