@@ -276,6 +276,78 @@ def _forward_backward(obs, pi, a, b, b_obs=None):
     return alpha, beta, c, loglik
 
 
+def _baum_welch_small(b_obs: np.ndarray, pi0, a0, max_iterations,
+                      pi_threshold, a_threshold):
+    """Pure-Python full Baum-Welch loop for small state counts.
+
+    The whole iteration (forward-backward + gamma0 + khi + update +
+    convergence) runs on plain floats: at the engine's typical shapes
+    (T in the tens-to-hundreds, n = themes + 1 <= 5) the numpy path
+    below pays ~25 us of dispatch per step/temporary, which dwarfs the
+    actual math. Operation order (ascending indices, libm log, per-row
+    khi normalization with the 1e-300 guard) is replicated exactly by
+    kernels_native.bw_small, so the C path is bit-identical.
+    """
+    import math
+
+    T, n = b_obs.shape
+    rng_n = range(n)
+    pi = [float(x) for x in pi0]
+    a = [[float(x) for x in row] for row in a0]
+    loglik = 0.0
+    it = 0
+    for it in range(1, max_iterations + 1):
+        alpha, beta, c, _ = _forward_backward_small(
+            b_obs, np.asarray(pi), np.asarray(a))
+        aL = alpha.tolist()
+        bL = beta.tolist()
+        cL = c.tolist()
+        BL = b_obs.tolist()
+        ll = 0.0
+        for t in range(T):
+            ll += math.log(cL[t])
+        loglik = -ll
+        s = 0.0
+        g0 = [0.0] * n
+        for i in rng_n:
+            v = aL[0][i] * bL[0][i] / cL[0]
+            g0[i] = v
+            s += v
+        s = s if s > 1e-300 else 1e-300
+        new_pi = [g0[i] / s for i in rng_n]
+        acc = [[0.0] * n for _ in rng_n]
+        for t in range(T - 1):
+            bn = BL[t + 1]
+            be = bL[t + 1]
+            at = aL[t]
+            w = [bn[j] * be[j] for j in rng_n]
+            for i in rng_n:
+                ai = at[i]
+                ri = acc[i]
+                for j in rng_n:
+                    ri[j] += ai * w[j]
+        d_pi = 0.0
+        for i in rng_n:
+            d_pi += abs(new_pi[i] - pi[i])
+            pi[i] = new_pi[i]
+        d_a = 0.0
+        for i in rng_n:
+            khi_row = [0.0] * n
+            dsum = 0.0
+            for j in rng_n:
+                v = a[i][j] * acc[i][j]
+                khi_row[j] = v
+                dsum += v
+            dguard = dsum if dsum > 1e-300 else 1e-300
+            for j in rng_n:
+                v = khi_row[j] / dguard
+                d_a += abs(v - a[i][j])
+                a[i][j] = v
+        if d_pi < pi_threshold and d_a < a_threshold:
+            break
+    return (np.asarray(pi), np.asarray(a), loglik, it)
+
+
 def baum_welch(
     obs: np.ndarray,
     pi0: np.ndarray,
@@ -291,6 +363,13 @@ def baum_welch(
     Exploits the sparse transition structure only implicitly: updates of
     structurally-zero transitions stay zero because khi is zero there.
     Returns (pi, a, loglik, n_iter).
+
+    Dispatch: for n <= ``_SMALL_N_LIMIT`` the full loop runs in the
+    small-state path (C-compiled when a compiler is present, pure
+    Python otherwise — bit-identical pair) at ANY sequence length; the
+    numpy body below serves larger state counts. At the engine's real
+    shapes (T ~ 10^1-10^3 per (window, source)) the numpy path is
+    per-step-dispatch-bound, ~100x slower than the compiled loop.
     """
     obs = np.asarray(obs, dtype=np.int64)
     pi, a = pi0.copy(), a0.copy()
@@ -300,6 +379,13 @@ def baum_welch(
     if T < 2:
         return pi, a, 0.0, 0
     b_obs = b[:, obs].T   # B is fixed: one gather for all iterations
+    n = pi.shape[0]
+    if n <= _SMALL_N_LIMIT:
+        if _NATIVE is not None:
+            return _NATIVE.bw_small(b_obs, pi, a, max_iterations,
+                                    pi_threshold, a_threshold)
+        return _baum_welch_small(b_obs, pi, a, max_iterations,
+                                 pi_threshold, a_threshold)
     for it in range(1, max_iterations + 1):
         alpha, beta, c, loglik = _forward_backward(obs, pi, a, b, b_obs)
         # gamma[t,i] ∝ alpha[t,i] * beta[t,i] / c[t]
@@ -374,7 +460,11 @@ def viterbi(obs: np.ndarray, pi: np.ndarray, a: np.ndarray, b: np.ndarray) -> np
         log_a = np.log(a)
         log_b = np.log(b)
         log_pi = np.log(pi)
-    if n <= _VITERBI_SMALL_N_LIMIT and T > 256:
+    # The small-state DP is used at ANY T: Viterbi does only per-cell
+    # add/max (no accumulations), so python/numpy/C paths are
+    # bit-identical, and the per-step numpy dispatch loses at every
+    # length that matters.
+    if n <= _VITERBI_SMALL_N_LIMIT:
         if _NATIVE is not None:
             return _NATIVE.viterbi_small(obs, log_pi, log_a, log_b)
         return _viterbi_small(obs, log_pi, log_a, log_b)

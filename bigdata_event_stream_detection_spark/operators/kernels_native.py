@@ -38,6 +38,7 @@ import numpy as np
 
 _C_SOURCE = r"""
 #include <stdint.h>
+#include <math.h>
 
 /* Scaled forward-backward, replicating kernels._forward_backward_small:
    alpha[t,j] = (sum_i alpha[t-1,i]*A[i,j]) * B[t,j], normalized per t
@@ -92,6 +93,75 @@ void fb_small(const double *b_obs, const double *pi, const double *a,
     }
 }
 
+/* Full Baum-Welch loop, replicating kernels._baum_welch_small: each
+   iteration runs fb_small, then loglik = -sum(log c) ascending,
+   gamma0-normalized new_pi, the khi accumulation ascending in t with
+   w[j] = B[t+1,j]*beta[t+1,j] hoisted per step, row-normalized new_a
+   with the 1e-300 guard, and L1 convergence on (pi, A). pi/a are
+   updated in place; returns the final loglik and iteration count. */
+void bw_small(const double *b_obs, int64_t T, int64_t n,
+              double *pi, double *a,
+              int64_t max_iter, double pi_thr, double a_thr,
+              double *alpha, double *beta, double *c,
+              double *loglik_out, int64_t *iters_out)
+{
+    double acc[64 * 64], khi[64 * 64], g0[64], new_pi[64], w[64];
+    double ll, s, v, d_pi, d_a, ai, dsum, dguard;
+    int64_t it, t, i, j;
+    it = 0;
+    *loglik_out = 0.0;
+    for (it = 1; it <= max_iter; it++) {
+        fb_small(b_obs, pi, a, T, n, alpha, beta, c);
+        ll = 0.0;
+        for (t = 0; t < T; t++) ll += log(c[t]);
+        *loglik_out = -ll;
+        s = 0.0;
+        for (i = 0; i < n; i++) {
+            v = alpha[i] * beta[i] / c[0];
+            g0[i] = v;
+            s += v;
+        }
+        s = (s > 1e-300 ? s : 1e-300);
+        for (i = 0; i < n; i++) new_pi[i] = g0[i] / s;
+        for (i = 0; i < n * n; i++) acc[i] = 0.0;
+        for (t = 0; t < T - 1; t++) {
+            const double *bn = b_obs + (t + 1) * n;
+            const double *be = beta + (t + 1) * n;
+            const double *at = alpha + t * n;
+            for (j = 0; j < n; j++) w[j] = bn[j] * be[j];
+            for (i = 0; i < n; i++) {
+                ai = at[i];
+                for (j = 0; j < n; j++)
+                    acc[i * n + j] += ai * w[j];
+            }
+        }
+        d_pi = 0.0;
+        for (i = 0; i < n; i++) {
+            v = new_pi[i] - pi[i];
+            d_pi += (v < 0 ? -v : v);
+            pi[i] = new_pi[i];
+        }
+        d_a = 0.0;
+        for (i = 0; i < n; i++) {
+            dsum = 0.0;
+            for (j = 0; j < n; j++) {
+                v = a[i * n + j] * acc[i * n + j];
+                khi[i * n + j] = v;
+                dsum += v;
+            }
+            dguard = (dsum > 1e-300 ? dsum : 1e-300);
+            for (j = 0; j < n; j++) {
+                v = khi[i * n + j] / dguard;
+                s = v - a[i * n + j];
+                d_a += (s < 0 ? -s : s);
+                a[i * n + j] = v;
+            }
+        }
+        if (d_pi < pi_thr && d_a < a_thr) break;
+    }
+    *iters_out = (it > max_iter ? max_iter : it);
+}
+
 /* Log-space Viterbi, replicating kernels._viterbi_small: strict-> max
    keeps the LOWEST from-state index on ties; backtrack from the strict
    argmax of the final delta. */
@@ -143,7 +213,8 @@ def _build() -> "ctypes.CDLL | None":
                 with open(src, "w") as f:
                     f.write(_C_SOURCE)
                 subprocess.run(
-                    ["cc", "-O3", "-fPIC", "-shared", "-o", tmp_so, src],
+                    ["cc", "-O3", "-fPIC", "-shared", "-o", tmp_so, src,
+                     "-lm"],
                     check=True, capture_output=True, timeout=120)
                 # atomic publish: concurrent workers race benignly
                 os.replace(tmp_so, cache)
@@ -162,6 +233,10 @@ def _build() -> "ctypes.CDLL | None":
     lib.viterbi_small.argtypes = [i64p, dp, dp, dp, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_int64, i32p, i32p]
     lib.viterbi_small.restype = None
+    lib.bw_small.argtypes = [dp, ctypes.c_int64, ctypes.c_int64, dp, dp,
+                             ctypes.c_int64, ctypes.c_double,
+                             ctypes.c_double, dp, dp, dp, dp, i64p]
+    lib.bw_small.restype = None
     return lib
 
 
@@ -196,6 +271,29 @@ def forward_backward_small(b_obs: np.ndarray, pi: np.ndarray,
                   _dp(alpha), _dp(beta), _dp(c))
     loglik = -float(np.log(c).sum())
     return alpha, beta, c, loglik
+
+
+def bw_small(b_obs: np.ndarray, pi0: np.ndarray, a0: np.ndarray,
+             max_iterations: int, pi_threshold: float, a_threshold: float):
+    """C-accelerated full Baum-Welch loop (bit-identical to
+    kernels._baum_welch_small). Returns (pi, a, loglik, n_iter)."""
+    T, n = b_obs.shape
+    assert n <= 64, "C kernels use fixed 64-state scratch buffers"
+    b_obs = np.ascontiguousarray(b_obs)
+    pi = np.ascontiguousarray(pi0, dtype=np.float64).copy()
+    a = np.ascontiguousarray(a0, dtype=np.float64).copy()
+    alpha = np.empty((T, n))
+    beta = np.empty((T, n))
+    c = np.empty(T)
+    loglik = np.empty(1)
+    iters = np.empty(1, dtype=np.int64)
+    _LIB.bw_small(_dp(b_obs), ctypes.c_int64(T), ctypes.c_int64(n),
+                  _dp(pi), _dp(a), ctypes.c_int64(max_iterations),
+                  ctypes.c_double(pi_threshold),
+                  ctypes.c_double(a_threshold),
+                  _dp(alpha), _dp(beta), _dp(c), _dp(loglik),
+                  iters.ctypes.data_as(_I64P))
+    return pi, a, float(loglik[0]), int(iters[0])
 
 
 def viterbi_small(obs: np.ndarray, log_pi: np.ndarray, log_a: np.ndarray,

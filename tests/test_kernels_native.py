@@ -74,14 +74,35 @@ def test_viterbi_tie_break_matches():
     assert (py == 0).all()
 
 
+def test_bw_small_bit_identical():
+    """The full compiled Baum-Welch loop must equal the pure-Python
+    small-state loop bit-for-bit at every shape, including tiny T
+    (the engine's real per-(window, source) sequences are T ~ 10-200)."""
+    rng = np.random.default_rng(14)
+    for _ in range(20):
+        n = int(rng.integers(2, 6))
+        W = int(rng.integers(10, 300))
+        T = int(rng.integers(2, 3000))
+        pi0, a0, b, obs = _fixture(rng, n, W, T)
+        b_obs = b[:, obs].T
+        c = kernels_native.bw_small(b_obs, pi0, a0, 8, 0.01, 0.01)
+        py = K._baum_welch_small(b_obs, pi0, a0, 8, 0.01, 0.01)
+        assert np.array_equal(c[0], py[0])          # pi
+        assert np.array_equal(c[1], py[1])          # a
+        assert c[2] == py[2]                        # loglik
+        assert c[3] == py[3]                        # n_iter
+
+
 def test_baum_welch_dispatch_uses_native(monkeypatch):
     """baum_welch through the public dispatch equals the forced-Python
-    path bit-for-bit on a long sequence (T > 256 triggers the fast
-    path selection)."""
+    path bit-for-bit — at a long sequence and at the engine's real
+    tiny shapes (the small-state loop now serves ANY T)."""
     rng = np.random.default_rng(13)
-    pi0, a0, b, obs = _fixture(rng, 4, 50, 5000)
-    native = K.baum_welch(obs, pi0, a0, b, max_iterations=5)
-    monkeypatch.setattr(K, "_NATIVE", None)
-    python = K.baum_welch(obs, pi0, a0, b, max_iterations=5)
-    for x, y in zip(native, python):
-        assert np.array_equal(np.asarray(x), np.asarray(y))
+    for (n, W, T) in ((4, 50, 5000), (4, 31, 81), (3, 12, 7)):
+        pi0, a0, b, obs = _fixture(rng, n, W, T)
+        native = K.baum_welch(obs, pi0, a0, b, max_iterations=5)
+        monkeypatch.setattr(K, "_NATIVE", None)
+        python = K.baum_welch(obs, pi0, a0, b, max_iterations=5)
+        monkeypatch.undo()
+        for x, y in zip(native, python):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
