@@ -22,27 +22,83 @@ from pyspark.sql import types as T
 from .kernels import kl_divergence, tv_distance
 
 
+def _batched_pair_divergence(
+    w1, p1, w2, p2, kind: str, eps: float, log_max: float,
+) -> np.ndarray:
+    """One vectorized pass over an entire batch of (support, probs)
+    pairs — no per-pair Python loop.
+
+    Semantics are those of aligning each pair on the union of its two
+    supports with eps smoothing for absent entries (KLDivergence.java:
+    104-124), decomposed so the union never materializes: every entry
+    of support-1 contributes against its match in support-2 (or eps),
+    and support-2-only entries contribute the eps-vs-p2 term. Matches
+    are found with ONE sort + searchsorted over composite
+    (pair, word_id) keys across the whole batch; per-pair sums are
+    ``np.bincount`` scatter-adds. O(nnz log nnz) for the batch, with
+    every op a full-width numpy kernel — at 100x theme counts this is
+    the difference between an Arrow-batch-bound and a Python-loop-bound
+    transition join.
+    """
+    n_pairs = len(w1)
+    out = np.zeros(n_pairs)
+    if n_pairs == 0:
+        return out
+    len1 = np.fromiter((len(x) for x in w1), np.int64, n_pairs)
+    len2 = np.fromiter((len(x) for x in w2), np.int64, n_pairs)
+    ids1 = (np.concatenate([np.asarray(x, np.int64) for x in w1])
+            if len1.sum() else np.empty(0, np.int64))
+    pr1 = (np.concatenate([np.asarray(x, np.float64) for x in p1])
+           if len1.sum() else np.empty(0))
+    ids2 = (np.concatenate([np.asarray(x, np.int64) for x in w2])
+            if len2.sum() else np.empty(0, np.int64))
+    pr2 = (np.concatenate([np.asarray(x, np.float64) for x in p2])
+           if len2.sum() else np.empty(0))
+    seg1 = np.repeat(np.arange(n_pairs), len1)
+    seg2 = np.repeat(np.arange(n_pairs), len2)
+    # composite (pair, word) keys; word ids are dense ints << 2^40
+    base = int(max(ids1.max(initial=0), ids2.max(initial=0))) + 1
+    k1 = seg1 * base + ids1
+    k2 = seg2 * base + ids2
+    order2 = np.argsort(k2, kind="stable")
+    k2s, pr2s, seg2s = k2[order2], pr2[order2], seg2[order2]
+    pos = np.searchsorted(k2s, k1)
+    pos_c = np.clip(pos, 0, max(k2s.size - 1, 0))
+    matched = (k2s[pos_c] == k1) if k2s.size else np.zeros(k1.size, bool)
+    b_for_1 = np.where(matched, pr2s[pos_c] if k2s.size else eps, eps)
+    matched2 = np.zeros(k2s.size, dtype=bool)
+    matched2[pos_c[matched]] = True
+    if kind == "tv":
+        # raw values, as in tv_distance over the scattered union arrays
+        c1 = np.abs(pr1 - b_for_1)
+        c2 = np.abs(eps - pr2s[~matched2])
+        out = 0.5 * (np.bincount(seg1, weights=c1, minlength=n_pairs)
+                     + np.bincount(seg2s[~matched2], weights=c2,
+                                   minlength=n_pairs))
+        return out
+    # KL(next ‖ prev) with the kernel's max(., eps) + clamped-log rules
+    a1 = np.maximum(pr1, eps)
+    b1 = np.maximum(b_for_1, eps)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r1 = np.log(a1 / b1)
+    r1 = np.clip(np.nan_to_num(r1, nan=log_max, posinf=log_max,
+                               neginf=-log_max), -log_max, log_max)
+    b2only = np.maximum(pr2s[~matched2], eps)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = np.log(eps / b2only)
+    r2 = np.clip(np.nan_to_num(r2, nan=log_max, posinf=log_max,
+                               neginf=-log_max), -log_max, log_max)
+    return (np.bincount(seg1, weights=a1 * r1, minlength=n_pairs)
+            + np.bincount(seg2s[~matched2], weights=eps * r2,
+                          minlength=n_pairs))
+
+
 def _pair_divergence_udf(kind: str, eps: float, log_max: float):
     @F.pandas_udf(T.DoubleType())
     def div(w1: pd.Series, p1: pd.Series, w2: pd.Series, p2: pd.Series) -> pd.Series:
-        out = np.empty(len(w1))
-        for i in range(len(w1)):
-            ids1 = np.asarray(w1.iloc[i], dtype=np.int64)
-            pr1 = np.asarray(p1.iloc[i], dtype=np.float64)
-            ids2 = np.asarray(w2.iloc[i], dtype=np.int64)
-            pr2 = np.asarray(p2.iloc[i], dtype=np.float64)
-            # align on the union support; absent entries get eps smoothing
-            union = np.union1d(ids1, ids2)
-            a = np.full(union.size, eps)
-            b = np.full(union.size, eps)
-            a[np.searchsorted(union, ids1)] = pr1
-            b[np.searchsorted(union, ids2)] = pr2
-            if kind == "tv":
-                out[i] = tv_distance(a, b)
-            else:
-                # direction per reference: D(next ‖ prev)
-                out[i] = kl_divergence(a, b, eps=eps, log_max=log_max)
-        return pd.Series(out)
+        return pd.Series(_batched_pair_divergence(
+            w1.tolist(), p1.tolist(), w2.tolist(), p2.tolist(),
+            kind, eps, log_max))
 
     return div
 

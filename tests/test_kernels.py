@@ -140,3 +140,43 @@ def test_divergences():
     assert tv_distance(p, q) == pytest.approx(0.5 * (0.25 + 0.25 + 0.5), rel=1e-6)
     # asymmetry
     assert kl_divergence(p, q) != pytest.approx(kl_divergence(q, p), rel=1e-3)
+
+
+def test_batched_pair_divergence_matches_per_pair():
+    """The segment-aligned batch kernel in transitions must equal the
+    straightforward per-pair union1d + scatter + scalar-kernel path."""
+    from bigdata_event_stream_detection_spark.operators.transitions import (
+        _batched_pair_divergence,
+    )
+
+    rng = np.random.default_rng(42)
+    eps, log_max = 1e-12, 27.0
+    w1, p1, w2, p2 = [], [], [], []
+    for _ in range(60):
+        n1 = int(rng.integers(1, 40))
+        n2 = int(rng.integers(1, 40))
+        # overlapping supports drawn from a small id pool
+        ids1 = rng.choice(200, size=n1, replace=False).astype(np.int64)
+        ids2 = rng.choice(200, size=n2, replace=False).astype(np.int64)
+        pr1 = rng.random(n1); pr1 /= pr1.sum()
+        pr2 = rng.random(n2); pr2 /= pr2.sum()
+        w1.append(ids1); p1.append(pr1); w2.append(ids2); p2.append(pr2)
+
+    def per_pair(kind):
+        out = np.empty(len(w1))
+        for i in range(len(w1)):
+            union = np.union1d(w1[i], w2[i])
+            a = np.full(union.size, eps)
+            b = np.full(union.size, eps)
+            a[np.searchsorted(union, w1[i])] = p1[i]
+            b[np.searchsorted(union, w2[i])] = p2[i]
+            out[i] = (tv_distance(a, b) if kind == "tv"
+                      else kl_divergence(a, b, eps=eps, log_max=log_max))
+        return out
+
+    for kind in ("kl", "tv"):
+        got = _batched_pair_divergence(w1, p1, w2, p2, kind, eps, log_max)
+        np.testing.assert_allclose(got, per_pair(kind), rtol=1e-12, atol=0)
+
+    # empty batch
+    assert _batched_pair_divergence([], [], [], [], "kl", eps, log_max).size == 0
