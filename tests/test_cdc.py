@@ -334,3 +334,144 @@ def test_apply_changes_rewrites_only_touched_buckets(spark, tmp_path):
     got = dict(zip(snap["user_id"], snap["last_id"]))
     assert all(got[k] >= 200 for k in keys2)
     assert all(got[k] < 100 for k in keys1)
+
+
+def test_apply_changes_delta_mode_matches_batch(spark, tmp_path):
+    """Delta (merge-on-read) mode: snapshot equals batch latest_snapshot
+    with compaction firing mid-stream, restart is a no-op, and a late
+    chunk applies incrementally."""
+    import pytest
+
+    pdf = _random_changelog(15, n=300, keys=25)
+    d = str(tmp_path / "cl")
+    os.makedirs(d)
+    t0 = time.time()
+    for i, lo in enumerate(range(0, 300, 60)):
+        _write_chunk(pdf.iloc[lo:lo + 60], d, f"c{i}.parquet", t0 + i)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(CHANGELOG_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(d))
+        q = start_apply_changes_sink(
+            stream, store, ckpt, n_buckets=4, available_now=True,
+            mode="delta", compact_every=2)
+        q.awaitTermination(300)
+
+    run()
+    # compaction ran: a base exists, and outstanding deltas < compact_every
+    assert os.path.isdir(os.path.join(store, "base"))
+    got = (read_snapshot(spark, store)
+           .orderBy("user_id").toPandas().reset_index(drop=True))
+    exp = (latest_snapshot(
+        spark.createDataFrame(pdf, CHANGELOG_SCHEMA),
+        attrs=["event_type", "value"])
+        .select(*got.columns)
+        .orderBy("user_id").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # restart, no new data: unchanged
+    run()
+    again = (read_snapshot(spark, store)
+             .orderBy("user_id").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(again, exp)
+
+    # late chunk applies incrementally
+    more = _random_changelog(16, n=80, keys=25)
+    more["event_id"] += 1_000
+    _write_chunk(more, d, "late.parquet", t0 + 99)
+    run()
+    full = pd.concat([pdf, more], ignore_index=True)
+    got3 = (read_snapshot(spark, store)
+            .orderBy("user_id").toPandas().reset_index(drop=True))
+    exp3 = (latest_snapshot(
+        spark.createDataFrame(full, CHANGELOG_SCHEMA),
+        attrs=["event_type", "value"])
+        .select(*got3.columns)
+        .orderBy("user_id").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got3, exp3)
+
+    # resuming with a different bucket count or mode must refuse
+    stream = (spark.readStream.schema(CHANGELOG_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    with pytest.raises(ValueError, match="n_buckets"):
+        start_apply_changes_sink(stream, store, ckpt, n_buckets=8,
+                                 mode="delta", available_now=True)
+    with pytest.raises(ValueError, match="n_buckets"):
+        start_apply_changes_sink(stream, store, ckpt, n_buckets=4,
+                                 mode="merge", available_now=True)
+
+
+def test_delta_trigger_writes_batch_sized_not_store_sized(spark, tmp_path):
+    """The uniform-key worst case, asserted physically: with every
+    trigger touching EVERY bucket, a delta-mode trigger leaves the base
+    byte-identical on disk and writes only a batch-sized delta — write
+    volume follows batch size, not store size (merge mode rewrites all
+    touched buckets, i.e. the whole store, each trigger)."""
+    keys = [f"u{i}" for i in range(200)]   # 200 keys over 4 buckets
+    d = str(tmp_path / "cl")
+    os.makedirs(d)
+    t0 = time.time()
+
+    def chunk(ids_from, n, ts):
+        ks = keys if n >= len(keys) else keys[:n]
+        return pd.DataFrame({
+            "user_id": ks,
+            "ts": pd.to_datetime([ts] * len(ks)),
+            "event_id": np.arange(ids_from, ids_from + len(ks),
+                                  dtype=np.int64),
+            "op": ["U"] * len(ks),
+            "event_type": ["a"] * len(ks),
+            "value": [1.0] * len(ks)})
+
+    # two big chunks populate the store and trigger compaction (base)
+    _write_chunk(chunk(0, 200, "2024-01-01 10:00"), d, "c1.parquet", t0)
+    _write_chunk(chunk(200, 200, "2024-01-01 11:00"), d, "c2.parquet",
+                 t0 + 1)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(CHANGELOG_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(d))
+        q = start_apply_changes_sink(
+            stream, store, ckpt, n_buckets=4, available_now=True,
+            mode="delta", compact_every=2)
+        q.awaitTermination(300)
+
+    run()
+    base = os.path.join(store, "base")
+    assert os.path.isdir(base)
+
+    def tree_files(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    base_before = tree_files(base)
+    delta_before = tree_files(os.path.join(store, "delta"))
+    assert base_before
+    assert not delta_before    # both deltas folded into base
+
+    # a tiny uniform-key trigger (touches all 4 buckets)
+    _write_chunk(chunk(400, 8, "2024-01-01 12:00"), d, "c3.parquet",
+                 t0 + 2)
+    run()
+    # base untouched byte-for-byte; only a batch-sized delta appeared
+    assert tree_files(base) == base_before
+    delta_after = tree_files(os.path.join(store, "delta"))
+    assert delta_after
+    assert sum(sz for _, sz in delta_after.values()) < \
+        sum(sz for _, sz in base_before.values())
+    # snapshot reflects the delta rows without compaction
+    snap = read_snapshot(spark, store).toPandas()
+    got = dict(zip(snap["user_id"], snap["last_id"]))
+    for i, k in enumerate(keys[:8]):
+        assert got[k] == 400 + i
+    for k in keys[8:]:
+        assert got[k] < 400

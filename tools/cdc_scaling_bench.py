@@ -99,7 +99,9 @@ else:
     q = start_apply_changes_sink(
         stream, store, ckpt, key_col="user_id",
         attrs=("event_type", "value"), n_buckets=buckets,
-        available_now=True)
+        available_now=True,
+        mode="delta" if mode == "delta" else "merge",
+        compact_every=4)
     q.awaitTermination(3600)
     wall = time.perf_counter() - t0
     res = read_snapshot(spark, store).agg(*dig_expr).collect()[0]
