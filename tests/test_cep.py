@@ -676,6 +676,11 @@ def test_parse_steps_spec_labels(spark):
     # repeated types get positional #i suffixes (1-based)
     assert _parse_steps_spec("A:1,B:1,A:+") == [
         ("A#1", "A", "1"), ("B", "B", "1"), ("A#3", "A", "+")]
+    # whitespace adjacent to the colon normalizes exactly like the SQL
+    # membership extraction (F.trim), so ' click :+' can't silently
+    # produce a type that never matches the joined events
+    assert _parse_steps_spec(" click :+, view : 1") == [
+        ("click", "click", "+"), ("view", "view", "1")]
 
 
 def test_match_seq_predicate_classify(spark):
