@@ -1589,6 +1589,99 @@ def _q_evolution_edges(spark, sf_dir):
         F.round("divergence", 6).alias("divergence"))
 
 
+def _icelite_fresh(name: str) -> str:
+    # each icelite driver query rebuilds its table from scratch so the
+    # result is a pure function of (sf_dir); the dir persists until the
+    # next run because the returned DataFrame lazily reads its files
+    import shutil
+
+    path = f"/tmp/besd_icelite_{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _q_icelite_merge_snapshot(spark, sf_dir):
+    # MERGE INTO on an icelite table (copy-on-write table format):
+    # upserts bump price by 100 for o_orderkey%3==0, %9==0 rows are
+    # deleted, shifted keys inserted; result = merged table's
+    # per-status profile (sources/icelite.py merge_into)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        merge_into,
+        read_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _icelite_fresh("merge")
+    create_table(path, orders.schema)
+    append(orders.repartitionByRange(8, "o_orderkey"), path)
+    upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+           .withColumn("is_delete", F.col("o_orderkey") % 9 == 0))
+    ins = (orders.filter(F.col("o_orderkey") % 1000 == 0)
+           .select((F.col("o_orderkey") + F.lit(100000000)
+                    ).alias("o_orderkey"),
+                   F.lit("Z").alias("o_orderstatus"),
+                   F.col("o_totalprice"),
+                   F.lit(False).alias("is_delete")))
+    merge_into(spark, path, upd.unionByName(ins), key="o_orderkey",
+               delete_col="is_delete")
+    return (read_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+def _q_icelite_time_travel(spark, sf_dir):
+    # snapshot log + time travel: two appends, then version-pinned
+    # reads of both snapshots (sources/icelite.py read_table)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        read_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    path = _icelite_fresh("travel")
+    create_table(path, orders.schema)
+    append(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+    append(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+
+    def profile(version):
+        return (read_table(spark, path, version=version)
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .withColumn("version", F.lit(version)))
+
+    return profile(2).unionByName(profile(3)).select(
+        "version", "n", "total")
+
+
+def _q_icelite_pruned_scan(spark, sf_dir):
+    # file-level min/max pruning: the between-predicate hands Spark
+    # only the files whose footer stats overlap the key range
+    # (sources/icelite.py table_files/_file_may_match)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        read_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _icelite_fresh("prune")
+    create_table(path, orders.schema)
+    append(orders.repartitionByRange(8, "o_orderkey"), path)
+    return (read_table(spark, path,
+                       where=[("o_orderkey", "between", (1000, 20000))])
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -1609,6 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_define_matches": _q_seq_define_matches,
         "latest_user_state": _q_latest_user_state,
         "scd2_user_history": _q_scd2_user_history,
+        "icelite_merge_snapshot": _q_icelite_merge_snapshot,
+        "icelite_time_travel": _q_icelite_time_travel,
+        "icelite_pruned_scan": _q_icelite_pruned_scan,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2177,6 +2273,35 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE event_type = 'error'
             GROUP BY user_id, run_id
             HAVING count(*) >= 2
+        """,
+        "icelite_merge_snapshot": """
+            WITH merged AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 9 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'Z', o_totalprice
+              FROM orders WHERE o_orderkey % 1000 = 0
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM merged GROUP BY 1
+        """,
+        "icelite_time_travel": """
+            SELECT 2 AS version, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT 3, count(*), round(sum(o_totalprice), 2)
+            FROM orders
+        """,
+        "icelite_pruned_scan": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000
+            GROUP BY 1
         """,
         "latest_user_state": """
             WITH c AS (

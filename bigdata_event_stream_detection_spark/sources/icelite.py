@@ -1,0 +1,646 @@
+"""icelite — a minimal Iceberg-shaped table format over plain parquet.
+
+The north rule targets "Iceberg tables of pre-tokenized training
+sequences"; this sandbox has no Iceberg runtime jars (sources/tables.py
+carries the real-Iceberg adapter for clusters that do). icelite gives
+the engine the *semantics* the rule relies on, locally and honestly,
+with the same metadata shape Iceberg uses — so the table-maintenance
+levers named in BENCH.md's CDC analysis ("table-format MERGE") have a
+real implementation rather than a pointer at a dependency:
+
+* **Snapshot isolation + atomic commits.** A table is a directory of
+  immutable parquet data files plus a ``meta/`` log of snapshot JSONs.
+  A commit is the atomic creation (``os.link`` of a fully-written temp
+  file — readers can never observe a partial snapshot) of
+  ``snap-<id>.json``; concurrent committers race on the id and the
+  loser retries (appends) or aborts (replace ops), exactly Iceberg's
+  optimistic concurrency model.
+* **Manifest reuse.** Snapshots reference immutable *manifest* files
+  (lists of data files + per-file column stats); an append writes ONE
+  new manifest and carries the parent's by reference, so commit
+  metadata is O(files added), not O(table) — the property that lets
+  Iceberg commit to million-file tables.
+* **File-level min/max pruning.** Writer-collected parquet footer
+  stats (pyarrow, metadata-only reads) are stored per file; readers
+  pass simple predicates and files whose [min,max] cannot satisfy them
+  are never handed to Spark — scan planning cost is O(manifests), like
+  Iceberg's, and the Spark scan then applies the same predicate
+  row-level (parquet row-group stats prune further inside each file).
+* **Time travel.** ``read_table(version=N)`` / ``as_of_ms`` replay the
+  snapshot log.
+* **MERGE INTO (copy-on-write).** ``merge_into`` plans the touched
+  files with a distributed stats join (never collecting source rows),
+  rewrites ONLY those, and carries every other file by reference —
+  untouched files stay byte-identical on disk (asserted in
+  tests/test_icelite.py). This is the table-format MERGE the CDC
+  analysis names as the uniform-key scale lever (streaming/cdc.py's
+  delta mode is the merge-on-read counterpart).
+* **Maintenance.** ``compact_files`` (small-file rewrite as a replace
+  snapshot) and ``expire_snapshots`` (drop history + delete
+  unreferenced files) mirror Iceberg's ``rewrite_data_files`` /
+  ``expire_snapshots`` actions.
+* **Schema evolution.** Add-only column evolution: a schema commit
+  changes the table schema; old files read the new columns as null
+  (parquet-by-name resolution), like Iceberg's id-based add-column.
+
+A snapshot-incremental *streaming source* over these tables (each
+micro-batch = the data files appended by newly committed snapshots,
+offsets = snapshot ids in the checkpoint) lives in
+``icelite_source.py`` via the PySpark Python Data Source API.
+
+Scale notes (what changes at 100 TB, by design): data/manifest files
+live on an object store and ``meta/`` commit atomicity moves to a
+catalog CAS (swap ``_commit_snapshot``'s link trick for the catalog
+call — nothing else changes); stats collection stays writer-side and
+metadata-only; merge planning is already a distributed join against a
+manifest-sized stats table. Local ``os`` calls are confined to this
+module.
+
+Reference: the layout follows the public Iceberg spec's
+snapshot/manifest split (iceberg.apache.org/spec); no reference-repo
+code is involved (the reference has no table format at all — its
+inputs are raw XML dumps, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "CommitConflict",
+    "create_table",
+    "append",
+    "overwrite",
+    "merge_into",
+    "read_table",
+    "table_files",
+    "table_schema",
+    "snapshots",
+    "current_snapshot_id",
+    "compact_files",
+    "expire_snapshots",
+    "add_columns",
+]
+
+_META = "meta"
+_DATA = "data"
+
+# parquet logical types whose footer min/max we trust for pruning.
+# Skipped types (arrays, structs, binary) simply never prune.
+_STATS_TYPES = {"string", "integer", "long", "short", "byte", "float",
+                "double", "date", "timestamp", "boolean", "decimal"}
+
+
+class CommitConflict(RuntimeError):
+    """A replace-type commit (merge/compact/overwrite) lost the
+    optimistic race: the table changed after planning. Re-run the
+    operation against the new current snapshot (Iceberg semantics)."""
+
+
+# ---------------------------------------------------------------------------
+# metadata primitives
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def _snap_name(snapshot_id: int) -> str:
+    return f"snap-{snapshot_id:010d}.json"
+
+
+def _list_snapshot_ids(path: str) -> list[int]:
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"not an icelite table: {path!r}")
+    return sorted(int(n[5:15]) for n in names
+                  if n.startswith("snap-") and n.endswith(".json"))
+
+
+def current_snapshot_id(path: str) -> int:
+    ids = _list_snapshot_ids(path)
+    if not ids:
+        raise FileNotFoundError(f"icelite table has no snapshots: {path!r}")
+    return ids[-1]
+
+
+def _load_snapshot(path: str, snapshot_id: int) -> dict:
+    with open(os.path.join(_meta_dir(path), _snap_name(snapshot_id))) as f:
+        return json.load(f)
+
+
+def _load_manifest(path: str, name: str) -> list[dict]:
+    with open(os.path.join(_meta_dir(path), name)) as f:
+        return json.load(f)["files"]
+
+
+def _write_manifest(path: str, entries: list[dict]) -> str:
+    name = f"manifest-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(_meta_dir(path), f"._tmp-{name}")
+    with open(tmp, "w") as f:
+        json.dump({"files": entries}, f)
+    os.replace(tmp, os.path.join(_meta_dir(path), name))
+    return name
+
+
+def _commit_snapshot(path: str, snap: dict) -> int:
+    """Atomically claim ``snapshot_id = parent + 1``.
+
+    The snapshot JSON is fully written to a temp file first, then
+    ``os.link``ed to its final name — link fails with EEXIST if another
+    committer claimed the id (the caller retries or aborts), and a
+    reader can never observe a half-written snapshot. On an object
+    store this single call-site becomes the catalog's compare-and-swap.
+    """
+    meta = _meta_dir(path)
+    tmp = os.path.join(meta, f"._tmp-snap-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    try:
+        os.link(tmp, os.path.join(meta, _snap_name(snap["snapshot_id"])))
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot {snap['snapshot_id']} already committed")
+    finally:
+        os.unlink(tmp)
+    return snap["snapshot_id"]
+
+
+def _resolve_snapshot(path: str, version: int | None = None,
+                      as_of_ms: int | None = None) -> dict:
+    if version is not None and as_of_ms is not None:
+        raise ValueError("pass version OR as_of_ms, not both")
+    if version is not None:
+        return _load_snapshot(path, version)
+    ids = _list_snapshot_ids(path)
+    if not ids:
+        raise FileNotFoundError(f"icelite table has no snapshots: {path!r}")
+    if as_of_ms is None:
+        return _load_snapshot(path, ids[-1])
+    chosen = None
+    for i in ids:  # ids ascending; timestamps monotone per committer
+        snap = _load_snapshot(path, i)
+        if snap["timestamp_ms"] <= as_of_ms:
+            chosen = snap
+    if chosen is None:
+        raise ValueError(f"no snapshot at or before {as_of_ms} in {path!r}")
+    return chosen
+
+
+def _snapshot_entries(path: str, snap: dict) -> list[dict]:
+    out: list[dict] = []
+    for m in snap["manifests"]:
+        out.extend(_load_manifest(path, m))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# data-file writing + writer-side stats
+
+
+def _stats_from_footer(file_path: str, stat_cols: dict[str, str]) -> dict:
+    """Per-column {min,max,nulls} from the parquet footer — a
+    metadata-only read (no data pages), the same writer-side stats
+    Iceberg records in its manifests."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in stat_cols or "." in col.path_in_schema:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                agg.pop(name, None)
+                stat_cols = {k: v for k, v in stat_cols.items() if k != name}
+                continue
+            lo, hi = _plain(st.min), _plain(st.max)
+            nulls = st.null_count if st.null_count is not None else 0
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = {"min": lo, "max": hi, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
+                cur["nulls"] += nulls
+    return agg
+
+
+def _plain(v):
+    """JSON-safe scalar: timestamps -> epoch micros, dates -> epoch
+    days, bytes -> utf-8 (ordering-preserving for each type)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[dict]:
+    """Write ``df`` as immutable data files + collect footer stats.
+
+    Spark writes to a staging dir (task commits are Spark's problem);
+    completed part files are then moved into ``data/`` under unique
+    names — they become visible to readers only via a later snapshot
+    commit, never by directory listing.
+    """
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    stat_cols = {f.name: f.dataType.typeName()
+                 for f in df.schema.fields
+                 if f.dataType.typeName() in _STATS_TYPES}
+    entries = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        rel = f"{_DATA}/f-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(path, rel)
+        stats = _stats_from_footer(src, dict(stat_cols))
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(src).metadata.num_rows
+        os.replace(src, dst)
+        entries.append({"path": rel, "rows": rows,
+                        "bytes": os.path.getsize(dst), "stats": stats})
+    # clear staging remnants (_SUCCESS, crc files)
+    for name in os.listdir(staging):
+        os.unlink(os.path.join(staging, name))
+    os.rmdir(staging)
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# table operations
+
+
+def create_table(path: str, schema: StructType) -> None:
+    """Create an empty table (snapshot 1, no files)."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+    snap = {"snapshot_id": 1, "parent_id": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "create", "schema": json.loads(schema.json()),
+            "manifests": [], "added_manifests": [],
+            "summary": {"added_files": 0, "removed_files": 0}}
+    _commit_snapshot(path, snap)
+
+
+def append(df: DataFrame, path: str, max_retries: int = 10) -> int:
+    """Append ``df`` as a new snapshot; returns the snapshot id.
+
+    Appends never conflict logically, so a lost commit race is retried
+    against the new parent (data files + manifest are reused — only the
+    snapshot JSON is re-attempted)."""
+    entries = _write_data_files(df, path)
+    manifest = _write_manifest(path, entries)
+    for _ in range(max_retries):
+        parent = _load_snapshot(path, current_snapshot_id(path))
+        snap = {"snapshot_id": parent["snapshot_id"] + 1,
+                "parent_id": parent["snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "append", "schema": parent["schema"],
+                "manifests": parent["manifests"] + [manifest],
+                "added_manifests": [manifest],
+                "summary": {"added_files": len(entries),
+                            "removed_files": 0}}
+        try:
+            return _commit_snapshot(path, snap)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append lost {max_retries} commit races")
+
+
+def overwrite(df: DataFrame, path: str) -> int:
+    """Replace the table contents (single replace snapshot)."""
+    entries = _write_data_files(df, path)
+    manifest = _write_manifest(path, entries)
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    removed = sum(len(_load_manifest(path, m)) for m in parent["manifests"])
+    snap = {"snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "overwrite", "schema": json.loads(df.schema.json()),
+            "manifests": [manifest], "added_manifests": [manifest],
+            "summary": {"added_files": len(entries),
+                        "removed_files": removed}}
+    return _commit_snapshot(path, snap)
+
+
+def table_schema(path: str, version: int | None = None) -> StructType:
+    snap = _resolve_snapshot(path, version=version)
+    return StructType.fromJson(snap["schema"])
+
+
+def snapshots(path: str) -> list[dict]:
+    """The snapshot log (id, parent, timestamp, operation, summary) —
+    the table's history, oldest first."""
+    return [{k: s[k] for k in
+             ("snapshot_id", "parent_id", "timestamp_ms", "operation",
+              "summary")}
+            for s in (_load_snapshot(path, i)
+                      for i in _list_snapshot_ids(path))]
+
+
+def table_files(path: str, version: int | None = None,
+                as_of_ms: int | None = None,
+                where: list[tuple] | None = None) -> list[dict]:
+    """Manifest entries for a snapshot, after min/max file pruning."""
+    snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
+    entries = _snapshot_entries(path, snap)
+    if where:
+        entries = [e for e in entries
+                   if all(_file_may_match(e, p) for p in where)]
+    return entries
+
+
+def _file_may_match(entry: dict, pred: tuple) -> bool:
+    """Conservative file-level predicate check: False ONLY when the
+    footer stats prove no row can match. Missing stats keep the file."""
+    col, op, val = pred
+    st = entry["stats"].get(col)
+    if st is None:
+        return True
+    lo, hi = st["min"], st["max"]
+    if op == "=":
+        return lo <= val <= hi
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    if op == "between":
+        vlo, vhi = val
+        return not (hi < vlo or lo > vhi)
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _pred_column(pred: tuple) -> Column:
+    col, op, val = pred
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == "between":
+        return c.between(F.lit(val[0]), F.lit(val[1]))
+    return {"<": c < F.lit(val), "<=": c <= F.lit(val),
+            ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+    where: list[tuple] | None = None,
+) -> DataFrame:
+    """Snapshot (or time-travel) read.
+
+    ``where`` is a list of ``(col, op, value)`` with op in
+    ``{=, <, <=, >, >=, between}``: files the footer stats rule out are
+    never given to Spark (planning-time pruning, O(manifest) work), and
+    the same predicate is applied as a row filter — which Spark pushes
+    into the parquet scan for row-group-level pruning inside the
+    surviving files. Richer predicates belong in ``.filter`` on the
+    returned DataFrame (they just skip the file-level prune).
+    """
+    snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
+    schema = StructType.fromJson(snap["schema"])
+    entries = _snapshot_entries(path, snap)
+    if where:
+        entries = [e for e in entries
+                   if all(_file_may_match(e, p) for p in where)]
+    if not entries:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(path, e["path"]) for e in entries])
+    if where:
+        for p in where:
+            df = df.filter(_pred_column(p))
+    return df
+
+
+def add_columns(path: str, new_fields: StructType) -> int:
+    """Add-only schema evolution: commit the widened schema; existing
+    files read the new columns as null (parquet name-based resolution).
+    Renames/drops/type-changes are intentionally unsupported — they
+    need Iceberg's field ids to be safe."""
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    schema = StructType.fromJson(parent["schema"])
+    existing = {f.name for f in schema.fields}
+    for f in new_fields.fields:
+        if f.name in existing:
+            raise ValueError(f"column {f.name!r} already exists")
+        schema = schema.add(f)
+    snap = {"snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "schema", "schema": json.loads(schema.json()),
+            "manifests": parent["manifests"], "added_manifests": [],
+            "summary": {"added_files": 0, "removed_files": 0}}
+    return _commit_snapshot(path, snap)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (copy-on-write)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """Upsert ``source`` into the table by ``key`` (copy-on-write).
+
+    Semantics = ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED
+    [AND s.delete_col] THEN DELETE / WHEN MATCHED THEN UPDATE SET * /
+    WHEN NOT MATCHED THEN INSERT *``. ``source`` must be unique per
+    key (latest-wins pre-reduction is the caller's changelog contract —
+    ``operators/cdc.latest_snapshot`` produces exactly that).
+
+    Plan (all distributed; the driver only ever holds file lists):
+      1. the manifest's per-file [min,max] of ``key`` becomes a tiny
+         stats DataFrame; a broadcast range-join against the DISTINCT
+         source keys marks the files whose range could contain any
+         source key — every other file is provably untouched;
+      2. touched files are re-read; their rows that do NOT match a
+         source key survive; non-delete source rows replace/insert the
+         rest (new keys land in the rewrite too);
+      3. one replace snapshot swaps touched -> rewritten, carrying
+         untouched files by manifest/entry reference — they stay
+         byte-identical on disk (asserted in tests/test_icelite.py).
+
+    A concurrent commit between planning and commit raises
+    ``CommitConflict`` (rerun against the new snapshot) — replace ops
+    must not auto-retry over a changed file set.
+    """
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    schema = StructType.fromJson(parent["schema"])
+    entries = _snapshot_entries(path, parent)
+
+    stats_rows = [(e["path"], e["stats"].get(key, {}).get("min"),
+                   e["stats"].get(key, {}).get("max"))
+                  for e in entries]
+    no_stats = {p for p, lo, hi in stats_rows if lo is None or hi is None}
+    src_cols = [f.name for f in schema.fields]
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(f"source lacks delete column {delete_col!r}")
+
+    ranged = [(p, lo, hi) for p, lo, hi in stats_rows if p not in no_stats]
+    if ranged:
+        stats_df = spark.createDataFrame(
+            ranged, ["_file", "_klo", "_khi"])
+        touched_rows = (
+            source.select(F.col(key).alias("_k")).distinct()
+            .join(F.broadcast(stats_df),
+                  (F.col("_k") >= F.col("_klo"))
+                  & (F.col("_k") <= F.col("_khi")),
+                  "inner")
+            .select("_file").distinct().collect())
+        touched = {r["_file"] for r in touched_rows} | no_stats
+    else:
+        touched = set(no_stats)
+
+    untouched_entries = [e for e in entries if e["path"] not in touched]
+
+    src = source
+    if delete_col is not None:
+        keep_src = src.filter(~F.col(delete_col)).select(*src_cols)
+    else:
+        keep_src = src.select(*src_cols)
+
+    if touched:
+        base = spark.read.schema(schema).parquet(
+            *[os.path.join(path, p) for p in sorted(touched)])
+        survivors = base.join(source.select(key).distinct(), key,
+                              "left_anti")
+        rewritten = survivors.unionByName(keep_src)
+    else:
+        rewritten = keep_src
+
+    new_entries = _write_data_files(rewritten, path)
+    # untouched manifests whose every entry survives are carried whole;
+    # partially-touched manifests are rewritten without the dead entries
+    kept_manifests: list[str] = []
+    for m in parent["manifests"]:
+        ment = _load_manifest(path, m)
+        if all(e["path"] not in touched for e in ment):
+            kept_manifests.append(m)
+        else:
+            alive = [e for e in ment if e["path"] not in touched]
+            if alive:
+                kept_manifests.append(_write_manifest(path, alive))
+    new_manifest = _write_manifest(path, new_entries)
+    snap = {"snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "merge", "schema": parent["schema"],
+            "manifests": kept_manifests + [new_manifest],
+            "added_manifests": [new_manifest],
+            "summary": {"added_files": len(new_entries),
+                        "removed_files": len(touched)}}
+    return _commit_snapshot(path, snap)
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_mb: int = 128,
+                  small_mb: float | None = None) -> int | None:
+    """Rewrite small files into ~``target_mb`` ones (replace snapshot).
+
+    Iceberg's ``rewrite_data_files``: a streaming sink that commits
+    every trigger leaves trigger-sized files; at scale the scan pays a
+    task and a listing per file. Only files under ``small_mb``
+    (default ``target_mb/2``) are rewritten; big files are carried by
+    reference. Returns the new snapshot id, or None if <2 small files.
+    """
+    small = (small_mb if small_mb is not None else target_mb / 2) * (1 << 20)
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    schema = StructType.fromJson(parent["schema"])
+    entries = _snapshot_entries(path, parent)
+    victims = [e for e in entries if e["bytes"] < small]
+    if len(victims) < 2:
+        return None
+    total = sum(e["bytes"] for e in victims)
+    n_out = max(1, math.ceil(total / (target_mb * (1 << 20))))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, e["path"]) for e in victims])
+    new_entries = _write_data_files(df.repartition(n_out), path)
+    dead = {e["path"] for e in victims}
+    kept_manifests = []
+    for m in parent["manifests"]:
+        ment = _load_manifest(path, m)
+        if all(e["path"] not in dead for e in ment):
+            kept_manifests.append(m)
+        else:
+            alive = [e for e in ment if e["path"] not in dead]
+            if alive:
+                kept_manifests.append(_write_manifest(path, alive))
+    new_manifest = _write_manifest(path, new_entries)
+    snap = {"snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "compact", "schema": parent["schema"],
+            "manifests": kept_manifests + [new_manifest],
+            "added_manifests": [new_manifest],
+            "summary": {"added_files": len(new_entries),
+                        "removed_files": len(dead)}}
+    return _commit_snapshot(path, snap)
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Drop all but the last ``keep_last`` snapshots and delete data/
+    manifest files no kept snapshot references. Time travel before the
+    horizon stops working — that is the point (storage reclaim)."""
+    ids = _list_snapshot_ids(path)
+    keep = set(ids[-keep_last:])
+    live_manifests: set[str] = set()
+    live_files: set[str] = set()
+    for i in keep:
+        snap = _load_snapshot(path, i)
+        for m in snap["manifests"]:
+            live_manifests.add(m)
+            live_files.update(e["path"] for e in _load_manifest(path, m))
+    removed = {"snapshots": 0, "manifests": 0, "data_files": 0}
+    meta = _meta_dir(path)
+    for i in ids:
+        if i not in keep:
+            os.unlink(os.path.join(meta, _snap_name(i)))
+            removed["snapshots"] += 1
+    for name in os.listdir(meta):
+        if name.startswith("manifest-") and name not in live_manifests:
+            os.unlink(os.path.join(meta, name))
+            removed["manifests"] += 1
+    data = os.path.join(path, _DATA)
+    for name in os.listdir(data):
+        if f"{_DATA}/{name}" not in live_files:
+            os.unlink(os.path.join(data, name))
+            removed["data_files"] += 1
+    return removed

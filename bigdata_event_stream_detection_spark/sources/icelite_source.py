@@ -1,0 +1,176 @@
+"""PySpark Python Data Source for icelite tables.
+
+Registers the ``icelite`` format so the snapshot log becomes a real
+Structured Streaming source with Iceberg's incremental-scan semantics:
+
+    spark.dataSource.register(IceliteDataSource)
+    stream = (spark.readStream.format("icelite")
+              .load("/path/to/table"))         # or .option("path", ...)
+
+* **Offsets are snapshot ids.** ``latestOffset`` is the table's current
+  snapshot; a micro-batch reads exactly the data files ADDED by the
+  snapshots in ``(start, end]``. Offsets live in the checkpoint's
+  offset/commit logs, so kill/resume replays a batch against the same
+  immutable files — the exactly-once contract the engine's sinks
+  assume (same as the parquet file source, but commit-granular:
+  a half-written directory can never be observed because files only
+  become visible via an atomic snapshot commit).
+* **Append-only incremental scan** (Iceberg's default): replace-type
+  snapshots (merge/overwrite/compact) raise by default since their row
+  changes cannot be represented as appends; ``.option
+  ("skip-replace-snapshots", "true")`` skips them instead (their
+  file rewrites are NOT re-emitted — compaction must not re-feed the
+  pipeline).
+* Workers read each data file with pyarrow and hand Spark **Arrow
+  record batches** (zero per-row Python, the token arrays move as
+  Arrow lists), cast to the table schema's Arrow form.
+
+The batch side (``spark.read.format("icelite")``) supports time travel
+via ``.option("version", N)`` / ``.option("as-of-ms", T)``; the richer
+batch API (file-level predicate pruning) is ``icelite.read_table``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from . import icelite
+
+_REPLACE_OPS = {"merge", "overwrite", "compact"}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _arrow_batches(file_path: str, schema_json: str):
+    """Yield the file's rows as Arrow record batches cast to the table
+    schema (runs in the Python worker; pyarrow is daemon-preloaded)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_schema = StructType.fromJson(json.loads(schema_json))
+    arrow_schema = to_arrow_schema(spark_schema)
+    table = pq.read_table(file_path)
+    # name-based resolution + null-fill for add-column evolution
+    import pyarrow as pa
+
+    cols = []
+    for field in arrow_schema:
+        if field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(table.num_rows, field.type))
+    yield from pa.Table.from_arrays(cols, schema=arrow_schema).to_batches()
+
+
+def _added_files(table_path: str, start_id: int, end_id: int,
+                 skip_replace: bool) -> list[str]:
+    out: list[str] = []
+    for sid in range(start_id + 1, end_id + 1):
+        snap = icelite._load_snapshot(table_path, sid)
+        op = snap["operation"]
+        if op in _REPLACE_OPS:
+            if skip_replace:
+                continue
+            raise ValueError(
+                f"snapshot {sid} is a {op!r} — the incremental scan is "
+                "append-only; set .option('skip-replace-snapshots', "
+                "'true') to skip replace snapshots (their rewrites are "
+                "not re-emitted)")
+        for m in snap.get("added_manifests", []):
+            out.extend(os.path.join(table_path, e["path"])
+                       for e in icelite._load_manifest(table_path, m))
+    return out
+
+
+class IceliteStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, schema_json: str,
+                 skip_replace: bool):
+        self._path = table_path
+        self._schema_json = schema_json
+        self._skip_replace = skip_replace
+
+    def initialOffset(self) -> dict:
+        # before the first snapshot: the first batch covers the table's
+        # whole committed history (create=1 has no files)
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": icelite.current_snapshot_id(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        files = _added_files(self._path, start["snapshot_id"],
+                             end["snapshot_id"], self._skip_replace)
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _arrow_batches(partition.path, self._schema_json)
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable; nothing to clean up
+
+
+class IceliteBatchReader(DataSourceReader):
+    def __init__(self, table_path: str, schema_json: str,
+                 version: int | None, as_of_ms: int | None):
+        self._path = table_path
+        self._schema_json = schema_json
+        self._version = version
+        self._as_of_ms = as_of_ms
+
+    def partitions(self):
+        entries = icelite.table_files(
+            self._path, version=self._version, as_of_ms=self._as_of_ms)
+        return [_FilePartition(os.path.join(self._path, e["path"]))
+                for e in entries]
+
+    def read(self, partition: _FilePartition):
+        yield from _arrow_batches(partition.path, self._schema_json)
+
+
+class IceliteDataSource(DataSource):
+    """``spark.dataSource.register(IceliteDataSource)`` then
+    ``spark.read[Stream].format("icelite").load(table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icelite"
+
+    def _table_path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("icelite needs a table path: .load(path) "
+                             "or .option('path', ...)")
+        return path
+
+    def _version(self) -> int | None:
+        v = self.options.get("version")
+        return int(v) if v is not None else None
+
+    def _as_of_ms(self) -> int | None:
+        v = self.options.get("as-of-ms")
+        return int(v) if v is not None else None
+
+    def schema(self) -> StructType:
+        return icelite.table_schema(self._table_path(),
+                                    version=self._version())
+
+    def reader(self, schema: StructType) -> IceliteBatchReader:
+        return IceliteBatchReader(self._table_path(), schema.json(),
+                                  self._version(), self._as_of_ms())
+
+    def streamReader(self, schema: StructType) -> IceliteStreamReader:
+        skip = str(self.options.get("skip-replace-snapshots",
+                                    "false")).lower() == "true"
+        return IceliteStreamReader(self._table_path(), schema.json(), skip)

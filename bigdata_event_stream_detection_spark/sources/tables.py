@@ -1,4 +1,5 @@
-"""Sequences-table readers/writers: Iceberg in production, parquet here.
+"""Sequences-table readers/writers: Iceberg in production, icelite or
+plain parquet here.
 
 The north rule targets an Iceberg table of pre-tokenized sequences
 ``(doc_id string, tokens array<int32>, n_tok int32, source string)``.
@@ -48,6 +49,9 @@ def read_sequences(
     """
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(table)
+    if fmt == "icelite":
+        from . import icelite
+        return icelite.read_table(spark, table)
     if fmt == "parquet":
         return spark.read.schema(SEQUENCE_SCHEMA).parquet(table)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -76,6 +80,12 @@ def read_sequences_stream(
             reader = reader.option("streaming-max-files-per-micro-batch",
                                    str(max_files_per_trigger))
         return reader.load(table)
+    if fmt == "icelite":
+        # snapshot-incremental scan over the local table format —
+        # offsets are snapshot ids in the checkpoint (icelite_source.py)
+        from .icelite_source import IceliteDataSource
+        spark.dataSource.register(IceliteDataSource)
+        return spark.readStream.format("icelite").load(table)
     if fmt == "parquet":
         reader = spark.readStream.schema(SEQUENCE_SCHEMA)
         if max_files_per_trigger is not None:

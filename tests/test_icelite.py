@@ -1,0 +1,331 @@
+"""icelite table format: ACID commits, time travel, pruning, MERGE,
+maintenance, and the snapshot-incremental streaming source.
+
+Each test builds its own table under tmp_path; data is deterministic
+(spark.range-derived). The physical asserts mirror the CDC family's:
+untouched files must stay byte-identical on disk after MERGE — the
+copy-on-write contract, not just a value-level check.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdata_event_stream_detection_spark.sources import icelite
+from bigdata_event_stream_detection_spark.sources.icelite import (
+    CommitConflict,
+    add_columns,
+    append,
+    compact_files,
+    create_table,
+    current_snapshot_id,
+    expire_snapshots,
+    merge_into,
+    read_table,
+    snapshots,
+    table_files,
+)
+from bigdata_event_stream_detection_spark.sources.icelite_source import (
+    IceliteDataSource,
+)
+
+SCHEMA = StructType([
+    StructField("k", LongType()),
+    StructField("v", StringType()),
+    StructField("src", StringType()),
+])
+
+
+def _rows(spark, lo, hi, src="a"):
+    return (spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.lit(src).alias("src")))
+
+
+@pytest.fixture()
+def tbl(tmp_path, spark):
+    path = str(tmp_path / "t")
+    create_table(path, SCHEMA)
+    return path
+
+
+def test_create_append_read_roundtrip(spark, tbl):
+    append(_rows(spark, 0, 100), tbl)
+    append(_rows(spark, 100, 150, src="b"), tbl)
+    df = read_table(spark, tbl)
+    assert df.schema == SCHEMA
+    assert df.count() == 150
+    assert df.agg(F.sum("k")).first()[0] == sum(range(150))
+    ops = [s["operation"] for s in snapshots(tbl)]
+    assert ops == ["create", "append", "append"]
+
+
+def test_time_travel_by_version_and_timestamp(spark, tbl):
+    import time
+
+    v1 = append(_rows(spark, 0, 10), tbl)
+    time.sleep(0.01)
+    v2 = append(_rows(spark, 10, 30), tbl)
+    assert read_table(spark, tbl, version=v1).count() == 10
+    assert read_table(spark, tbl, version=v2).count() == 30
+    ts1 = [s for s in snapshots(tbl) if s["snapshot_id"] == v1][0][
+        "timestamp_ms"]
+    assert read_table(spark, tbl, as_of_ms=ts1).count() == 10
+
+
+def test_concurrent_appends_both_commit(spark, tbl):
+    # two committers race on the same parent: os.link arbitration makes
+    # one retry — both batches land, history stays linear
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def worker(lo, hi):
+        try:
+            barrier.wait()
+            append(_rows(spark, lo, hi), tbl)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(0, 50)),
+          threading.Thread(target=worker, args=(50, 80))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert read_table(spark, tbl).count() == 80
+    ids = [s["snapshot_id"] for s in snapshots(tbl)]
+    assert ids == [1, 2, 3]
+
+
+def test_commit_conflict_raises(tbl):
+    snap = icelite._load_snapshot(tbl, current_snapshot_id(tbl))
+    with pytest.raises(CommitConflict):
+        icelite._commit_snapshot(tbl, snap)  # id already taken
+
+
+def test_stats_pruning_skips_files(spark, tbl):
+    # one append, range-partitioned: 4 files with disjoint k ranges
+    append(_rows(spark, 0, 4000).repartitionByRange(4, "k"), tbl)
+    all_files = table_files(tbl)
+    assert len(all_files) == 4
+    pruned = table_files(tbl, where=[("k", "between", (1000, 1500))])
+    assert 1 <= len(pruned) < 4
+    df = read_table(spark, tbl, where=[("k", "between", (1000, 1500))])
+    assert len(df.inputFiles()) == len(pruned)
+    assert df.count() == 501
+    # equality + open-range ops
+    assert len(table_files(tbl, where=[("k", "=", 3999)])) == 1
+    assert len(table_files(tbl, where=[("k", ">", 3999)])) == 0
+    assert read_table(spark, tbl, where=[("k", "<", 10)]).count() == 10
+
+
+def _file_sig(tbl, rel):
+    st = os.stat(os.path.join(tbl, rel))
+    return (st.st_size, st.st_mtime_ns, st.st_ino)
+
+
+def test_merge_into_cow_and_untouched_files(spark, tbl):
+    append(_rows(spark, 0, 4000).repartitionByRange(4, "k"), tbl)
+    before = {e["path"]: _file_sig(tbl, e["path"]) for e in table_files(tbl)}
+
+    # updates confined to k<1000 (one file's range), plus inserts and
+    # one delete
+    src = (spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.lit("UPDATED").alias("v"),
+        F.lit("m").alias("src"),
+        F.lit(False).alias("is_delete"))
+        .union(spark.range(5000, 5100).select(
+            F.col("id"), F.lit("NEW"), F.lit("m"), F.lit(False)))
+        .union(spark.range(700, 701).select(
+            F.col("id"), F.lit("x"), F.lit("m"), F.lit(True))))
+    merge_into(spark, tbl, src, key="k", delete_col="is_delete")
+
+    df = read_table(spark, tbl)
+    assert df.count() == 4000 + 100 - 1
+    assert df.filter(F.col("v") == "UPDATED").count() == 500
+    assert df.filter(F.col("k") == 700).count() == 0
+    assert df.filter(F.col("k") >= 5000).count() == 100
+    # rows outside the touched range are untouched in VALUE...
+    assert df.filter((F.col("k") >= 1000) & (F.col("k") < 4000)
+                     & (F.col("v") != F.concat(F.lit("v"), F.col("k")))
+                     ).count() == 0
+    # ...and their FILES are untouched on disk (copy-on-write): every
+    # pre-merge file whose range excludes the source keys is carried by
+    # reference, byte-identical
+    after_paths = {e["path"] for e in table_files(tbl)}
+    carried = set(before) & after_paths
+    assert len(carried) >= 2  # at least the middle-range files survive
+    for rel in carried:
+        assert _file_sig(tbl, rel) == before[rel]
+    assert snapshots(tbl)[-1]["operation"] == "merge"
+    # time travel still sees the pre-merge table
+    assert read_table(spark, tbl, version=2).count() == 4000
+
+
+def test_merge_into_empty_table_inserts(spark, tbl):
+    merge_into(spark, tbl, _rows(spark, 0, 10), key="k")
+    assert read_table(spark, tbl).count() == 10
+
+
+def test_schema_evolution_add_column(spark, tbl):
+    append(_rows(spark, 0, 10), tbl)
+    add_columns(tbl, StructType([StructField("score", IntegerType())]))
+    new = _rows(spark, 10, 20).withColumn("score", F.lit(7))
+    append(new, tbl)
+    df = read_table(spark, tbl)
+    assert df.count() == 20
+    assert df.filter(F.col("score").isNull()).count() == 10
+    assert df.filter(F.col("score") == 7).count() == 10
+    with pytest.raises(ValueError):
+        add_columns(tbl, StructType([StructField("k", LongType())]))
+
+
+def test_compact_preserves_rows_and_history(spark, tbl):
+    for i in range(4):
+        append(_rows(spark, i * 10, (i + 1) * 10).coalesce(1), tbl)
+    pre_files = len(table_files(tbl))
+    pre_version = current_snapshot_id(tbl)
+    sid = compact_files(spark, tbl, target_mb=64)
+    assert sid is not None
+    assert read_table(spark, tbl).count() == 40
+    assert len(table_files(tbl)) < pre_files
+    assert snapshots(tbl)[-1]["operation"] == "compact"
+    # pre-compact version still readable (files carried until expiry)
+    assert read_table(spark, tbl, version=pre_version).count() == 40
+
+
+def test_expire_snapshots_reclaims_files(spark, tbl):
+    for i in range(3):
+        append(_rows(spark, i * 10, (i + 1) * 10).coalesce(1), tbl)
+    compact_files(spark, tbl, target_mb=64)
+    removed = expire_snapshots(tbl, keep_last=1)
+    assert removed["snapshots"] >= 3 and removed["data_files"] >= 2
+    assert read_table(spark, tbl).count() == 30
+    live = {e["path"] for e in table_files(tbl)}
+    on_disk = {f"data/{n}" for n in os.listdir(os.path.join(tbl, "data"))}
+    assert on_disk == live  # no orphans
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, tbl, version=2)
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source: batch + snapshot-incremental streaming
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(IceliteDataSource)
+    return True
+
+
+def test_batch_datasource_matches_read_table(spark, tbl, registered):
+    append(_rows(spark, 0, 123), tbl)
+    v1 = current_snapshot_id(tbl)
+    append(_rows(spark, 123, 200), tbl)
+    df = spark.read.format("icelite").load(tbl)
+    assert df.count() == 200
+    assert df.schema == SCHEMA
+    assert (df.agg(F.sum("k")).first()[0]
+            == read_table(spark, tbl).agg(F.sum("k")).first()[0])
+    old = spark.read.format("icelite").option("version", v1).load(tbl)
+    assert old.count() == 123
+
+
+def test_streaming_incremental_exactly_once(spark, tbl, registered,
+                                            tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    append(_rows(spark, 0, 50), tbl)
+
+    def run_once():
+        q = (spark.readStream.format("icelite").load(tbl)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 50
+
+    append(_rows(spark, 50, 80), tbl)
+    append(_rows(spark, 80, 90), tbl)
+    run_once()
+    out = spark.read.parquet(sink)
+    # resume read ONLY the two new snapshots: no duplicates, no misses
+    assert out.count() == 90
+    assert out.select("k").distinct().count() == 90
+
+    run_once()  # no new snapshots -> no new rows
+    assert spark.read.parquet(sink).count() == 90
+
+
+def test_streaming_sequences_arrow_types(spark, tiny_sequences, tmp_path,
+                                         registered):
+    # the real payload shape: token array<int> + event_time timestamp
+    # must survive the worker-side Arrow cast byte-exactly
+    from bigdata_event_stream_detection_spark.sources.tables import (
+        read_sequences_stream,
+    )
+
+    path = str(tmp_path / "seq")
+    create_table(path, tiny_sequences.schema)
+    append(tiny_sequences, path)
+
+    sink = str(tmp_path / "seqsink")
+    q = (read_sequences_stream(spark, path, fmt="icelite")
+         .writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "seqckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    def digest(df):
+        h = F.xxhash64("doc_id", "tokens", "n_tok", "source",
+                       "event_time").cast("decimal(38,0)")
+        return df.select(F.sum(h).alias("h"),
+                         F.count("*").alias("n")).first()
+
+    assert digest(spark.read.parquet(sink)) == digest(tiny_sequences)
+
+
+def test_streaming_replace_snapshot_policy(spark, tbl, registered,
+                                           tmp_path):
+    append(_rows(spark, 0, 1000).repartitionByRange(2, "k"), tbl)
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("U").alias("v"),
+        F.lit("m").alias("src"))
+    merge_into(spark, tbl, src, key="k")
+
+    def start(skip):
+        reader = spark.readStream.format("icelite")
+        if skip:
+            reader = reader.option("skip-replace-snapshots", "true")
+        return (reader.load(tbl).writeStream.format("parquet")
+                .option("path", str(tmp_path / f"s{skip}"))
+                .option("checkpointLocation", str(tmp_path / f"c{skip}"))
+                .trigger(availableNow=True).start())
+
+    from pyspark.errors.exceptions.base import PySparkException
+
+    q = start(skip=False)
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "append-only" in str(ei.value) or isinstance(
+        ei.value, PySparkException)
+
+    q2 = start(skip=True)
+    q2.awaitTermination(120)
+    # replace snapshot skipped: only the original append's files emitted
+    assert spark.read.parquet(str(tmp_path / "sTrue")).count() == 1000
