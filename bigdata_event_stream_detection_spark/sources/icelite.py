@@ -305,12 +305,15 @@ def create_table(path: str, schema: StructType) -> None:
     _commit_snapshot(path, snap)
 
 
-def append(df: DataFrame, path: str, max_retries: int = 10) -> int:
+def append(df: DataFrame, path: str, max_retries: int = 10,
+           summary_extra: dict | None = None) -> int:
     """Append ``df`` as a new snapshot; returns the snapshot id.
 
     Appends never conflict logically, so a lost commit race is retried
     against the new parent (data files + manifest are reused — only the
-    snapshot JSON is re-attempted)."""
+    snapshot JSON is re-attempted). ``summary_extra`` lands in the
+    snapshot summary — the streaming sinks stamp their (stream id,
+    batch id) there for replay idempotence."""
     entries = _write_data_files(df, path)
     manifest = _write_manifest(path, entries)
     for _ in range(max_retries):
@@ -322,7 +325,8 @@ def append(df: DataFrame, path: str, max_retries: int = 10) -> int:
                 "manifests": parent["manifests"] + [manifest],
                 "added_manifests": [manifest],
                 "summary": {"added_files": len(entries),
-                            "removed_files": 0}}
+                            "removed_files": 0,
+                            **(summary_extra or {})}}
         try:
             return _commit_snapshot(path, snap)
         except CommitConflict:
@@ -473,6 +477,8 @@ def merge_into(
     source: DataFrame,
     key: str,
     delete_col: str | None = None,
+    precedence: tuple[str, ...] | None = None,
+    summary_extra: dict | None = None,
 ) -> int:
     """Upsert ``source`` into the table by ``key`` (copy-on-write).
 
@@ -481,6 +487,16 @@ def merge_into(
     WHEN NOT MATCHED THEN INSERT *``. ``source`` must be unique per
     key (latest-wins pre-reduction is the caller's changelog contract —
     ``operators/cdc.latest_snapshot`` produces exactly that).
+
+    ``precedence`` names columns (present in table AND source) that
+    decide matched rows instead of "source always wins": the row with
+    the greater ``struct(*precedence)`` survives, ties going to the
+    source. This is the CDC-correct MERGE — a late-arriving trigger
+    whose rows are OLDER than the stored row must lose (see
+    ``streaming/icelite_sink.py``). ``delete_col`` composes: if the
+    winning row is a flagged source row, the key is dropped (note a
+    dropped key loses tombstone protection — CDC callers keep
+    tombstones as data rows instead and filter at read).
 
     Plan (all distributed; the driver only ever holds file lists):
       1. the manifest's per-file [min,max] of ``key`` becomes a tiny
@@ -533,14 +549,37 @@ def merge_into(
     else:
         keep_src = src.select(*src_cols)
 
-    if touched:
-        base = spark.read.schema(schema).parquet(
-            *[os.path.join(path, p) for p in sorted(touched)])
-        survivors = base.join(source.select(key).distinct(), key,
-                              "left_anti")
-        rewritten = survivors.unionByName(keep_src)
+    base = (spark.read.schema(schema).parquet(
+        *[os.path.join(path, p) for p in sorted(touched)])
+        if touched else None)
+    if precedence is None:
+        if base is not None:
+            survivors = base.join(source.select(key).distinct(), key,
+                                  "left_anti")
+            rewritten = survivors.unionByName(keep_src)
+        else:
+            rewritten = keep_src
     else:
-        rewritten = keep_src
+        # matched keys resolved by max_by(struct(*precedence, origin)):
+        # greater precedence wins, ties to the source
+        s = src.select(
+            *src_cols,
+            (F.col(delete_col) if delete_col is not None
+             else F.lit(False)).alias("_del"),
+            F.lit(1).alias("_origin"))
+        candidates = (s if base is None else
+                      base.select(*src_cols)
+                      .withColumn("_del", F.lit(False))
+                      .withColumn("_origin", F.lit(0))
+                      .unionByName(s))
+        order = F.struct(*[F.col(c) for c in precedence],
+                         F.col("_origin"))
+        payload = F.struct(*[F.col(c) for c in src_cols], F.col("_del"))
+        rewritten = (candidates.groupBy(key)
+                     .agg(F.max_by(payload, order).alias("_w"))
+                     .filter(~F.col("_w._del"))
+                     .select(*[F.col(f"_w.{c}").alias(c)
+                               for c in src_cols]))
 
     new_entries = _write_data_files(rewritten, path)
     # untouched manifests whose every entry survives are carried whole;
@@ -562,7 +601,8 @@ def merge_into(
             "manifests": kept_manifests + [new_manifest],
             "added_manifests": [new_manifest],
             "summary": {"added_files": len(new_entries),
-                        "removed_files": len(touched)}}
+                        "removed_files": len(touched),
+                        **(summary_extra or {})}}
     return _commit_snapshot(path, snap)
 
 

@@ -1,0 +1,174 @@
+"""Exactly-once streaming sinks into icelite tables.
+
+The north star's sink is "an idempotent exactly-once Iceberg sink";
+these are its two shapes over the local table format
+(``sources/icelite.py``):
+
+* :func:`start_append_sink` — transactional append of each micro-batch
+  as ONE snapshot commit, stamped with ``(stream_id, batch_id)`` in the
+  snapshot summary. On replay (crash between the table commit and the
+  checkpoint's offset commit) the stamp is already present and the
+  batch is skipped — the Iceberg streaming-sink idempotence protocol
+  (commit metadata carries the batch id; readers never see partial
+  batches because visibility IS the snapshot commit).
+* :func:`start_apply_changes_icelite` — continuous CDC upsert:
+  ``APPLY CHANGES INTO`` a table-format target. Each micro-batch
+  collapses to its per-key latest change (shared
+  ``streaming/cdc._batch_latest`` kernel, tombstones kept as rows) and
+  MERGEs copy-on-write with ``precedence=(last_ts, last_id)`` — a
+  late-arriving trigger whose rows are older than the stored row
+  loses, so out-of-order triggers converge to the same store as the
+  batch ``latest_snapshot``. The same batch-id stamp makes replays
+  no-ops, and the snapshot log doubles as a CDC audit trail with time
+  travel.
+
+Scale posture vs the bucket-store modes (``streaming/cdc.py``):
+key-LOCAL triggers rewrite only the files whose footer key ranges the
+merge planner touches (stats pruning instead of bucket pruning);
+uniform-key triggers degrade to a full COW rewrite per trigger — the
+same worst case the bucket store's ``mode="delta"`` exists for, and a
+real deployment composes both (delta files committed as icelite
+appends, compaction as replace snapshots). The point of THIS module is
+the transactional contract, measured in tests by snapshot-count and
+content invariants under replay.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..operators.cdc import DELETE_OP
+from ..sources import icelite
+from .cdc import _batch_latest
+
+__all__ = [
+    "start_append_sink",
+    "start_apply_changes_icelite",
+    "read_cdc_snapshot",
+    "last_committed_batch",
+]
+
+
+def _stream_id(checkpoint_path: str) -> str:
+    return hashlib.md5(
+        os.path.abspath(checkpoint_path).encode()).hexdigest()[:16]
+
+
+def last_committed_batch(table_path: str, stream_id: str) -> int | None:
+    """Greatest micro-batch id this stream has committed to the table
+    (scans the snapshot log's summaries — O(snapshots), bounded by
+    ``expire_snapshots``)."""
+    best = None
+    for snap in icelite.snapshots(table_path):
+        s = snap["summary"]
+        if (s.get("stream_id") == stream_id
+                and s.get("stream_batch_id") is not None):
+            b = int(s["stream_batch_id"])
+            best = b if best is None or b > best else best
+    return best
+
+
+def _ensure_table(table_path: str, schema: StructType) -> None:
+    try:
+        icelite.current_snapshot_id(table_path)
+    except FileNotFoundError:
+        icelite.create_table(table_path, schema)
+
+
+def start_append_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+):
+    """Append every micro-batch to the table as one atomic snapshot,
+    exactly once under replay. Returns the streaming query."""
+    sid = _stream_id(checkpoint_path)
+    _ensure_table(table_path, df.schema)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_committed_batch(table_path, sid)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already a committed snapshot
+        icelite.append(batch_df, table_path,
+                       summary_extra={"stream_id": sid,
+                                      "stream_batch_id": batch_id})
+
+    writer = (df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _store_schema(changelog: DataFrame, key_col: str, time_col: str,
+                  id_col: str, op_col: str,
+                  attrs: Sequence[str]) -> StructType:
+    by_name = {f.name: f for f in changelog.schema.fields}
+    out = StructType()
+    out = out.add(by_name[key_col])
+    out = out.add("op", by_name[op_col].dataType)
+    for a in attrs:
+        out = out.add(by_name[a])
+    out = out.add("last_ts", by_name[time_col].dataType)
+    out = out.add("last_id", by_name[id_col].dataType)
+    return out
+
+
+def start_apply_changes_icelite(
+    changelog: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    op_col: str = "op",
+    attrs: Sequence[str] = ("event_type", "value"),
+    available_now: bool = False,
+):
+    """Continuously MERGE a changelog stream into an icelite table.
+
+    Tombstones are kept as ``op='D'`` rows (read the live view with
+    :func:`read_cdc_snapshot`) so a delete keeps beating late-arriving
+    older updates; ``precedence=(last_ts, last_id)`` makes the merge
+    order-insensitive across triggers. Returns the streaming query.
+    """
+    attrs = list(attrs)
+    sid = _stream_id(checkpoint_path)
+    _ensure_table(table_path, _store_schema(
+        changelog, key_col, time_col, id_col, op_col, attrs))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_committed_batch(table_path, sid)
+        if done is not None and batch_id <= done:
+            return
+        latest = _batch_latest(batch_df, key_col, time_col, id_col,
+                               op_col, attrs, n_buckets=1).drop("bucket")
+        icelite.merge_into(
+            batch_df.sparkSession, table_path, latest, key=key_col,
+            precedence=("last_ts", "last_id"),
+            summary_extra={"stream_id": sid, "stream_batch_id": batch_id})
+
+    writer = (changelog.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cdc_snapshot(spark: SparkSession, table_path: str,
+                      version: int | None = None) -> DataFrame:
+    """Live view of the CDC table: tombstoned keys excluded. Time
+    travel (``version``) gives the store AS OF any committed trigger —
+    the audit capability the bucket store cannot offer."""
+    from pyspark.sql import functions as F
+
+    return icelite.read_table(spark, table_path, version=version).filter(
+        F.col("op") != DELETE_OP)
