@@ -24,6 +24,12 @@ Structured Streaming source with Iceberg's incremental-scan semantics:
 * Workers read each data file with pyarrow and hand Spark **Arrow
   record batches** (zero per-row Python, the token arrays move as
   Arrow lists), cast to the table schema's Arrow form.
+* ``Trigger.AvailableNow`` caveat: Python data sources do not expose
+  ``SupportsTriggerAvailableNow``, so Spark falls back to ONE batch
+  per availableNow run. A batch's watermark advance evicts stateful-
+  operator state only in the NEXT batch, so drain-style tests need a
+  follow-up run (or a later snapshot) to flush timed-out windows —
+  continuous/processing-time triggers have no such constraint.
 
 The batch side (``spark.read.format("icelite")``) supports time travel
 via ``.option("version", N)`` / ``.option("as-of-ms", T)``; the richer
