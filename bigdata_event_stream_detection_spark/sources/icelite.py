@@ -612,27 +612,57 @@ def merge_into(
 
 def compact_files(spark: SparkSession, path: str,
                   target_mb: int = 128,
-                  small_mb: float | None = None) -> int | None:
-    """Rewrite small files into ~``target_mb`` ones (replace snapshot).
+                  small_mb: float | None = None,
+                  cluster_by: tuple[str, ...] = (),
+                  zorder_by: tuple[str, ...] = (),
+                  n_files: int | None = None) -> int | None:
+    """Rewrite data files into ~``target_mb`` ones (replace snapshot).
 
     Iceberg's ``rewrite_data_files``: a streaming sink that commits
     every trigger leaves trigger-sized files; at scale the scan pays a
-    task and a listing per file. Only files under ``small_mb``
-    (default ``target_mb/2``) are rewritten; big files are carried by
-    reference. Returns the new snapshot id, or None if <2 small files.
+    task and a listing per file. By default only files under
+    ``small_mb`` (default ``target_mb/2``) are rewritten; big files are
+    carried by reference. Returns the new snapshot id, or None if
+    there is nothing to do.
+
+    ``cluster_by`` / ``zorder_by`` (mutually exclusive) turn the
+    compaction into a LAYOUT rewrite of ALL current files: one range
+    shuffle makes output files disjoint+sorted on the key prefix (or
+    the interleaved-bit Z-curve over every listed column — Iceberg's
+    OPTIMIZE ZORDER), so the manifest's footer stats prune
+    key-predicate scans to a few files instead of all of them. The
+    sort machinery is shared with ``sinks/maintenance.py``.
+    ``n_files`` overrides the size-derived output file count (tests,
+    or matching a downstream reader's parallelism).
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    layout = bool(cluster_by or zorder_by)
     small = (small_mb if small_mb is not None else target_mb / 2) * (1 << 20)
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
     entries = _snapshot_entries(path, parent)
-    victims = [e for e in entries if e["bytes"] < small]
-    if len(victims) < 2:
+    victims = (entries if layout
+               else [e for e in entries if e["bytes"] < small])
+    if len(victims) < (1 if layout else 2):
         return None
     total = sum(e["bytes"] for e in victims)
-    n_out = max(1, math.ceil(total / (target_mb * (1 << 20))))
+    n_out = (n_files if n_files is not None
+             else max(1, math.ceil(total / (target_mb * (1 << 20)))))
     df = spark.read.schema(schema).parquet(
         *[os.path.join(path, e["path"]) for e in victims])
-    new_entries = _write_data_files(df.repartition(n_out), path)
+    if zorder_by:
+        from ..sinks.maintenance import _zorder_key
+
+        out = (df.withColumn("_zk", _zorder_key(df, tuple(zorder_by)))
+               .repartitionByRange(n_out, "_zk")
+               .sortWithinPartitions("_zk").drop("_zk"))
+    elif cluster_by:
+        out = (df.repartitionByRange(n_out, *cluster_by)
+               .sortWithinPartitions(*cluster_by))
+    else:
+        out = df.repartition(n_out)
+    new_entries = _write_data_files(out, path)
     dead = {e["path"] for e in victims}
     kept_manifests = []
     for m in parent["manifests"]:

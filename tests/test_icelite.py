@@ -206,6 +206,42 @@ def test_compact_preserves_rows_and_history(spark, tbl):
     assert read_table(spark, tbl, version=pre_version).count() == 40
 
 
+def test_compact_cluster_by_improves_pruning(spark, tbl):
+    # round-robin partitions: every file spans the whole key range, so
+    # footer stats cannot prune anything...
+    append(_rows(spark, 0, 4000).repartition(4), tbl)
+    band = [("k", "between", (100, 200))]
+    assert len(table_files(tbl, where=band)) == 4
+    # ...until a clustering compaction makes files key-disjoint
+    sid = compact_files(spark, tbl, cluster_by=("k",), n_files=4)
+    assert sid is not None
+    assert len(table_files(tbl)) == 4
+    assert len(table_files(tbl, where=band)) < 4
+    assert read_table(spark, tbl, where=band).count() == 101
+    assert read_table(spark, tbl).count() == 4000
+
+
+def test_compact_zorder_prunes_both_columns(spark, tmp_path):
+    schema = StructType([
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+    ])
+    tbl = str(tmp_path / "z")
+    create_table(tbl, schema)
+    append(spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"))
+        .repartition(4), tbl)
+    assert len(table_files(tbl, where=[("x", "between", (0, 15))])) == 4
+    compact_files(spark, tbl, zorder_by=("x", "y"), n_files=4)
+    # Z-curve tiles: a narrow band on EITHER column prunes files
+    assert len(table_files(tbl, where=[("x", "between", (0, 15))])) < 4
+    assert len(table_files(tbl, where=[("y", "between", (0, 15))])) < 4
+    assert read_table(spark, tbl).count() == 4096
+    with pytest.raises(ValueError):
+        compact_files(spark, tbl, cluster_by=("x",), zorder_by=("y",))
+
+
 def test_expire_snapshots_reclaims_files(spark, tbl):
     for i in range(3):
         append(_rows(spark, i * 10, (i + 1) * 10).coalesce(1), tbl)
