@@ -43,6 +43,9 @@ HEADLINE = [
     # round-2 continuation: CDC family + MATCH_RECOGNIZE sequences
     "latest_user_state", "scd2_user_history", "seq_matches",
     "seq_rule_matches", "seq_define_matches", "seq_overlap_matches",
+    # round 3: icelite table-format queries (build tables then read)
+    "icelite_merge_snapshot", "icelite_time_travel",
+    "icelite_pruned_scan",
 ]
 
 
