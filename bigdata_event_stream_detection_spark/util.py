@@ -21,3 +21,27 @@ def persist_once(df: DataFrame) -> DataFrame:
     if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
         return df
     return df.persist()
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-split scan up to cluster
+    parallelism BEFORE a data-amplifying stage (shingle/token explode).
+
+    Spark's input parallelism comes from file splits, and parquet only
+    splits at row-group boundaries: a single-row-group file is ONE task
+    no matter what ``maxPartitionBytes`` says, which serializes a
+    CPU-heavy explode on one core while the rest of the cluster idles
+    (measured: the whole minhash wall at sf0.1 was a one-task shingle
+    explode). At warehouse scale scans have thousands of splits, so the
+    guard makes this a structural no-op there; it fires only in the
+    under-split regime (small files, bootstrap loads), where the
+    exchange it inserts moves the SMALL pre-explosion input once.
+    AQE can coalesce an over-partitioned stage but never splits an
+    under-partitioned scan — this is the missing half.
+    """
+    sess = df.sparkSession
+    if target is None:
+        target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
