@@ -174,6 +174,35 @@ def test_merge_into_cow_and_untouched_files(spark, tbl):
     assert read_table(spark, tbl, version=2).count() == 4000
 
 
+def test_concurrent_merges_one_wins_one_conflicts(spark, tbl):
+    # replace-type commits must NOT auto-retry over a changed file set:
+    # exactly one of two racing merges commits, the other raises
+    append(_rows(spark, 0, 1000).repartitionByRange(2, "k"), tbl)
+    barrier = threading.Barrier(2)
+    results = []
+
+    def worker(tag):
+        src = spark.createDataFrame(
+            [(5, f"m-{tag}", "m")], SCHEMA)
+        try:
+            barrier.wait()
+            merge_into(spark, tbl, src, key="k")
+            results.append(("ok", tag))
+        except CommitConflict:
+            results.append(("conflict", tag))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["conflict", "ok"]
+    # the winner's row is in; the table is consistent
+    winner = [tag for ok, tag in results if ok == "ok"][0]
+    assert (read_table(spark, tbl).filter(F.col("k") == 5)
+            .first()["v"] == f"m-{winner}")
+    assert read_table(spark, tbl).count() == 1000
+
+
 def test_merge_into_empty_table_inserts(spark, tbl):
     merge_into(spark, tbl, _rows(spark, 0, 10), key="k")
     assert read_table(spark, tbl).count() == 10
