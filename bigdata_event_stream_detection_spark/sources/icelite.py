@@ -255,16 +255,25 @@ def _plain(v):
     return v
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[dict]:
+def _write_data_files(df: DataFrame, path: str,
+                      parquet_block_bytes: int | None = None) -> list[dict]:
     """Write ``df`` as immutable data files + collect footer stats.
 
     Spark writes to a staging dir (task commits are Spark's problem);
     completed part files are then moved into ``data/`` under unique
     names — they become visible to readers only via a later snapshot
-    commit, never by directory listing.
+    commit, never by directory listing. Each entry records its
+    ``row_groups`` count so readers can split big files into row-group
+    tasks WITHOUT touching footers at plan time (Iceberg's
+    split-offsets idea). ``parquet_block_bytes`` caps the row-group
+    size (mainly for tests that need multi-row-group files).
     """
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size",
+                               str(parquet_block_bytes))
+    writer.parquet(staging)
     stat_cols = {f.name: f.dataType.typeName()
                  for f in df.schema.fields
                  if f.dataType.typeName() in _STATS_TYPES}
@@ -278,9 +287,10 @@ def _write_data_files(df: DataFrame, path: str) -> list[dict]:
         stats = _stats_from_footer(src, dict(stat_cols))
         import pyarrow.parquet as pq
 
-        rows = pq.ParquetFile(src).metadata.num_rows
+        md = pq.ParquetFile(src).metadata
         os.replace(src, dst)
-        entries.append({"path": rel, "rows": rows,
+        entries.append({"path": rel, "rows": md.num_rows,
+                        "row_groups": md.num_row_groups,
                         "bytes": os.path.getsize(dst), "stats": stats})
     # clear staging remnants (_SUCCESS, crc files)
     for name in os.listdir(staging):
@@ -306,7 +316,8 @@ def create_table(path: str, schema: StructType) -> None:
 
 
 def append(df: DataFrame, path: str, max_retries: int = 10,
-           summary_extra: dict | None = None) -> int:
+           summary_extra: dict | None = None,
+           parquet_block_bytes: int | None = None) -> int:
     """Append ``df`` as a new snapshot; returns the snapshot id.
 
     Appends never conflict logically, so a lost commit race is retried
@@ -314,7 +325,8 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
     snapshot JSON is re-attempted). ``summary_extra`` lands in the
     snapshot summary — the streaming sinks stamp their (stream id,
     batch id) there for replay idempotence."""
-    entries = _write_data_files(df, path)
+    entries = _write_data_files(df, path,
+                                parquet_block_bytes=parquet_block_bytes)
     manifest = _write_manifest(path, entries)
     for _ in range(max_retries):
         parent = _load_snapshot(path, current_snapshot_id(path))

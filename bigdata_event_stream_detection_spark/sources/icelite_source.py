@@ -55,19 +55,39 @@ _REPLACE_OPS = {"merge", "overwrite", "compact"}
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One read task: a whole data file, or one of its row groups
+    (``rg`` set) when the manifest recorded several — a 1 GB file must
+    not become one Python task. The split plan costs NO footer reads:
+    ``row_groups`` travels in the manifest entry (Iceberg's
+    split-offsets idea)."""
+
+    def __init__(self, path: str, rg: int | None = None):
         self.path = path
+        self.rg = rg
 
 
-def _arrow_batches(file_path: str, schema_json: str):
-    """Yield the file's rows as Arrow record batches cast to the table
-    schema (runs in the Python worker; pyarrow is daemon-preloaded)."""
+def _entry_partitions(table_path: str, entry: dict) -> list:
+    path = os.path.join(table_path, entry["path"])
+    n_rg = entry.get("row_groups", 1) or 1
+    if n_rg <= 1:
+        return [_FilePartition(path)]
+    return [_FilePartition(path, rg) for rg in range(n_rg)]
+
+
+def _arrow_batches(file_path: str, schema_json: str,
+                   rg: int | None = None):
+    """Yield the file's (or one row group's) rows as Arrow record
+    batches cast to the table schema (runs in the Python worker;
+    pyarrow is daemon-preloaded)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     spark_schema = StructType.fromJson(json.loads(schema_json))
     arrow_schema = to_arrow_schema(spark_schema)
-    table = pq.read_table(file_path)
+    if rg is None:
+        table = pq.read_table(file_path)
+    else:
+        table = pq.ParquetFile(file_path).read_row_group(rg)
     # name-based resolution + null-fill for add-column evolution
     import pyarrow as pa
 
@@ -80,9 +100,9 @@ def _arrow_batches(file_path: str, schema_json: str):
     yield from pa.Table.from_arrays(cols, schema=arrow_schema).to_batches()
 
 
-def _added_files(table_path: str, start_id: int, end_id: int,
-                 skip_replace: bool) -> list[str]:
-    out: list[str] = []
+def _added_partitions(table_path: str, start_id: int, end_id: int,
+                      skip_replace: bool) -> list[_FilePartition]:
+    out: list[_FilePartition] = []
     for sid in range(start_id + 1, end_id + 1):
         snap = icelite._load_snapshot(table_path, sid)
         op = snap["operation"]
@@ -95,8 +115,8 @@ def _added_files(table_path: str, start_id: int, end_id: int,
                 "'true') to skip replace snapshots (their rewrites are "
                 "not re-emitted)")
         for m in snap.get("added_manifests", []):
-            out.extend(os.path.join(table_path, e["path"])
-                       for e in icelite._load_manifest(table_path, m))
+            for e in icelite._load_manifest(table_path, m):
+                out.extend(_entry_partitions(table_path, e))
     return out
 
 
@@ -116,12 +136,12 @@ class IceliteStreamReader(DataSourceStreamReader):
         return {"snapshot_id": icelite.current_snapshot_id(self._path)}
 
     def partitions(self, start: dict, end: dict):
-        files = _added_files(self._path, start["snapshot_id"],
-                             end["snapshot_id"], self._skip_replace)
-        return [_FilePartition(p) for p in files]
+        return _added_partitions(self._path, start["snapshot_id"],
+                                 end["snapshot_id"], self._skip_replace)
 
     def read(self, partition: _FilePartition):
-        yield from _arrow_batches(partition.path, self._schema_json)
+        yield from _arrow_batches(partition.path, self._schema_json,
+                                  getattr(partition, "rg", None))
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are immutable; nothing to clean up
@@ -138,11 +158,12 @@ class IceliteBatchReader(DataSourceReader):
     def partitions(self):
         entries = icelite.table_files(
             self._path, version=self._version, as_of_ms=self._as_of_ms)
-        return [_FilePartition(os.path.join(self._path, e["path"]))
-                for e in entries]
+        return [p for e in entries
+                for p in _entry_partitions(self._path, e)]
 
     def read(self, partition: _FilePartition):
-        yield from _arrow_batches(partition.path, self._schema_json)
+        yield from _arrow_batches(partition.path, self._schema_json,
+                                  getattr(partition, "rg", None))
 
 
 class IceliteDataSource(DataSource):

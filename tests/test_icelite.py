@@ -365,6 +365,29 @@ def test_streaming_sequences_arrow_types(spark, tiny_sequences, tmp_path,
     assert digest(spark.read.parquet(sink)) == digest(tiny_sequences)
 
 
+def test_row_group_split_partitions(spark, tbl, registered):
+    # a big data file must not become one Python task: the manifest
+    # records row_groups and readers emit one partition per group
+    from bigdata_event_stream_detection_spark.sources.icelite_source import (
+        IceliteBatchReader,
+        _entry_partitions,
+    )
+
+    append(_rows(spark, 0, 50_000).coalesce(1), tbl,
+           parquet_block_bytes=64 * 1024)
+    entries = table_files(tbl)
+    assert len(entries) == 1 and entries[0]["row_groups"] > 1
+    parts = _entry_partitions(tbl, entries[0])
+    assert len(parts) == entries[0]["row_groups"]
+    # the split read returns exactly the table, batch and stream alike
+    reader = IceliteBatchReader(
+        tbl, read_table(spark, tbl).schema.json(), None, None)
+    assert len(reader.partitions()) == entries[0]["row_groups"]
+    df = spark.read.format("icelite").load(tbl)
+    assert df.count() == 50_000
+    assert df.agg(F.sum("k")).first()[0] == sum(range(50_000))
+
+
 def test_streaming_replace_snapshot_policy(spark, tbl, registered,
                                            tmp_path):
     append(_rows(spark, 0, 1000).repartitionByRange(2, "k"), tbl)
