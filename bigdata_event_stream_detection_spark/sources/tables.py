@@ -112,6 +112,19 @@ def write_events(
          .partitionedBy(*partition_by).createOrReplace()) \
             if mode == "overwrite" else events.writeTo(table).append()
         return
+    if fmt == "icelite":
+        # ACID append/overwrite; snapshot stats give window_start
+        # file pruning instead of directory partitioning
+        from . import icelite
+        try:
+            icelite.current_snapshot_id(table)
+        except FileNotFoundError:
+            icelite.create_table(table, events.schema)
+        if mode == "overwrite":
+            icelite.overwrite(events, table)
+        else:
+            icelite.append(events, table)
+        return
     if fmt == "parquet":
         events.write.mode(mode).partitionBy(*partition_by).parquet(table)
         return

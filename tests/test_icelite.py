@@ -235,6 +235,21 @@ def test_compact_preserves_rows_and_history(spark, tbl):
     assert read_table(spark, tbl, version=pre_version).count() == 40
 
 
+def test_write_events_icelite_roundtrip(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.tables import (
+        write_events,
+    )
+
+    tblp = str(tmp_path / "ev")
+    df = _rows(spark, 0, 40)
+    write_events(df, tblp, fmt="icelite")          # creates + appends
+    write_events(_rows(spark, 40, 60), tblp, fmt="icelite")
+    assert read_table(spark, tblp).count() == 60
+    write_events(df, tblp, fmt="icelite", mode="overwrite")
+    assert read_table(spark, tblp).count() == 40
+    assert snapshots(tblp)[-1]["operation"] == "overwrite"
+
+
 def test_compact_cluster_by_improves_pruning(spark, tbl):
     # round-robin partitions: every file spans the whole key range, so
     # footer stats cannot prune anything...
