@@ -94,9 +94,12 @@ _META = "meta"
 _DATA = "data"
 
 # parquet logical types whose footer min/max we trust for pruning.
-# Skipped types (arrays, structs, binary) simply never prune.
+# Skipped types (arrays, structs, binary, decimal) simply never prune —
+# decimal stats arrive as Decimal objects whose JSON round-trip would
+# have to preserve NUMERIC ordering to prune soundly, so they are
+# conservatively excluded (their files are always scanned).
 _STATS_TYPES = {"string", "integer", "long", "short", "byte", "float",
-                "double", "date", "timestamp", "boolean", "decimal"}
+                "double", "date", "timestamp", "boolean"}
 
 
 class CommitConflict(RuntimeError):
