@@ -700,12 +700,22 @@ def compact_files(spark: SparkSession, path: str,
     return _commit_snapshot(path, snap)
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> dict:
-    """Drop all but the last ``keep_last`` snapshots and delete data/
-    manifest files no kept snapshot references. Time travel before the
-    horizon stops working — that is the point (storage reclaim)."""
+def expire_snapshots(path: str, keep_last: int = 2,
+                     older_than_ms: int | None = None) -> dict:
+    """Drop expired snapshots and delete data/manifest files no kept
+    snapshot references. Time travel before the horizon stops working —
+    that is the point (storage reclaim).
+
+    Keeps the last ``keep_last`` snapshots always; with
+    ``older_than_ms`` (Iceberg's ``older_than``) every snapshot
+    committed at or after that timestamp is ALSO kept, so a time-based
+    retention window survives bursts of commits."""
     ids = _list_snapshot_ids(path)
     keep = set(ids[-keep_last:])
+    if older_than_ms is not None:
+        keep.update(
+            i for i in ids
+            if _load_snapshot(path, i)["timestamp_ms"] >= older_than_ms)
     live_manifests: set[str] = set()
     live_files: set[str] = set()
     for i in keep:

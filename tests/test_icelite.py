@@ -300,6 +300,23 @@ def test_expire_snapshots_reclaims_files(spark, tbl):
         read_table(spark, tbl, version=2)
 
 
+def test_expire_snapshots_age_retention(spark, tbl):
+    for i in range(4):
+        append(_rows(spark, i * 10, (i + 1) * 10).coalesce(1), tbl)
+    # horizon BEFORE every commit: all snapshots are inside the
+    # retention window -> nothing expires despite keep_last=1
+    t0 = snapshots(tbl)[0]["timestamp_ms"]
+    removed = expire_snapshots(tbl, keep_last=1, older_than_ms=t0)
+    assert removed == {"snapshots": 0, "manifests": 0, "data_files": 0}
+    assert read_table(spark, tbl, version=3).count() == 20
+    # horizon AFTER every commit: only keep_last survives
+    last = snapshots(tbl)[-1]["timestamp_ms"]
+    removed = expire_snapshots(tbl, keep_last=1,
+                               older_than_ms=last + 1)
+    assert removed["snapshots"] == 4
+    assert read_table(spark, tbl).count() == 40
+
+
 # ---------------------------------------------------------------------------
 # Python Data Source: batch + snapshot-incremental streaming
 
