@@ -29,17 +29,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 GEN = r"""
 import glob, os, sys, time
-rows, keys, files, in_dir = (int(sys.argv[1]), int(sys.argv[2]),
-                             int(sys.argv[3]), sys.argv[4])
+rows, keys, files, in_dir, layout = (int(sys.argv[1]), int(sys.argv[2]),
+                                     int(sys.argv[3]), sys.argv[4],
+                                     sys.argv[5])
 from bigdata_event_stream_detection_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark("gen-cdc", cores=32)
 span_us = 24 * 3600 * 1000000
 # deterministic changelog: op and payload are pure hashes of the row
-# id; ts increases with id so chronological files = arrival order
+# id; ts increases with id so chronological files = arrival order.
+# layout=uniform: every trigger touches every key band (the store-
+# rewrite worst case). layout=local: user_id is monotone in ts, so
+# each trigger's keys occupy a disjoint band (the pruning best case).
+if layout == "local":
+    key_expr = (F.col("id") * keys / rows).cast("long").cast("string")
+else:
+    key_expr = (F.col("id") % keys).cast("string")
 df = (spark.range(rows)
       .select(F.col("id").alias("event_id"),
-              (F.col("id") % keys).cast("string").alias("user_id"),
+              key_expr.alias("user_id"),
               F.timestamp_micros(
                   (F.col("id") * (span_us // rows)).cast("long"))
               .alias("ts"),
@@ -86,6 +94,23 @@ if mode == "batch":
     snap = latest_snapshot(cl, attrs=["event_type", "value"])
     res = snap.agg(*dig_expr).collect()[0]
     wall = time.perf_counter() - t0
+elif mode == "icelite":
+    from bigdata_event_stream_detection_spark.streaming.icelite_sink \
+        import read_cdc_snapshot, start_apply_changes_icelite
+    store = out_root + "/itbl_%d_%s" % (cores, tag)
+    ckpt = out_root + "/ickpt_%d_%s" % (cores, tag)
+    stream = (spark.readStream
+              .schema("event_id long, user_id string, ts timestamp,"
+                      " op string, event_type string, value double")
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    t0 = time.perf_counter()
+    q = start_apply_changes_icelite(
+        stream, store, ckpt, key_col="user_id",
+        attrs=("event_type", "value"), available_now=True)
+    q.awaitTermination(3600)
+    wall = time.perf_counter() - t0
+    res = read_cdc_snapshot(spark, store).agg(*dig_expr).collect()[0]
+    shutil.rmtree(store, ignore_errors=True)
 else:
     from bigdata_event_stream_detection_spark.streaming.cdc import (
         read_snapshot, start_apply_changes_sink)
@@ -141,6 +166,12 @@ def main():
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--modes", default="stream,batch")
+    ap.add_argument("--layout", default="uniform",
+                    choices=("uniform", "local"),
+                    help="uniform: every trigger touches every key "
+                         "band (store-rewrite worst case); local: "
+                         "keys monotone in ts, each trigger a "
+                         "disjoint band (pruning best case)")
     ap.add_argument("--local-dir", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
@@ -148,12 +179,14 @@ def main():
     partitions = 6 * 4 * args.n
     work = tempfile.mkdtemp(prefix="cdc_bench_", dir=args.local_dir)
     in_dir = os.path.join(tempfile.gettempdir(),
-                          f"cdc_input_{args.rows}_{args.keys}",
+                          f"cdc_input_{args.rows}_{args.keys}_"
+                          f"{args.layout}",
                           "changelog")
     env = dict(os.environ, PYTHONPATH=REPO)
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         subprocess.run([sys.executable, "-c", GEN, str(args.rows),
-                        str(args.keys), str(args.files), in_dir],
+                        str(args.keys), str(args.files), in_dir,
+                        args.layout],
                        check=True, env=env, cwd=REPO,
                        capture_output=True, timeout=3600)
 
@@ -170,7 +203,8 @@ def main():
              f"{4 * args.n} cores, min of {args.repeats} interleaved "
              "sweeps)", "",
              f"Input: {args.rows} changelog rows / {args.keys} keys "
-             f"(hash-deterministic I/U/D mix), {args.files} "
+             f"(hash-deterministic I/U/D mix, {args.layout} key "
+             f"layout), {args.files} "
              f"chronological files = {args.files} micro-batches for "
              f"the stream, {args.buckets}-bucket store, {partitions} "
              "fixed shuffle partitions. batch = latest_snapshot "
