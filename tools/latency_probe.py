@@ -41,6 +41,13 @@ def main() -> int:
                     choices=["flagship", "seq"],
                     help="flagship = EM/HMM detector; seq = the "
                     "MATCH_RECOGNIZE sequence CEP stream")
+    ap.add_argument("--source", default="files",
+                    choices=["files", "icelite"],
+                    help="files = parquet file source with "
+                    "maxFilesPerTrigger (availableNow); icelite = "
+                    "snapshot-incremental table source driven by a "
+                    "LIVE feeder (processing-time trigger, one append "
+                    "per trigger) — the continuous-operation shape")
     ap.add_argument("--local-dir", default=None)
     args = ap.parse_args()
     if args.job == "seq":
@@ -71,8 +78,9 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
         os.utime(f, (t + i, t + i))
 
     probe = r"""
-import json, statistics, sys, tempfile
-docs, cores, in_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+import glob, json, statistics, sys, tempfile, time
+docs, cores, in_dir, source = (int(sys.argv[1]), int(sys.argv[2]),
+                               sys.argv[3], sys.argv[4])
 from bigdata_event_stream_detection_spark.session import get_spark
 from bigdata_event_stream_detection_spark.plans.pipeline import small_params
 from bigdata_event_stream_detection_spark.operators import background as bg
@@ -97,11 +105,40 @@ model = bg.background_model(
 listener = MetricsListener()
 spark.streams.addListener(listener)
 work = tempfile.mkdtemp(prefix="latency_probe_")
-stream = read_sequence_stream(spark, in_dir, max_files_per_trigger=1)
-events = streaming_detect_events(stream, model, params)
-q = start_event_sink(events, work + "/out", work + "/ckpt",
-                     available_now=True)
-q.awaitTermination(1800)
+if source == "icelite":
+    # continuous-operation shape: the stream runs on a processing-time
+    # trigger while a LIVE feeder commits one snapshot per time slice
+    # (the file chunks, in chronological order) — each trigger then
+    # reads exactly the newly committed snapshot's files
+    from bigdata_event_stream_detection_spark.sources import icelite
+    from bigdata_event_stream_detection_spark.sources.tables import (
+        read_sequences_stream)
+    tbl = work + "/sequences"
+    chunks = sorted(glob.glob(in_dir + "/part-*.parquet"))
+    icelite.create_table(tbl, seqs.schema)
+    icelite.append(spark.read.parquet(chunks[0]), tbl)
+    stream = read_sequences_stream(spark, tbl, fmt="icelite")
+    events = streaming_detect_events(stream, model, params)
+    q = start_event_sink(events, work + "/out", work + "/ckpt")
+    for c in chunks[1:]:
+        icelite.append(spark.read.parquet(c), tbl)
+        n_before = len(listener.progress)
+        t0 = time.time()
+        while len(listener.progress) <= n_before and time.time() - t0 < 120:
+            time.sleep(0.2)
+    # idle triggers evict the final watermark-closed windows
+    tail = len(listener.progress)
+    t0 = time.time()
+    while len(listener.progress) < tail + 2 and time.time() - t0 < 120:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(120)
+else:
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger=1)
+    events = streaming_detect_events(stream, model, params)
+    q = start_event_sink(events, work + "/out", work + "/ckpt",
+                         available_now=True)
+    q.awaitTermination(1800)
 n_events = spark.read.parquet(work + "/out").count()
 lats = listener.watermark_to_sink_latency_sec()
 tput = listener.throughput_rows_per_sec()
@@ -110,7 +147,7 @@ print("RESULT " + json.dumps({
     "latency_sec": lats, "docs_per_sec": tput}))
 """
     cmd = [sys.executable, "-c", probe, str(args.docs), str(args.cores),
-           in_dir]
+           in_dir, args.source]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{args.cores - 1}"] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -124,7 +161,8 @@ print("RESULT " + json.dumps({
         return 1
     lats = [x for x in result["latency_sec"] if x > 0]
     print(f"### Watermark-to-sink latency ({args.docs} docs, "
-          f"{args.files} micro-batches, local[{args.cores}])")
+          f"{args.files} micro-batches, local[{args.cores}], "
+          f"source={args.source})")
     print()
     print(f"- batches: {result['batches']}; event rows: "
           f"{result['n_events']}; ingest {result['docs_per_sec']:.0f} "
