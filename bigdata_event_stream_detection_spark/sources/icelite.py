@@ -500,8 +500,11 @@ def merge_into(
     Semantics = ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED
     [AND s.delete_col] THEN DELETE / WHEN MATCHED THEN UPDATE SET * /
     WHEN NOT MATCHED THEN INSERT *``. ``source`` must be unique per
-    key (latest-wins pre-reduction is the caller's changelog contract —
-    ``operators/cdc.latest_snapshot`` produces exactly that).
+    key and keys must be NON-NULL (SQL MERGE's null-key rows never
+    match and would insert; here the precedence path would collapse
+    all null keys into one group) — latest-wins pre-reduction over a
+    non-null key is the caller's changelog contract, and
+    ``operators/cdc.latest_snapshot`` produces exactly that.
 
     ``precedence`` names columns (present in table AND source) that
     decide matched rows instead of "source always wins": the row with
@@ -738,4 +741,11 @@ def expire_snapshots(path: str, keep_last: int = 2,
         if f"{_DATA}/{name}" not in live_files:
             os.unlink(os.path.join(data, name))
             removed["data_files"] += 1
+    # crashed writers leave _staging-* dirs (their moved-but-never-
+    # committed data files are already handled above)
+    import shutil
+
+    for name in os.listdir(path):
+        if name.startswith("_staging-"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return removed

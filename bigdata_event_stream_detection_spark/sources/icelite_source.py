@@ -128,9 +128,15 @@ class IceliteStreamReader(DataSourceStreamReader):
         self._skip_replace = skip_replace
 
     def initialOffset(self) -> dict:
-        # before the first snapshot: the first batch covers the table's
-        # whole committed history (create=1 has no files)
-        return {"snapshot_id": 0}
+        # start before the EARLIEST snapshot still on disk, so the
+        # first batch covers the whole *retained* history. After
+        # expire_snapshots, rows whose adding snapshots were expired
+        # are not re-emitted (Iceberg's incremental scan has the same
+        # contract: compacted-away history cannot be replayed) — but a
+        # fresh stream must start cleanly rather than crash on the
+        # missing snapshot JSONs.
+        ids = icelite._list_snapshot_ids(self._path)
+        return {"snapshot_id": (min(ids) - 1) if ids else 0}
 
     def latestOffset(self) -> dict:
         return {"snapshot_id": icelite.current_snapshot_id(self._path)}

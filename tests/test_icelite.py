@@ -420,6 +420,38 @@ def test_row_group_split_partitions(spark, tbl, registered):
     assert df.agg(F.sum("k")).first()[0] == sum(range(50_000))
 
 
+def test_stream_starts_cleanly_after_expiry(spark, tbl, registered,
+                                            tmp_path):
+    # a fresh stream on a table whose early snapshots were expired must
+    # start from the earliest RETAINED snapshot, not crash on snapshot 1
+    for i in range(3):
+        append(_rows(spark, i * 10, (i + 1) * 10).coalesce(1), tbl)
+    expire_snapshots(tbl, keep_last=1)  # snapshots 1-3 gone, 4 kept
+    append(_rows(spark, 100, 120), tbl)  # snapshot 5
+
+    q = (spark.readStream.format("icelite").load(tbl)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "s"))
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "s"))
+    # only snapshots 4..5's ADDED rows are retained history: snapshot 4
+    # is the third append (k in [20,30)); 1-3's adds were expired
+    assert set(out.select("k").toPandas()["k"]) == (
+        set(range(20, 30)) | set(range(100, 120)))
+
+
+def test_expire_cleans_crashed_staging_dirs(spark, tbl):
+    append(_rows(spark, 0, 10), tbl)
+    stale = os.path.join(tbl, "_staging-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-0.parquet"), "wb").write(b"junk")
+    expire_snapshots(tbl, keep_last=1)
+    assert not os.path.exists(stale)
+    assert read_table(spark, tbl).count() == 10
+
+
 def test_streaming_replace_snapshot_policy(spark, tbl, registered,
                                            tmp_path):
     append(_rows(spark, 0, 1000).repartitionByRange(2, "k"), tbl)
