@@ -73,6 +73,34 @@ def last_committed_batch(table_path: str, stream_id: str) -> int | None:
     return best
 
 
+class _CommittedBatchCache:
+    """O(1) replay detection per trigger: the snapshot log is scanned
+    ONCE (lazily, on the first trigger after a (re)start — batch ids
+    are monotone per checkpoint, so the max committed id is the whole
+    answer) and then maintained in memory. Without this a long-running
+    sink pays an O(snapshots) metadata scan per trigger — quadratic
+    cumulative work. Caveat shared with Iceberg: if expire_snapshots
+    removes EVERY stamped snapshot AND the checkpoint is lost, the
+    replay wall is gone; keep a retention window covering the longest
+    possible replay (older_than_ms exists for exactly this)."""
+
+    def __init__(self, table_path: str, stream_id: str):
+        self._path = table_path
+        self._sid = stream_id
+        self._max: int | None = None
+        self._init = False
+
+    def already_committed(self, batch_id: int) -> bool:
+        if not self._init:
+            self._max = last_committed_batch(self._path, self._sid)
+            self._init = True
+        return self._max is not None and batch_id <= self._max
+
+    def record(self, batch_id: int) -> None:
+        self._max = (batch_id if self._max is None
+                     else max(self._max, batch_id))
+
+
 def _ensure_table(table_path: str, schema: StructType) -> None:
     try:
         icelite.current_snapshot_id(table_path)
@@ -90,14 +118,15 @@ def start_append_sink(
     exactly once under replay. Returns the streaming query."""
     sid = _stream_id(checkpoint_path)
     _ensure_table(table_path, df.schema)
+    done = _CommittedBatchCache(table_path, sid)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        done = last_committed_batch(table_path, sid)
-        if done is not None and batch_id <= done:
+        if done.already_committed(batch_id):
             return  # replayed batch: already a committed snapshot
         icelite.append(batch_df, table_path,
                        summary_extra={"stream_id": sid,
                                       "stream_batch_id": batch_id})
+        done.record(batch_id)
 
     writer = (df.writeStream.foreachBatch(commit)
               .option("checkpointLocation", checkpoint_path)
@@ -143,10 +172,10 @@ def start_apply_changes_icelite(
     sid = _stream_id(checkpoint_path)
     _ensure_table(table_path, _store_schema(
         changelog, key_col, time_col, id_col, op_col, attrs))
+    done = _CommittedBatchCache(table_path, sid)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        done = last_committed_batch(table_path, sid)
-        if done is not None and batch_id <= done:
+        if done.already_committed(batch_id):
             return
         latest = _batch_latest(batch_df, key_col, time_col, id_col,
                                op_col, attrs, n_buckets=1).drop("bucket")
@@ -154,6 +183,7 @@ def start_apply_changes_icelite(
             batch_df.sparkSession, table_path, latest, key=key_col,
             precedence=("last_ts", "last_id"),
             summary_extra={"stream_id": sid, "stream_batch_id": batch_id})
+        done.record(batch_id)
 
     writer = (changelog.writeStream.foreachBatch(commit)
               .option("checkpointLocation", checkpoint_path)
