@@ -87,6 +87,8 @@ __all__ = [
     "current_snapshot_id",
     "compact_files",
     "expire_snapshots",
+    "remove_orphan_files",
+    "rewrite_manifests",
     "add_columns",
 ]
 
@@ -276,7 +278,18 @@ def _write_data_files(df: DataFrame, path: str,
     if parquet_block_bytes is not None:
         writer = writer.option("parquet.block.size",
                                str(parquet_block_bytes))
-    writer.parquet(staging)
+    # Spark's default INT96 timestamps write NO footer min/max (the
+    # deprecated type has no stats), which would silently disable
+    # timestamp pruning and merge planning; write the Iceberg-standard
+    # TIMESTAMP_MICROS instead (set/restore: session-global conf)
+    sess = df.sparkSession
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    ts_old = sess.conf.get(ts_key)
+    sess.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(staging)
+    finally:
+        sess.conf.set(ts_key, ts_old)
     stat_cols = {f.name: f.dataType.typeName()
                  for f in df.schema.fields
                  if f.dataType.typeName() in _STATS_TYPES}
@@ -385,21 +398,60 @@ def table_files(path: str, version: int | None = None,
                 where: list[tuple] | None = None) -> list[dict]:
     """Manifest entries for a snapshot, after min/max file pruning."""
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
+    schema = StructType.fromJson(snap["schema"])
     entries = _snapshot_entries(path, snap)
     if where:
         entries = [e for e in entries
-                   if all(_file_may_match(e, p) for p in where)]
+                   if all(_file_may_match(e, p, schema) for p in where)]
     return entries
 
 
-def _file_may_match(entry: dict, pred: tuple) -> bool:
+def _col_type(schema: StructType, name: str) -> str | None:
+    for f in schema.fields:
+        if f.name == name:
+            return f.dataType.typeName()
+    return None
+
+
+def _encode_value(v, type_name: str | None):
+    """Predicate value in the stats encoding: timestamp/date columns'
+    footer stats are stored via :func:`_plain` (epoch micros / epoch
+    days), so datetime/date predicate values must be encoded the same
+    way before comparing — raw comparison would silently mis-prune
+    (epoch *seconds* vs micros, Spark's implicit cast)."""
+    if type_name in ("timestamp", "date"):
+        return _plain(v)
+    return v
+
+
+def _encode_expr(name: str, schema: StructType) -> Column:
+    """Spark column expression in the stats encoding of
+    :func:`_plain`, so Spark-side comparisons (row filters, merge
+    planning joins) agree with the manifest's file-level pruning for
+    timestamp/date columns."""
+    t = _col_type(schema, name)
+    c = F.col(name)
+    if t == "timestamp":
+        return F.unix_micros(c)
+    if t == "date":
+        return F.unix_date(c)
+    return c
+
+
+def _file_may_match(entry: dict, pred: tuple,
+                    schema: StructType) -> bool:
     """Conservative file-level predicate check: False ONLY when the
     footer stats prove no row can match. Missing stats keep the file."""
     col, op, val = pred
     st = entry["stats"].get(col)
     if st is None:
         return True
+    t = _col_type(schema, col)
     lo, hi = st["min"], st["max"]
+    if op == "between":
+        vlo, vhi = (_encode_value(val[0], t), _encode_value(val[1], t))
+        return not (hi < vlo or lo > vhi)
+    val = _encode_value(val, t)
     if op == "=":
         return lo <= val <= hi
     if op == "<":
@@ -410,19 +462,22 @@ def _file_may_match(entry: dict, pred: tuple) -> bool:
         return hi > val
     if op == ">=":
         return hi >= val
-    if op == "between":
-        vlo, vhi = val
-        return not (hi < vlo or lo > vhi)
     raise ValueError(f"unknown predicate op {op!r}")
 
 
-def _pred_column(pred: tuple) -> Column:
+def _pred_column(pred: tuple, schema: StructType) -> Column:
+    """Row-level form of a ``where`` predicate. Timestamp/date columns
+    compare in the stats encoding (``unix_micros``/``unix_date``) so
+    the row filter and the file-level prune can never disagree."""
     col, op, val = pred
-    c = F.col(col)
+    t = _col_type(schema, col)
+    c = _encode_expr(col, schema)
+    if op == "between":
+        return c.between(F.lit(_encode_value(val[0], t)),
+                         F.lit(_encode_value(val[1], t)))
+    val = _encode_value(val, t)
     if op == "=":
         return c == F.lit(val)
-    if op == "between":
-        return c.between(F.lit(val[0]), F.lit(val[1]))
     return {"<": c < F.lit(val), "<=": c <= F.lit(val),
             ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
 
@@ -449,7 +504,7 @@ def read_table(
     entries = _snapshot_entries(path, snap)
     if where:
         entries = [e for e in entries
-                   if all(_file_may_match(e, p) for p in where)]
+                   if all(_file_may_match(e, p, schema) for p in where)]
     if not entries:
         df = spark.createDataFrame([], schema)
     else:
@@ -457,7 +512,7 @@ def read_table(
             *[os.path.join(path, e["path"]) for e in entries])
     if where:
         for p in where:
-            df = df.filter(_pred_column(p))
+            df = df.filter(_pred_column(p, schema))
     return df
 
 
@@ -543,13 +598,26 @@ def merge_into(
     src_cols = [f.name for f in schema.fields]
     if delete_col is not None and delete_col not in source.columns:
         raise ValueError(f"source lacks delete column {delete_col!r}")
+    # loud null-key guard: SQL MERGE's null keys never match (insert);
+    # the precedence path would instead collapse every null-key row —
+    # including base rows in touched files — into ONE survivor. The
+    # contract is non-null keys (latest_snapshot emits exactly that),
+    # so a violation must fail the commit, not lose data silently.
+    if not source.filter(F.col(key).isNull()).isEmpty():
+        raise ValueError(
+            f"merge_into source has null values in key column {key!r}; "
+            "MERGE keys must be non-null (pre-reduce the changelog, "
+            "e.g. operators/cdc.latest_snapshot, and drop null keys)")
 
     ranged = [(p, lo, hi) for p, lo, hi in stats_rows if p not in no_stats]
     if ranged:
         stats_df = spark.createDataFrame(
             ranged, ["_file", "_klo", "_khi"])
+        # _encode_expr: timestamp/date keys compare in the stats
+        # encoding (epoch micros/days) — raw comparison would make
+        # planning and the row-level rewrite disagree on touched files
         touched_rows = (
-            source.select(F.col(key).alias("_k")).distinct()
+            source.select(_encode_expr(key, schema).alias("_k")).distinct()
             .join(F.broadcast(stats_df),
                   (F.col("_k") >= F.col("_klo"))
                   & (F.col("_k") <= F.col("_khi")),
@@ -703,16 +771,67 @@ def compact_files(spark: SparkSession, path: str,
     return _commit_snapshot(path, snap)
 
 
+def rewrite_manifests(path: str, target_entries: int = 100_000) -> int | None:
+    """Metadata-only manifest compaction (Iceberg's
+    ``rewrite_manifests`` action): coalesce the current snapshot's
+    manifest list into manifests of ~``target_entries`` entries each,
+    committed as a new snapshot that carries the SAME data files.
+
+    Why: a streaming sink committing one manifest per trigger makes
+    scan planning O(snapshots·io) — after 10k triggers every
+    ``table_files``/``read_table`` opens 10k small JSONs even though
+    ``expire_snapshots`` trimmed the history (kept snapshots still
+    reference their own manifest chains). One rewrite makes planning
+    O(files/target) regardless of commit count. The operation adds no
+    data, so the streaming source emits nothing for it (its
+    ``added_manifests`` is empty and its op is not a replace).
+
+    Returns the new snapshot id, or None when there is nothing to do
+    (already ≤1 manifest, or a single rewrite would not shrink the
+    list). Raises :exc:`CommitConflict` if the table moved during the
+    rewrite (replace-type semantics: retry against the new snapshot).
+    """
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    if len(parent["manifests"]) <= 1:
+        return None
+    entries = _snapshot_entries(path, parent)
+    new_manifests = [
+        _write_manifest(path, entries[i:i + target_entries])
+        for i in range(0, len(entries), target_entries)
+    ] or [_write_manifest(path, [])]
+    if len(new_manifests) >= len(parent["manifests"]):
+        for m in new_manifests:  # abandon: don't leave orphans behind
+            os.unlink(os.path.join(_meta_dir(path), m))
+        return None  # would not shrink; skip the commit
+    snap = {"snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "rewrite-manifests", "schema": parent["schema"],
+            "manifests": new_manifests, "added_manifests": [],
+            "summary": {"added_files": 0, "removed_files": 0,
+                        "rewritten_manifests": len(parent["manifests"])}}
+    return _commit_snapshot(path, snap)
+
+
 def expire_snapshots(path: str, keep_last: int = 2,
                      older_than_ms: int | None = None) -> dict:
-    """Drop expired snapshots and delete data/manifest files no kept
-    snapshot references. Time travel before the horizon stops working —
-    that is the point (storage reclaim).
+    """Drop expired snapshots and delete the data/manifest files they
+    OWN (referenced by an expired snapshot, by no kept one). Time travel
+    before the horizon stops working — that is the point (storage
+    reclaim).
 
     Keeps the last ``keep_last`` snapshots always; with
     ``older_than_ms`` (Iceberg's ``older_than``) every snapshot
     committed at or after that timestamp is ALSO kept, so a time-based
-    retention window survives bursts of commits."""
+    retention window survives bursts of commits.
+
+    Deliberately NOT deleted here: files referenced by NO snapshot at
+    all. A concurrent writer between ``_write_data_files`` and its
+    snapshot commit has exactly that shape — deleting its files would
+    silently corrupt the table it is about to commit. Iceberg separates
+    expiry from orphan cleanup for the same reason; use
+    :func:`remove_orphan_files` (age-gated) for crashed-writer debris.
+    """
     ids = _list_snapshot_ids(path)
     keep = set(ids[-keep_last:])
     if older_than_ms is not None:
@@ -726,26 +845,72 @@ def expire_snapshots(path: str, keep_last: int = 2,
         for m in snap["manifests"]:
             live_manifests.add(m)
             live_files.update(e["path"] for e in _load_manifest(path, m))
+    # files/manifests OWNED by the expiring snapshots (scoped delete:
+    # never touch anything an expired snapshot does not reference)
+    dead_manifests: set[str] = set()
+    dead_files: set[str] = set()
+    for i in ids:
+        if i in keep:
+            continue
+        snap = _load_snapshot(path, i)
+        for m in snap["manifests"]:
+            if m in live_manifests:
+                continue
+            dead_manifests.add(m)
+            dead_files.update(e["path"] for e in _load_manifest(path, m))
+    dead_files -= live_files
     removed = {"snapshots": 0, "manifests": 0, "data_files": 0}
     meta = _meta_dir(path)
     for i in ids:
         if i not in keep:
             os.unlink(os.path.join(meta, _snap_name(i)))
             removed["snapshots"] += 1
+    for m in dead_manifests:
+        os.unlink(os.path.join(meta, m))
+        removed["manifests"] += 1
+    for rel in dead_files:
+        os.unlink(os.path.join(path, rel))
+        removed["data_files"] += 1
+    return removed
+
+
+def remove_orphan_files(path: str, older_than_s: float = 3 * 86400) -> dict:
+    """Delete files referenced by NO snapshot — crashed writers'
+    ``_staging-*`` dirs and data/manifest files that were written but
+    never committed — but ONLY when older than ``older_than_s``
+    (default 3 days, Iceberg's ``remove_orphan_files`` default). The
+    age gate is the safety contract: an in-flight writer's files are
+    always younger than it, so a concurrent append can never lose the
+    files it is about to commit."""
+    import shutil
+
+    now = time.time()
+    cutoff = now - older_than_s
+    live_manifests: set[str] = set()
+    live_files: set[str] = set()
+    for i in _list_snapshot_ids(path):
+        snap = _load_snapshot(path, i)
+        for m in snap["manifests"]:
+            live_manifests.add(m)
+            live_files.update(e["path"] for e in _load_manifest(path, m))
+    removed = {"manifests": 0, "data_files": 0, "staging_dirs": 0}
+    meta = _meta_dir(path)
     for name in os.listdir(meta):
-        if name.startswith("manifest-") and name not in live_manifests:
-            os.unlink(os.path.join(meta, name))
+        p = os.path.join(meta, name)
+        if (name.startswith("manifest-") and name not in live_manifests
+                and os.path.getmtime(p) < cutoff):
+            os.unlink(p)
             removed["manifests"] += 1
     data = os.path.join(path, _DATA)
     for name in os.listdir(data):
-        if f"{_DATA}/{name}" not in live_files:
-            os.unlink(os.path.join(data, name))
+        p = os.path.join(data, name)
+        if (f"{_DATA}/{name}" not in live_files
+                and os.path.getmtime(p) < cutoff):
+            os.unlink(p)
             removed["data_files"] += 1
-    # crashed writers leave _staging-* dirs (their moved-but-never-
-    # committed data files are already handled above)
-    import shutil
-
     for name in os.listdir(path):
-        if name.startswith("_staging-"):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        p = os.path.join(path, name)
+        if name.startswith("_staging-") and os.path.getmtime(p) < cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+            removed["staging_dirs"] += 1
     return removed

@@ -36,6 +36,7 @@ content invariants under replay.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from collections.abc import Sequence
 
@@ -55,8 +56,23 @@ __all__ = [
 
 
 def _stream_id(checkpoint_path: str) -> str:
-    return hashlib.md5(
-        os.path.abspath(checkpoint_path).encode()).hexdigest()[:16]
+    """Replay key for the snapshot stamps. Uses the streaming query id
+    Spark persists INSIDE the checkpoint (``<ckpt>/metadata``, written
+    at query start, stable across restarts of the same checkpoint):
+    a checkpoint deleted and recreated at the same path gets a FRESH
+    query id, so its batch 0 can never be mistaken for a replay of the
+    old stream's batches — keying on the path hash alone silently
+    DROPPED every batch up to the old stream's max. Falls back to the
+    path hash only when the metadata file is absent (e.g. the cache
+    probed before query start; resolution is lazy so this is rare)."""
+    meta = os.path.join(checkpoint_path, "metadata")
+    try:
+        with open(meta) as f:
+            qid = json.load(f)["id"]
+        return hashlib.md5(str(qid).encode()).hexdigest()[:16]
+    except (OSError, KeyError, ValueError):
+        return hashlib.md5(
+            os.path.abspath(checkpoint_path).encode()).hexdigest()[:16]
 
 
 def last_committed_batch(table_path: str, stream_id: str) -> int | None:
@@ -84,15 +100,24 @@ class _CommittedBatchCache:
     replay wall is gone; keep a retention window covering the longest
     possible replay (older_than_ms exists for exactly this)."""
 
-    def __init__(self, table_path: str, stream_id: str):
+    def __init__(self, table_path: str, checkpoint_path: str):
         self._path = table_path
-        self._sid = stream_id
+        self._ckpt = checkpoint_path
+        self._sid: str | None = None
         self._max: int | None = None
         self._init = False
 
+    @property
+    def stream_id(self) -> str:
+        # resolved lazily, at the first trigger: by then Spark has
+        # persisted the query id in <ckpt>/metadata (see _stream_id)
+        if self._sid is None:
+            self._sid = _stream_id(self._ckpt)
+        return self._sid
+
     def already_committed(self, batch_id: int) -> bool:
         if not self._init:
-            self._max = last_committed_batch(self._path, self._sid)
+            self._max = last_committed_batch(self._path, self.stream_id)
             self._init = True
         return self._max is not None and batch_id <= self._max
 
@@ -105,7 +130,12 @@ def _ensure_table(table_path: str, schema: StructType) -> None:
     try:
         icelite.current_snapshot_id(table_path)
     except FileNotFoundError:
-        icelite.create_table(table_path, schema)
+        try:
+            icelite.create_table(table_path, schema)
+        except icelite.CommitConflict:
+            # two queries (or query + batch writer) raced the create:
+            # the table exists now — losing the snap-1 link is success
+            pass
 
 
 def start_append_sink(
@@ -116,15 +146,14 @@ def start_append_sink(
 ):
     """Append every micro-batch to the table as one atomic snapshot,
     exactly once under replay. Returns the streaming query."""
-    sid = _stream_id(checkpoint_path)
     _ensure_table(table_path, df.schema)
-    done = _CommittedBatchCache(table_path, sid)
+    done = _CommittedBatchCache(table_path, checkpoint_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if done.already_committed(batch_id):
             return  # replayed batch: already a committed snapshot
         icelite.append(batch_df, table_path,
-                       summary_extra={"stream_id": sid,
+                       summary_extra={"stream_id": done.stream_id,
                                       "stream_batch_id": batch_id})
         done.record(batch_id)
 
@@ -169,10 +198,9 @@ def start_apply_changes_icelite(
     order-insensitive across triggers. Returns the streaming query.
     """
     attrs = list(attrs)
-    sid = _stream_id(checkpoint_path)
     _ensure_table(table_path, _store_schema(
         changelog, key_col, time_col, id_col, op_col, attrs))
-    done = _CommittedBatchCache(table_path, sid)
+    done = _CommittedBatchCache(table_path, checkpoint_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if done.already_committed(batch_id):
@@ -182,7 +210,8 @@ def start_apply_changes_icelite(
         icelite.merge_into(
             batch_df.sparkSession, table_path, latest, key=key_col,
             precedence=("last_ts", "last_id"),
-            summary_extra={"stream_id": sid, "stream_batch_id": batch_id})
+            summary_extra={"stream_id": done.stream_id,
+                           "stream_batch_id": batch_id})
         done.record(batch_id)
 
     writer = (changelog.writeStream.foreachBatch(commit)

@@ -442,14 +442,160 @@ def test_stream_starts_cleanly_after_expiry(spark, tbl, registered,
         set(range(20, 30)) | set(range(100, 120)))
 
 
-def test_expire_cleans_crashed_staging_dirs(spark, tbl):
-    append(_rows(spark, 0, 10), tbl)
+def test_expire_never_touches_uncommitted_files(spark, tbl):
+    """A concurrent writer between _write_data_files and its snapshot
+    commit owns files no snapshot references yet; expire_snapshots must
+    NOT delete them (it deletes only files OWNED by expired snapshots)
+    — deleting them would corrupt the table the writer is about to
+    commit. Orphan cleanup is a separate, age-gated action."""
+    for i in range(3):
+        append(_rows(spark, i * 10, (i + 1) * 10).coalesce(1), tbl)
+    # simulate the concurrent writer's moved-but-uncommitted data file
+    # and its freshly written manifest
+    pending_data = os.path.join(tbl, "data", "f-pending.parquet")
+    open(pending_data, "wb").write(b"in-flight")
+    pending_manifest = icelite._write_manifest(
+        tbl, [{"path": "data/f-pending.parquet", "rows": 1,
+               "row_groups": 1, "bytes": 9, "stats": {}}])
     stale = os.path.join(tbl, "_staging-deadbeef")
     os.makedirs(stale)
     open(os.path.join(stale, "part-0.parquet"), "wb").write(b"junk")
-    expire_snapshots(tbl, keep_last=1)
-    assert not os.path.exists(stale)
+
+    removed = expire_snapshots(tbl, keep_last=1)
+    assert removed["snapshots"] >= 2
+    assert os.path.exists(pending_data)          # never deleted
+    assert os.path.exists(
+        os.path.join(tbl, "meta", pending_manifest))
+    assert os.path.exists(stale)                 # staging untouched too
+    assert read_table(spark, tbl).count() == 30
+
+
+def test_remove_orphan_files_is_age_gated(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        remove_orphan_files,
+    )
+
+    append(_rows(spark, 0, 10), tbl)
+    orphan = os.path.join(tbl, "data", "f-orphan.parquet")
+    open(orphan, "wb").write(b"junk")
+    stale = os.path.join(tbl, "_staging-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-0.parquet"), "wb").write(b"junk")
+
+    # young files survive (an in-flight writer's files are always young)
+    removed = remove_orphan_files(tbl, older_than_s=3600)
+    assert removed == {"manifests": 0, "data_files": 0, "staging_dirs": 0}
+    assert os.path.exists(orphan) and os.path.exists(stale)
+
+    # age them past the cutoff -> reclaimed; committed files untouched
+    old = (0, 0)
+    os.utime(orphan, old)
+    os.utime(stale, old)
+    removed = remove_orphan_files(tbl, older_than_s=3600)
+    assert removed["data_files"] == 1 and removed["staging_dirs"] == 1
+    assert not os.path.exists(orphan) and not os.path.exists(stale)
     assert read_table(spark, tbl).count() == 10
+
+
+def test_merge_into_rejects_null_keys(spark, tbl):
+    append(_rows(spark, 0, 10), tbl)
+    src = spark.createDataFrame([(None, "x", "m")], SCHEMA)
+    with pytest.raises(ValueError, match="null"):
+        merge_into(spark, tbl, src, key="k")
+
+
+def test_timestamp_pruning_and_merge_key(spark, tmp_path):
+    """Timestamp stats are stored as epoch MICROS; file pruning, the
+    row filter, and merge planning must all compare in that encoding
+    (a raw comparison casts seconds-based and silently disagrees)."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("v", StringType()),
+    ])
+    tbl = str(tmp_path / "ts")
+    create_table(tbl, schema)
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    df = spark.range(0, 400).select(
+        F.timestamp_seconds(
+            F.lit(int(base.timestamp())) + F.col("id") * 60).alias("ts"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    append(df.repartitionByRange(4, "ts"), tbl)
+
+    lo = base + datetime.timedelta(minutes=100)
+    hi = base + datetime.timedelta(minutes=150)
+    pruned = table_files(tbl, where=[("ts", "between", (lo, hi))])
+    assert 1 <= len(pruned) < 4
+    got = read_table(spark, tbl, where=[("ts", "between", (lo, hi))])
+    assert got.count() == 51  # inclusive bounds, minute granularity
+
+    # merge on the timestamp key: only the file covering the source
+    # range is rewritten, and the update actually lands
+    src = spark.createDataFrame(
+        [(lo, "UPDATED")], schema)
+    before = {e["path"] for e in table_files(tbl)}
+    merge_into(spark, tbl, src, key="ts")
+    after = {e["path"] for e in table_files(tbl)}
+    assert len(before & after) == 3  # 3 of 4 files carried by reference
+    out = read_table(spark, tbl)
+    assert out.filter(F.col("v") == "UPDATED").count() == 1
+    assert out.count() == 400
+
+
+def test_rewrite_manifests_bounds_planning(spark, tbl):
+    """A sink that commits per trigger leaves one manifest per commit;
+    rewrite_manifests coalesces them metadata-only (same data files)
+    and keeps planning O(files), not O(commit history)."""
+    import time as _time
+
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        rewrite_manifests,
+    )
+
+    append(_rows(spark, 0, 20).coalesce(1), tbl)
+    entry = table_files(tbl)[0]
+    # hand-commit many tiny snapshots (pure metadata; no Spark writes)
+    for i in range(2000):
+        parent = icelite._load_snapshot(tbl, current_snapshot_id(tbl))
+        m = icelite._write_manifest(tbl, [entry])
+        icelite._commit_snapshot(tbl, {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent_id": parent["snapshot_id"],
+            "timestamp_ms": int(_time.time() * 1000),
+            "operation": "append", "schema": parent["schema"],
+            "manifests": parent["manifests"] + [m],
+            "added_manifests": [m],
+            "summary": {"added_files": 1, "removed_files": 0}})
+    n_rows = read_table(spark, tbl).count()
+
+    t0 = _time.perf_counter()
+    table_files(tbl)
+    slow = _time.perf_counter() - t0
+
+    sid = rewrite_manifests(tbl)
+    assert sid is not None
+    snap = icelite._load_snapshot(tbl, sid)
+    assert snap["operation"] == "rewrite-manifests"
+    assert len(snap["manifests"]) == 1
+
+    t0 = _time.perf_counter()
+    files = table_files(tbl)
+    fast = _time.perf_counter() - t0
+    assert len(files) == 2001          # same data files, one manifest
+    assert read_table(spark, tbl).count() == n_rows
+    # planning no longer opens O(commits) files: one manifest read
+    # (parse cost of its 2001 entries is the irreducible floor)
+    assert fast < slow / 2 and fast < 0.25
+    # idempotent no-op second pass, and no orphan manifests left by it
+    pre = {n for n in os.listdir(os.path.join(tbl, "meta"))
+           if n.startswith("manifest-")}
+    assert rewrite_manifests(tbl) is None
+    post = {n for n in os.listdir(os.path.join(tbl, "meta"))
+            if n.startswith("manifest-")}
+    assert pre == post
 
 
 def test_streaming_replace_snapshot_policy(spark, tbl, registered,

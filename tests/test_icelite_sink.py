@@ -109,13 +109,25 @@ def test_append_sink_exactly_once(spark, tmp_path):
     assert read_table(spark, tbl).count() == 300
     assert len(snapshots(tbl)) == n_snaps
 
-    # simulate a replay: the table commit landed but the checkpoint
-    # offset commit did not -> Spark re-runs the batch. Wipe the
-    # checkpoint entirely: EVERY batch replays; the stamps skip them all
+    # simulate a genuine replay: the table commit landed but the
+    # checkpoint's commit log did not -> Spark re-runs the last batch
+    # under the SAME persisted query id; the stamp makes it a no-op.
+    # (A checkpoint COPY sidesteps Spark's same-path commit-log cache;
+    # the query id travels inside it, so the replay key is unchanged.)
     import shutil
 
-    shutil.rmtree(ckpt)
-    run()
+    ckpt2 = str(tmp_path / "ckpt-replay")
+    shutil.copytree(ckpt, ckpt2)
+    os.unlink(os.path.join(ckpt2, "commits", "1"))
+    crc = os.path.join(ckpt2, "commits", ".1.crc")
+    if os.path.exists(crc):  # stale checksum blocks the re-write
+        os.unlink(crc)
+    assert _stream_id(ckpt2) == _stream_id(ckpt)
+
+    stream = (spark.readStream.schema(CHANGELOG_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    q = start_append_sink(stream, tbl, ckpt2, available_now=True)
+    q.awaitTermination(300)
     assert read_table(spark, tbl).count() == 300
     assert len(snapshots(tbl)) == n_snaps
     assert last_committed_batch(tbl, _stream_id(ckpt)) == 1
@@ -126,6 +138,41 @@ def test_append_sink_exactly_once(spark, tmp_path):
     _write_chunk(more, d, "c3.parquet", t0 + 2)
     run()
     assert read_table(spark, tbl).count() == 360
+
+
+def test_fresh_checkpoint_is_a_fresh_stream_not_a_silent_drop(spark,
+                                                              tmp_path):
+    """A checkpoint deleted and recreated at the same PATH must get a
+    fresh replay key (the query id Spark persists inside the
+    checkpoint), so the new stream's batch 0 is INGESTED — keying the
+    stamps on the path hash alone made the old stream's max batch id a
+    wall that silently dropped everything the new stream read."""
+    import shutil
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_chunk(_changelog(7, n=100), d, "c1.parquet", time.time())
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(CHANGELOG_SCHEMA).parquet(d))
+        q = start_append_sink(stream, tbl, ckpt, available_now=True)
+        q.awaitTermination(300)
+
+    run()
+    assert read_table(spark, tbl).count() == 100
+    sid1 = _stream_id(ckpt)
+
+    shutil.rmtree(ckpt)  # fresh checkpoint at the SAME path
+    run()
+    sid2 = _stream_id(ckpt)
+    assert sid2 != sid1  # new persisted query id -> new replay key
+    # the fresh stream re-reads the input; rows land (duplicates are
+    # the honest outcome of discarding a checkpoint — never data loss)
+    assert read_table(spark, tbl).count() == 200
+    assert last_committed_batch(tbl, sid1) == 0
+    assert last_committed_batch(tbl, sid2) == 0
 
 
 def test_apply_changes_icelite_matches_batch(spark, tmp_path):
