@@ -26,10 +26,12 @@ Structured Streaming source with Iceberg's incremental-scan semantics:
   Arrow lists), cast to the table schema's Arrow form.
 * ``Trigger.AvailableNow`` caveat: Python data sources do not expose
   ``SupportsTriggerAvailableNow``, so Spark falls back to ONE batch
-  per availableNow run. A batch's watermark advance evicts stateful-
-  operator state only in the NEXT batch, so drain-style tests need a
-  follow-up run (or a later snapshot) to flush timed-out windows —
-  continuous/processing-time triggers have no such constraint.
+  per availableNow run — and the run terminates before its watermark
+  advance can evict stateful-operator state (that happens in the NEXT
+  batch). Use :func:`available_now_drain` instead: it runs a normal
+  processing-time-trigger query to quiescence (snapshot caught up, the
+  no-data micro-batch has fired the final timeout sweep) and stops it
+  — the drain-to-empty semantics availableNow cannot deliver here.
 
 The batch side (``spark.read.format("icelite")``) supports time travel
 via ``.option("version", N)`` / ``.option("as-of-ms", T)``; the richer
@@ -118,6 +120,87 @@ def _added_partitions(table_path: str, start_id: int, end_id: int,
             for e in icelite._load_manifest(table_path, m):
                 out.extend(_entry_partitions(table_path, e))
     return out
+
+
+def _progress_end_snapshot(lp) -> int | None:
+    """Snapshot id in a progress dict's first source endOffset.
+    PySpark renders a Python source's offset dict as its *repr*
+    (single quotes — not JSON) inside the progress JSON; accept JSON,
+    repr, and an already-parsed dict."""
+    if not lp or not lp.get("sources"):
+        return None
+    eo = lp["sources"][0].get("endOffset")
+    if isinstance(eo, str):
+        try:
+            eo = json.loads(eo)
+        except ValueError:
+            import ast
+            try:
+                eo = ast.literal_eval(eo)
+            except (ValueError, SyntaxError):
+                return None
+    if isinstance(eo, dict):
+        sid = eo.get("snapshot_id")
+        return int(sid) if sid is not None else None
+    return None
+
+
+def available_now_drain(start_query, table_path: str, *,
+                        quiet_polls: int = 10, poll_s: float = 0.2,
+                        timeout_s: float = 600.0) -> dict | None:
+    """Run a streaming query over the icelite table at ``table_path``
+    to quiescence, then stop it — the ``Trigger.AvailableNow`` analog
+    Python data sources cannot express natively. Returns the query's
+    last progress dict (None if the query never progressed).
+
+    ``start_query`` is a zero-arg callable returning a started
+    :class:`~pyspark.sql.streaming.StreamingQuery` with a
+    processing-time trigger (i.e. do NOT pass ``availableNow``).
+
+    Why not loop availableNow runs: Python data sources lack
+    ``SupportsTriggerAvailableNow``, so each availableNow run is ONE
+    micro-batch — and the event-time stats that would advance the
+    watermark die with the run, so the timeout sweep that evicts the
+    final stateful windows never fires across runs (the old workaround
+    was committing a SECOND far-future sentinel per drain). Inside one
+    continuously-triggered run, Spark's no-data micro-batch fires that
+    sweep as soon as the watermark advances, so run-to-quiescence is
+    the correct drain.
+
+    Quiescence = the stream has consumed through the table's current
+    snapshot AND the query reported no available data / active trigger
+    for ``quiet_polls`` consecutive polls (the watermark sweep batch,
+    if any, has committed by then — Spark runs it immediately after
+    the data batch that moved the watermark).
+    """
+    import time as _time
+
+    q = start_query()
+    deadline = _time.monotonic() + timeout_s
+    quiet = 0
+    try:
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            st = q.status
+            active = st["isDataAvailable"] or st["isTriggerActive"]
+            lp = q.lastProgress
+            end = _progress_end_snapshot(lp)
+            caught_up = (end is not None
+                         and end >= icelite.current_snapshot_id(table_path))
+            if caught_up and not active:
+                quiet += 1
+                if quiet >= quiet_polls:
+                    return lp
+            else:
+                quiet = 0
+            _time.sleep(poll_s)
+        raise TimeoutError(
+            f"available_now_drain: query did not reach quiescence over "
+            f"{table_path!r} within {timeout_s}s")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
 
 
 class IceliteStreamReader(DataSourceStreamReader):

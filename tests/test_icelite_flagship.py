@@ -8,13 +8,15 @@ and the emitted event rows must EQUAL the batch flagship on the same
 corpus (the engine's parity invariant), with the sink's snapshot
 history recording one atomic commit per non-empty micro-batch.
 
-Micro-batch structure: the Python-data-source stream reads everything
-committed since its checkpoint offset as ONE batch per query run, so
-the corpus is appended in chronological chunks across SEPARATE query
-runs sharing a checkpoint — each run is also a checkpoint resume,
-which is the production restart path. The final chunk is a far-future
-sentinel (3 tokens < min_doc_tokens, contributes nothing) that
-advances the watermark past every real window.
+Micro-batch structure: the corpus is appended in chronological chunks,
+each drained by its own `available_now_drain` call sharing one
+checkpoint — every drain is a fresh query over the checkpoint, so the
+production restart path is exercised per chunk. The final chunk is ONE
+far-future sentinel (3 tokens < min_doc_tokens, contributes nothing)
+that advances the watermark past every real window; the drain's
+run-to-quiescence lets Spark's no-data micro-batch fire the final
+timeout sweep inside the same run (availableNow runs cannot — their
+event-time stats die at termination, see available_now_drain).
 """
 
 from __future__ import annotations
@@ -29,6 +31,9 @@ from bigdata_event_stream_detection_spark.plans.pipeline import (
     small_params,
 )
 from bigdata_event_stream_detection_spark.sources import icelite
+from bigdata_event_stream_detection_spark.sources.icelite_source import (
+    available_now_drain,
+)
 from bigdata_event_stream_detection_spark.sources.tables import (
     read_sequences_stream,
 )
@@ -70,32 +75,29 @@ def test_flagship_end_to_end_over_icelite(spark, tiny_sequences,
                     & (F.col("event_time") < cuts[1])),
         seqs.filter(F.col("event_time") >= cuts[1]),
     ]
-    # TWO sentinel runs: Python data sources lack
-    # SupportsTriggerAvailableNow, so each availableNow run is ONE
-    # batch and a batch's watermark advance only evicts state in the
-    # NEXT batch — the second sentinel run is that next batch (a
-    # continuous-trigger deployment has no such constraint)
-    sentinels = [spark.createDataFrame(
-        [(f"__sentinel{i}__", [1, 2, 3], 3, "sentinel",
-          t_hi + datetime.timedelta(days=365 + i))], seqs.schema)
-        for i in range(2)]
+    # ONE far-future sentinel: available_now_drain runs to quiescence,
+    # so the no-data micro-batch after the sentinel batch fires the
+    # final timeout sweep inside the same run
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", [1, 2, 3], 3, "sentinel",
+          t_hi + datetime.timedelta(days=365))], seqs.schema)
 
     events_tbl = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt")
 
-    def run_once():
+    def start():
         stream = read_sequences_stream(spark, src_tbl, fmt="icelite")
         events = streaming_detect_events(stream, model.toPandas(), PARAMS)
-        q = start_append_sink(events, events_tbl, ckpt,
-                              available_now=True)
-        q.awaitTermination(600)
+        return start_append_sink(events, events_tbl, ckpt)
+
+    def run_once():
+        available_now_drain(start, src_tbl, timeout_s=600)
 
     for chunk in chunks:
         icelite.append(chunk, src_tbl)
         run_once()
-    for sentinel in sentinels:
-        icelite.append(sentinel, src_tbl)
-        run_once()
+    icelite.append(sentinel, src_tbl)
+    run_once()
 
     got = {
         (r["window_start"], r["source"], r["theme_id"]): r["strength"]
