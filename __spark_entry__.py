@@ -1461,6 +1461,50 @@ def _q_media_features(spark, sf_dir):
         .alias("feature_sum"))
 
 
+def _q_media_decode_features(spark, sf_dir):
+    # REAL codecs (VERDICT r3 item 1): genuinely encoded PNG/WAV/Y4M
+    # payloads -> stdlib-codec decode on the workers -> deterministic
+    # per-modality features. Oracle = single-node recompute with the
+    # same codecs (tools/local_oracle.py:media_decode_feature_rows).
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        extract_features,
+        synth_encoded_media,
+    )
+
+    media = synth_encoded_media(spark, 90)
+    feats = extract_features(media, decoder="real")
+    return feats.select(
+        "doc_id", "kind",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("feature_sum"))
+
+
+def _q_media_resize_fingerprints(spark, sf_dir):
+    # real PNG decode -> nearest-neighbour resize -> PNG re-encode;
+    # compared by content hash so the oracle checks the exact bytes
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        resize_images,
+        synth_encoded_media,
+    )
+
+    media = synth_encoded_media(spark, 90)
+    resized = resize_images(media, 8, 6, decoder="real")
+    return resized.select("doc_id", F.md5("payload").alias("fp"))
+
+
+def _q_media_frame_fingerprints(spark, sf_dir):
+    # real Y4M container: O(1)-seek frame extraction, PNG at rest
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        sample_frames,
+        synth_encoded_media,
+    )
+
+    media = synth_encoded_media(spark, 90)
+    frames = sample_frames(media, every_n=2, decoder="real")
+    return frames.select("doc_id", "frame_no",
+                         F.md5("frame").alias("fp"))
+
+
 def _model_prelude(spark, sf_dir):
     """Shared tokenize -> filter -> background -> window -> themes
     prelude for the model queries (same params everywhere)."""
@@ -1796,6 +1840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _q_cube_counts,
         "salted_source_counts": _q_salted_source_counts,
         "media_features": _q_media_features,
+        "media_decode_features": _q_media_decode_features,
+        "media_resize_fingerprints": _q_media_resize_fingerprints,
+        "media_frame_fingerprints": _q_media_frame_fingerprints,
         "theme_top_words": _q_theme_top_words,
         "theme_salient_words": _q_theme_salient_words,
         "theme_strength_slice": _q_theme_strength_slice,
@@ -3478,6 +3525,17 @@ def _model_oracles() -> dict[str, str]:
         "media_features": lo.values_sql(
             lo.media_features_rows(_ORACLE_SF_DIR),
             [("doc_id", "VARCHAR"), ("feature_sum", "DOUBLE")]),
+        "media_decode_features": lo.values_sql(
+            lo.media_decode_feature_rows(90),
+            [("doc_id", "VARCHAR"), ("kind", "VARCHAR"),
+             ("feature_sum", "DOUBLE")]),
+        "media_resize_fingerprints": lo.values_sql(
+            lo.media_resize_fp_rows(90, 8, 6),
+            [("doc_id", "VARCHAR"), ("fp", "VARCHAR")]),
+        "media_frame_fingerprints": lo.values_sql(
+            lo.media_frame_fp_rows(90, 2),
+            [("doc_id", "VARCHAR"), ("frame_no", "INTEGER"),
+             ("fp", "VARCHAR")]),
         "ann_lsh_topk": lo.values_sql(
             lo.ann_lsh_rows(_ORACLE_SF_DIR, k=5, planes=4),
             [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),

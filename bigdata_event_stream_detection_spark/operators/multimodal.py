@@ -4,14 +4,16 @@ A 100 TB training-data pipeline carries media as ``binary`` columns with
 a typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` kernels so bytes
 move zero-copy and the Python work is per-batch, not per-row. The
-actual codecs (PIL/ffmpeg/soundfile) are NOT available in this
-environment, so the decode step is pluggable: ``decoder="fake"`` (the
-default) produces a deterministic synthetic decode keyed by the content
-hash — schema, partitioning, UDF signatures, and batch shapes are all
-real and tested; a real deployment injects its codec as a callable
-(``decode_fn`` / ``resize_fn`` / ``frame_fn``) without touching engine
-code, and ``decoder="real"`` with no callable raises
-NotImplementedError at the point where the codec call belongs.
+decode step is a registry: ``decoder="real"`` (see
+:mod:`.codecs`) decodes PNG / BMP / WAV / Y4M payloads with real,
+dependency-free codecs (stdlib zlib/struct/wave + numpy); codecs that
+genuinely need a native library (JPEG, H.264, MP3) raise
+NotImplementedError inside the registry with injection instructions —
+a deployment passes its own ``decode_fn`` / ``resize_fn`` /
+``frame_fn`` without touching engine code. ``decoder="fake"`` (the
+default, kept for synthetic-payload benchmarks) produces a
+deterministic hash-seeded decode; schema, partitioning, UDF
+signatures, and batch shapes are identical on both paths.
 
 Schema conventions:
     media(doc_id string, kind string, payload binary,
@@ -32,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import codecs
 
 MEDIA_SCHEMA = (
     "doc_id string, kind string, payload binary, "
@@ -73,6 +77,52 @@ def synth_media(spark: SparkSession, n_rows: int, partitions: int = 8) -> DataFr
         gen, schema=MEDIA_SCHEMA)
 
 
+def synth_encoded_media(spark: SparkSession, n_rows: int,
+                        partitions: int = 8) -> DataFrame:
+    """Deterministic media table whose payloads are GENUINELY encoded
+    (PNG images, PCM16 WAV audio, C444 Y4M video) so the real-codec
+    path decodes actual container bytes. Pixel/sample content is
+    seeded by the row id, so the single-node oracle regenerates it
+    bit-for-bit (tools/local_oracle.py)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [synth_encoded_row(int(i)) for i in pdf["id"].to_numpy()]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def synth_encoded_row(i: int) -> tuple:
+    """One deterministic genuinely-encoded media row (shared by the
+    Spark fixture above and the local oracle)."""
+    kind = ("image", "audio", "video")[i % 3]
+    seed = hashlib.md5(f"media-enc-{i}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+    if kind == "image":
+        w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = codecs.png_encode(arr, filter_type=i % 5)
+        meta = {"width": w, "height": h, "sample_rate": None,
+                "n_frames": None, "codec": "png"}
+    elif kind == "audio":
+        n = 400 + (i % 7) * 100
+        samples = rng.integers(-20000, 20000, size=n, dtype=np.int16)
+        payload = codecs.wav_encode(samples, 16000)
+        meta = {"width": None, "height": None, "sample_rate": 16000,
+                "n_frames": None, "codec": "wav"}
+    else:
+        n_frames = 3 + i % 4
+        frames = rng.integers(0, 256, size=(n_frames, 12, 16, 3),
+                              dtype=np.uint8)
+        payload = codecs.y4m_encode(frames)
+        meta = {"width": 16, "height": 12, "sample_rate": None,
+                "n_frames": n_frames, "codec": "y4m"}
+    return (f"m-{i:06d}", kind, payload, meta)
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a codec: hash the bytes into a fixed-
     size float vector. Replaced by the real decoder in production."""
@@ -100,13 +150,16 @@ def extract_features(
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder}")
-    if decoder == "real" and decode_fn is None:
-        raise NotImplementedError(
-            "real media decode requires a codec; pass "
-            "decode_fn=(payload, meta) -> feature vector "
-            "(PIL/ffmpeg/soundfile are absent in this environment)")
-    fn = decode_fn if decode_fn is not None else (
-        lambda payload, meta: _fake_decode(payload, dim))
+    if decode_fn is not None:
+        fn = decode_fn
+    elif decoder == "real":
+        # built-in registry: PNG/BMP/WAV/Y4M decode + deterministic
+        # per-modality feature kernels; exotic codecs raise inside
+        # codecs.decode_payload with injection instructions
+        fn = lambda payload, meta: codecs.media_feature_vector(  # noqa: E731
+            payload, meta, dim)
+    else:
+        fn = lambda payload, meta: _fake_decode(payload, dim)  # noqa: E731
 
     def run(batches):
         for pdf in batches:
@@ -135,28 +188,33 @@ def resize_images(
     (hash-stretched); inject a real codec via
     ``resize_fn(payload, width, height) -> bytes``.
     """
-    if decoder == "real" and resize_fn is None:
-        raise NotImplementedError(
-            "real resize requires an image codec; pass "
-            "resize_fn=(payload, width, height) -> bytes")
-
     def _fake_resize(p: bytes, w: int, h: int) -> bytes:
         digest = hashlib.md5(p).digest()
         reps = (w * h * 3) // len(digest) + 1
         return (digest * reps)[: w * h * 3]
 
-    fn = resize_fn if resize_fn is not None else _fake_resize
-
     def run(batches):
         for pdf in batches:
             out = pdf[["doc_id", "kind"]].copy()
-            out["payload"] = [fn(p, width, height) for p in pdf["payload"]]
+            if resize_fn is not None:
+                out["payload"] = [resize_fn(p, width, height)
+                                  for p in pdf["payload"]]
+            elif decoder == "real":
+                # decode -> nearest-neighbour -> re-encode in the same
+                # container; non-image codecs raise in the registry
+                out["payload"] = [
+                    codecs.resize_payload(
+                        p, (m or {}).get("codec") or "", width, height)
+                    for p, m in zip(pdf["payload"], pdf["meta"])]
+            else:
+                out["payload"] = [_fake_resize(p, width, height)
+                                  for p in pdf["payload"]]
             out["width"] = width
             out["height"] = height
             yield out
 
     imgs = media.filter(F.col("kind") == "image")
-    return imgs.select("doc_id", "kind", "payload").mapInPandas(
+    return imgs.select("doc_id", "kind", "payload", "meta").mapInPandas(
         run,
         schema="doc_id string, kind string, payload binary, "
                "width int, height int")
@@ -175,23 +233,29 @@ def sample_frames(
 
     Inject a real extractor via ``frame_fn(payload, frame_no) -> bytes``.
     """
-    if decoder == "real" and frame_fn is None:
-        raise NotImplementedError(
-            "real frame extraction requires ffmpeg; pass "
-            "frame_fn=(payload, frame_no) -> bytes")
-
     def _fake_frame(payload: bytes, f_no: int) -> bytes:
         return hashlib.md5(payload + f_no.to_bytes(4, "little")).digest()
-
-    fn = frame_fn if frame_fn is not None else _fake_frame
 
     def run(batches):
         for pdf in batches:
             rows = []
             for doc_id, payload, meta in zip(
                     pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                n_frames = (meta["n_frames"] if meta is not None
-                            and meta.get("n_frames") else 30)
+                codec = (meta or {}).get("codec") or ""
+                if frame_fn is not None:
+                    fn = frame_fn
+                elif decoder == "real":
+                    # O(1)-seek container extraction (Y4M built in),
+                    # frames re-encoded as PNG at rest
+                    fn = lambda p, f, _c=codec: codecs.extract_frame(  # noqa: E731,B023
+                        p, _c, f)
+                else:
+                    fn = _fake_frame
+                if decoder == "real" and frame_fn is None and codec == "y4m":
+                    n_frames = codecs.y4m_n_frames(payload)
+                else:
+                    n_frames = (meta["n_frames"] if meta is not None
+                                and meta.get("n_frames") else 30)
                 for f_no in range(0, int(n_frames), every_n):
                     rows.append((doc_id, f_no, fn(payload, f_no)))
             yield pd.DataFrame(

@@ -840,14 +840,18 @@ def _bpe_word_counts(sf_dir: str, min_word_count: int):
     return docs, {w: c for w, c in wc.items() if c >= min_word_count}
 
 
-def _bpe_learn(word_counts: dict, num_merges: int) -> list[tuple]:
+def _bpe_learn(word_counts: dict, num_merges: int,
+               batch_size: int = 1) -> list[tuple]:
     """Independent dict-based BPE trainer (Counter over adjacent pairs,
     ties by (count desc, left, right)) — deliberately NOT the engine's
-    DataFrame path."""
+    DataFrame path. ``batch_size > 1`` mirrors the engine's batched
+    greedy policy: top-m SYMBOL-DISJOINT pairs per round, colliding
+    pairs deferred to the next round."""
     from collections import Counter
     vocab = {w: list(w) for w in word_counts}
     merges = []
-    for rank in range(1, num_merges + 1):
+    while len(merges) < num_merges:
+        m = min(batch_size, num_merges - len(merges))
         pc: Counter = Counter()
         for w, syms in vocab.items():
             c = word_counts[w]
@@ -855,20 +859,30 @@ def _bpe_learn(word_counts: dict, num_merges: int) -> list[tuple]:
                 pc[(a, b)] += c
         if not pc:
             break
-        (left, right), n = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        merges.append((rank, left, right, left + right, int(n)))
-        for w, syms in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == left
-                        and syms[i + 1] == right):
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            vocab[w] = out
+        ranked = sorted(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        chosen, used = [], set()
+        for (left, right), n in ranked:
+            if left in used or right in used:
+                continue
+            chosen.append((len(merges) + len(chosen) + 1, left, right,
+                           left + right, int(n)))
+            used.update((left, right))
+            if len(chosen) >= m:
+                break
+        merges.extend(chosen)
+        for _, left, right, _, _ in chosen:
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
     return merges
 
 
@@ -972,6 +986,69 @@ def media_features_rows(sf_dir: str, dim: int = 16) -> list[tuple]:
         for v in feat:
             s = s + float(v)
         rows.append((str(doc_id), spark_round(s, 6)))
+    return rows
+
+
+def media_decode_feature_rows(n_rows: int = 90) -> list[tuple]:
+    """(doc_id, kind, feature_sum) — the REAL-codec path: regenerate
+    each deterministic genuinely-encoded payload (PNG/WAV/Y4M), decode
+    it with the same stdlib codecs the Spark workers run, and sum the
+    feature vector with Spark's F.aggregate left-fold order."""
+    from bigdata_event_stream_detection_spark.operators.codecs import (
+        media_feature_vector,
+    )
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        synth_encoded_row,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        doc_id, kind, payload, meta = synth_encoded_row(i)
+        feat = media_feature_vector(payload, meta, 16)
+        s = 0.0
+        for v in feat:
+            s = s + float(v)
+        rows.append((doc_id, kind, spark_round(s, 6)))
+    return rows
+
+
+def media_resize_fp_rows(n_rows: int = 90, width: int = 8,
+                         height: int = 6) -> list[tuple]:
+    """(doc_id, fp) — md5 of the re-encoded PNG after the real
+    decode -> nearest-neighbour resize, images only."""
+    from bigdata_event_stream_detection_spark.operators import codecs
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        synth_encoded_row,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        doc_id, kind, payload, meta = synth_encoded_row(i)
+        if kind != "image":
+            continue
+        out = codecs.resize_payload(payload, meta["codec"], width, height)
+        rows.append((doc_id, codecs.fingerprint(out)))
+    return rows
+
+
+def media_frame_fp_rows(n_rows: int = 90,
+                        every_n: int = 2) -> list[tuple]:
+    """(doc_id, frame_no, fp) — md5 of each PNG-encoded sampled frame
+    from the real Y4M container (frame count from the container, not
+    the metadata)."""
+    from bigdata_event_stream_detection_spark.operators import codecs
+    from bigdata_event_stream_detection_spark.operators.multimodal import (
+        synth_encoded_row,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        doc_id, kind, payload, _meta = synth_encoded_row(i)
+        if kind != "video":
+            continue
+        for f_no in range(0, codecs.y4m_n_frames(payload), every_n):
+            frame = codecs.extract_frame(payload, "y4m", f_no)
+            rows.append((doc_id, f_no, codecs.fingerprint(frame)))
     return rows
 
 
