@@ -58,6 +58,7 @@ def bpe_train(
     documents: DataFrame,
     num_merges: int = 30,
     min_word_count: int = 2,
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges (Sennrich et al., ACL'16) from
     the corpus. Returns (rank, left, right, merged, pair_count) with
@@ -66,8 +67,24 @@ def bpe_train(
     Each round: explode adjacent symbol pairs weighted by word count,
     one hash agg, take the (count desc, left, right) argmax, apply the
     merge to the symbol table with a vectorized pandas pass. The table
-    is localCheckpointed and replaced per round — ``num_merges`` tiny
-    jobs over a vocab-bounded table, zero corpus rescans.
+    is localCheckpointed and replaced per round — ``ceil(num_merges /
+    batch_size)`` tiny jobs over a vocab-bounded table, zero corpus
+    rescans.
+
+    ``batch_size > 1`` (batched greedy): each round takes the top-m
+    SYMBOL-DISJOINT pairs in (count desc, left, right) order and
+    applies them together, cutting driver round-trips m-fold at large
+    merge counts. Disjointness makes the batch exact — merging (a,b)
+    can neither create nor destroy an occurrence of a pair that shares
+    no symbol with it, so every selected pair's count is the true
+    corpus count at selection time, and applying the batch in rank
+    order equals applying each selected pair as its own round. The
+    ONE deviation from sequential BPE (batch_size=1): a pair *created*
+    by an earlier merge in the same batch (e.g. ("th","e") right after
+    (t,h)) cannot be chosen until the next round, so it may be ranked
+    up to batch_size-1 positions later than the sequential trainer
+    would rank it. Pairs that share a symbol with an already-selected
+    pair are deferred, never skipped.
     """
     spark = documents.sparkSession
     # localCheckpoint (not persist): each round's table must TRUNCATE
@@ -80,8 +97,11 @@ def bpe_train(
     ).localCheckpoint(eager=True)
     n_parts = vocab.rdd.getNumPartitions()
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     merges: list[tuple] = []
-    for rank in range(1, num_merges + 1):
+    while len(merges) < num_merges:
+        m = min(batch_size, num_merges - len(merges))
         pairs = (
             vocab.filter(F.size("syms") >= 2)
             .select(
@@ -91,31 +111,47 @@ def bpe_train(
                     "i -> struct(syms[i-1] as l, syms[i] as r))")).alias("p"))
             .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("n"))
         )
+        # over-fetch: symbol collisions skip candidates, so pull extra
+        # rows per round (a deferred pair is re-offered next round)
         top = pairs.orderBy(F.col("n").desc(), F.col("l").asc(),
-                            F.col("r").asc()).limit(1).collect()
+                            F.col("r").asc()).limit(4 * m + 4).collect()
         if not top:
             break
-        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
-        merges.append((rank, left, right, left + right, int(n)))
+        chosen: list[tuple] = []
+        used: set = set()
+        for row in top:
+            l, r = row["l"], row["r"]
+            if l in used or r in used:
+                continue  # deferred to the next round, not skipped
+            chosen.append((len(merges) + len(chosen) + 1, l, r,
+                           l + r, int(row["n"])))
+            used.update((l, r))
+            if len(chosen) >= m:
+                break
+        merges.extend(chosen)
+        batch = [(l, r) for _, l, r, _, _ in chosen]
 
-        def apply_merge(batches, _l=left, _r=right):
+        def apply_merge(batches, _batch=tuple(batch)):
             for pdf in batches:
                 if pdf.empty:
                     continue
                 pdf = pdf.copy()
-                pdf["syms"] = [
-                    _merge_symbols(list(s), _l, _r) for s in pdf["syms"]]
+                syms = pdf["syms"]
+                for _l, _r in _batch:
+                    syms = [_merge_symbols(list(s), _l, _r) for s in syms]
+                pdf["syms"] = syms
                 yield pdf
 
-        # incremental rewrite: only words CONTAINING the winning pair
+        # incremental rewrite: only words CONTAINING a winning pair
         # cross the Python/Arrow boundary; the rest of the vocab table
         # passes through untouched JVM-side. (At real-tokenizer merge
         # counts (~30k) the remaining cost is the per-round pair
         # recount — the next step would be delta-updating pair counts
         # from the touched rows only.)
         pair_here = F.expr(
-            "exists(sequence(1, size(syms) - 1), "
-            f"i -> syms[i-1] = '{left}' AND syms[i] = '{right}')")
+            "exists(sequence(1, size(syms) - 1), i -> " + " OR ".join(
+                f"(syms[i-1] = '{l}' AND syms[i] = '{r}')"
+                for l, r in batch) + ")")
         mask = F.when(F.size("syms") >= 2, pair_here).otherwise(F.lit(False))
         # coalesce: the union concatenates both branches' partitions —
         # without pinning the count it doubles per round (2^rounds)

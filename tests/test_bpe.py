@@ -93,3 +93,50 @@ def test_bpe_encode_streams_with_batch_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.table("bpe_stream").collect()}
     assert got == batch
+
+
+def test_bpe_batched_matches_oracle_policy(spark):
+    """batch_size>1: engine == the independently-implemented batched
+    greedy in tools/local_oracle.py (top-m symbol-disjoint pairs per
+    round, colliding pairs deferred), and batch_size=1 is EXACTLY the
+    sequential trainer."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from local_oracle import _bpe_learn
+
+    texts = ["the quick brown fox the lazy dog the end",
+             "pack my box with five dozen jugs of the brown liquor",
+             "dozen dozen quick quick the fox"]
+    docs = _docs(spark, texts)
+    wc: dict = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+
+    for m in (1, 3, 8):
+        got = [tuple(r) for r in sorted(
+            bpe_train(docs, num_merges=9, min_word_count=1,
+                      batch_size=m).collect(),
+            key=lambda r: r["rank"])]
+        want = _bpe_learn(wc, 9, batch_size=m)
+        assert got == want, f"batch_size={m}"
+
+    # batch_size=1 == the pre-batching sequential semantics
+    seq = [tuple(r) for r in sorted(
+        bpe_train(docs, num_merges=9, min_word_count=1).collect(),
+        key=lambda r: r["rank"])]
+    assert seq == _bpe_learn(wc, 9)
+
+
+def test_bpe_batched_defers_colliding_pairs(spark):
+    """A pair sharing a symbol with a higher-ranked selection in the
+    same round is deferred to the NEXT round, never dropped."""
+    # (a,b)=8 then (b,c)=6 collide on b; (x,y)=5 is disjoint
+    docs = _docs(spark, ["ab " * 8 + "bc " * 6 + "xy " * 5])
+    got = [(r["left"], r["right"]) for r in sorted(
+        bpe_train(docs, num_merges=3, min_word_count=1,
+                  batch_size=2).collect(), key=lambda r: r["rank"])]
+    assert got[0] == ("a", "b")
+    assert got[1] == ("x", "y")   # disjoint -> same round
+    assert got[2] == ("b", "c")   # deferred, not dropped
