@@ -42,14 +42,44 @@ def _bg_arrays(background_pdf: pd.DataFrame):
     )
 
 
-def collect_background(background) -> pd.DataFrame:
+#: Driver-side cap on the collected background model. 50M (word_id, p)
+#: rows is ~1.2 GB as pandas — well inside a normal driver, but a LOUD
+#: ceiling long before the silent OOM a truly raw 100-TB vocab would
+#: cause. Override with BESD_BACKGROUND_MAX_ROWS for bigger drivers.
+BACKGROUND_MAX_ROWS = 50_000_000
+
+
+def collect_background(background, max_rows: int | None = None) -> pd.DataFrame:
     """Normalize a background model (Spark DataFrame or already-collected
     pandas) to pandas ONCE. The pipeline collects a single time and
     passes the pandas frame to every stage — each stage collecting its
-    own copy costs one full scan+agg job per consumer."""
+    own copy costs one full scan+agg job per consumer.
+
+    Guarded: collects at most ``max_rows + 1`` rows (bounded driver
+    memory even when the vocab is unbounded) and raises with the
+    mitigation levers instead of OOMing. For vocabs that genuinely
+    exceed driver memory, bound the vocab BEFORE this point:
+    raise ``min_word_corpus_count`` (rare words carry no theme signal),
+    or remap to a bounded id space with
+    ``operators.sampling.vocab_prune_remap`` — the kernels only ever
+    index the model by word_id, so any corpus-consistent remap works.
+    """
     if isinstance(background, pd.DataFrame):
         return background
-    return background.select("word_id", "p").toPandas()
+    import os
+
+    if max_rows is None:
+        max_rows = int(os.environ.get(
+            "BESD_BACKGROUND_MAX_ROWS", BACKGROUND_MAX_ROWS))
+    pdf = background.select("word_id", "p").limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"background model exceeds {max_rows:,} rows; refusing to "
+            "collect it to the driver. Bound the vocabulary first: raise "
+            "min_word_corpus_count, or prune+remap ids with "
+            "operators.sampling.vocab_prune_remap; or raise the cap via "
+            "BESD_BACKGROUND_MAX_ROWS if the driver has the memory.")
+    return pdf
 
 
 def em_window(

@@ -40,6 +40,7 @@ batch API (file-level predicate pruning) is ``icelite.read_table``.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 
@@ -86,10 +87,21 @@ def _arrow_batches(file_path: str, schema_json: str,
 
     spark_schema = StructType.fromJson(json.loads(schema_json))
     arrow_schema = to_arrow_schema(spark_schema)
+    # column-pruned read: only the table-schema fields that exist in
+    # the file (missing ones are null-filled below for add-column
+    # evolution); pyarrow skips the other column chunks entirely
+    pf = pq.ParquetFile(file_path)
+    file_cols = set(pf.schema_arrow.names)
+    want = [f.name for f in arrow_schema if f.name in file_cols]
     if rg is None:
-        table = pq.read_table(file_path)
+        table = pf.read(columns=want)
     else:
-        table = pq.ParquetFile(file_path).read_row_group(rg)
+        table = pf.read_row_group(rg, columns=want)
+    if table.schema == arrow_schema:
+        # fast path: file already in table-schema form (the common
+        # case — icelite data files are written from the table schema)
+        yield from table.to_batches()
+        return
     # name-based resolution + null-fill for add-column evolution
     import pyarrow as pa
 
@@ -102,11 +114,26 @@ def _arrow_batches(file_path: str, schema_json: str,
     yield from pa.Table.from_arrays(cols, schema=arrow_schema).to_batches()
 
 
+@_functools.lru_cache(maxsize=4096)
+def _cached_snapshot(table_path: str, sid: int) -> dict:
+    """Snapshot JSONs are immutable once committed (os.link claim), so
+    the long-lived source-runner process caches them: a trigger that
+    replans (restart, retry) or the drain poller never re-reads."""
+    return icelite._load_snapshot(table_path, sid)
+
+
+@_functools.lru_cache(maxsize=512)
+def _cached_manifest(table_path: str, name: str) -> list:
+    """Manifests are immutable and content-addressed (uuid names); do
+    not mutate the returned entries."""
+    return icelite._load_manifest(table_path, name)
+
+
 def _added_partitions(table_path: str, start_id: int, end_id: int,
                       skip_replace: bool) -> list[_FilePartition]:
     out: list[_FilePartition] = []
     for sid in range(start_id + 1, end_id + 1):
-        snap = icelite._load_snapshot(table_path, sid)
+        snap = _cached_snapshot(table_path, sid)
         op = snap["operation"]
         if op in _REPLACE_OPS:
             if skip_replace:
@@ -117,7 +144,7 @@ def _added_partitions(table_path: str, start_id: int, end_id: int,
                 "'true') to skip replace snapshots (their rewrites are "
                 "not re-emitted)")
         for m in snap.get("added_manifests", []):
-            for e in icelite._load_manifest(table_path, m):
+            for e in _cached_manifest(table_path, m):
                 out.extend(_entry_partitions(table_path, e))
     return out
 
@@ -209,6 +236,7 @@ class IceliteStreamReader(DataSourceStreamReader):
         self._path = table_path
         self._schema_json = schema_json
         self._skip_replace = skip_replace
+        self._last_seen: int | None = None
 
     def initialOffset(self) -> dict:
         # start before the EARLIEST snapshot still on disk, so the
@@ -222,7 +250,19 @@ class IceliteStreamReader(DataSourceStreamReader):
         return {"snapshot_id": (min(ids) - 1) if ids else 0}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": icelite.current_snapshot_id(self._path)}
+        # snapshot ids are dense (each commit claims parent+1 via
+        # os.link), so after one full listing the per-trigger poll is
+        # O(new snapshots) existence probes instead of an O(all
+        # snapshots) listdir — after 10k streaming commits the listdir
+        # itself becomes the per-trigger planning tax.
+        if self._last_seen is None:
+            self._last_seen = icelite.current_snapshot_id(self._path)
+        meta = icelite._meta_dir(self._path)
+        nxt = self._last_seen + 1
+        while os.path.exists(os.path.join(meta, icelite._snap_name(nxt))):
+            self._last_seen = nxt
+            nxt += 1
+        return {"snapshot_id": self._last_seen}
 
     def partitions(self, start: dict, end: dict):
         return _added_partitions(self._path, start["snapshot_id"],

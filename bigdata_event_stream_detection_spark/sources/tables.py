@@ -108,9 +108,15 @@ def write_events(
     writes the same directory layout via ``partitionBy``.
     """
     if fmt == "iceberg":
-        (events.writeTo(table).using("iceberg")
-         .partitionedBy(*partition_by).createOrReplace()) \
-            if mode == "overwrite" else events.writeTo(table).append()
+        # writeTo().partitionedBy takes Column expressions, not names
+        writer = (events.writeTo(table).using("iceberg")
+                  .partitionedBy(*[F.col(c) for c in partition_by]))
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif events.sparkSession.catalog.tableExists(table):
+            events.writeTo(table).append()
+        else:
+            writer.create()
         return
     if fmt == "icelite":
         # ACID append/overwrite; snapshot stats give window_start

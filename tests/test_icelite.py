@@ -571,9 +571,26 @@ def test_rewrite_manifests_bounds_planning(spark, tbl):
             "summary": {"added_files": 1, "removed_files": 0}})
     n_rows = read_table(spark, tbl).count()
 
-    t0 = _time.perf_counter()
-    table_files(tbl)
-    slow = _time.perf_counter() - t0
+    def _manifest_reads(fn):
+        """Count metadata-file opens during a planning call — the
+        O(commit history) claim itself; wall-clock ratios are
+        page-cache flaky on this host (2000 warm tiny-JSON reads cost
+        about the same as one 2001-entry parse)."""
+        calls = {"n": 0}
+        real = icelite._load_manifest
+
+        def counting(path, name):
+            calls["n"] += 1
+            return real(path, name)
+
+        icelite._load_manifest = counting
+        try:
+            return fn(), calls["n"]
+        finally:
+            icelite._load_manifest = real
+
+    _, reads_before = _manifest_reads(lambda: table_files(tbl))
+    assert reads_before >= 2000        # one manifest per commit
 
     sid = rewrite_manifests(tbl)
     assert sid is not None
@@ -581,14 +598,11 @@ def test_rewrite_manifests_bounds_planning(spark, tbl):
     assert snap["operation"] == "rewrite-manifests"
     assert len(snap["manifests"]) == 1
 
-    t0 = _time.perf_counter()
-    files = table_files(tbl)
-    fast = _time.perf_counter() - t0
+    files, reads_after = _manifest_reads(lambda: table_files(tbl))
     assert len(files) == 2001          # same data files, one manifest
     assert read_table(spark, tbl).count() == n_rows
-    # planning no longer opens O(commits) files: one manifest read
-    # (parse cost of its 2001 entries is the irreducible floor)
-    assert fast < slow / 2 and fast < 0.25
+    # planning no longer opens O(commits) metadata files
+    assert reads_after == 1
     # idempotent no-op second pass, and no orphan manifests left by it
     pre = {n for n in os.listdir(os.path.join(tbl, "meta"))
            if n.startswith("manifest-")}

@@ -42,12 +42,16 @@ def main() -> int:
                     help="flagship = EM/HMM detector; seq = the "
                     "MATCH_RECOGNIZE sequence CEP stream")
     ap.add_argument("--source", default="files",
-                    choices=["files", "icelite"],
+                    choices=["files", "icelite", "files-live"],
                     help="files = parquet file source with "
                     "maxFilesPerTrigger (availableNow); icelite = "
                     "snapshot-incremental table source driven by a "
                     "LIVE feeder (processing-time trigger, one append "
-                    "per trigger) — the continuous-operation shape")
+                    "per trigger) — the continuous-operation shape; "
+                    "files-live = the SAME live-feeder shape over the "
+                    "native file source (one file moved into the "
+                    "watched dir per slice) — the apples-to-apples "
+                    "control for the icelite numbers")
     ap.add_argument("--local-dir", default=None)
     args = ap.parse_args()
     if args.job == "seq":
@@ -105,23 +109,32 @@ model = bg.background_model(
 listener = MetricsListener()
 spark.streams.addListener(listener)
 work = tempfile.mkdtemp(prefix="latency_probe_")
-if source == "icelite":
+if source in ("icelite", "files-live"):
     # continuous-operation shape: the stream runs on a processing-time
-    # trigger while a LIVE feeder commits one snapshot per time slice
-    # (the file chunks, in chronological order) — each trigger then
-    # reads exactly the newly committed snapshot's files
+    # trigger while a LIVE feeder commits one slice per trigger — an
+    # icelite snapshot append, or (the apples-to-apples control) one
+    # parquet file linked into the watched directory
+    import os, shutil
     from bigdata_event_stream_detection_spark.sources import icelite
     from bigdata_event_stream_detection_spark.sources.tables import (
         read_sequences_stream)
-    tbl = work + "/sequences"
     chunks = sorted(glob.glob(in_dir + "/part-*.parquet"))
-    icelite.create_table(tbl, seqs.schema)
-    icelite.append(spark.read.parquet(chunks[0]), tbl)
-    stream = read_sequences_stream(spark, tbl, fmt="icelite")
+    if source == "icelite":
+        tbl = work + "/sequences"
+        icelite.create_table(tbl, seqs.schema)
+        icelite.append(spark.read.parquet(chunks[0]), tbl)
+        stream = read_sequences_stream(spark, tbl, fmt="icelite")
+        feed = lambda c: icelite.append(spark.read.parquet(c), tbl)
+    else:
+        live = work + "/sequences"
+        os.makedirs(live)
+        os.link(chunks[0], live + "/" + os.path.basename(chunks[0]))
+        stream = read_sequences_stream(spark, live, fmt="parquet")
+        feed = lambda c: os.link(c, live + "/" + os.path.basename(c))
     events = streaming_detect_events(stream, model, params)
     q = start_event_sink(events, work + "/out", work + "/ckpt")
     for c in chunks[1:]:
-        icelite.append(spark.read.parquet(c), tbl)
+        feed(c)
         n_before = len(listener.progress)
         t0 = time.time()
         while len(listener.progress) <= n_before and time.time() - t0 < 120:
