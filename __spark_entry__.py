@@ -1678,6 +1678,46 @@ def _q_icelite_merge_snapshot(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def _q_icelite_wap_gated(spark, sf_dir):
+    # write-audit-publish (round 4): the even-key half is the base
+    # table; a DIRTY odd-key batch (every 7th key's price nulled) is
+    # staged, audited against ("price_not_null", "o_totalprice IS NOT
+    # NULL"), and ABORTED — table unchanged, no snapshot; the clean
+    # odd-key batch then publishes atomically under tag "r4". Result =
+    # the tagged read's per-status profile, so if the aborted batch
+    # leaked (or the publish missed rows) the counts diverge from the
+    # plain full-orders oracle (sources/icelite.py:write_audit_publish)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        AuditFailed,
+        append,
+        create_table,
+        read_table,
+        write_audit_publish,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _icelite_fresh("wap")
+    create_table(path, orders.schema)
+    append(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    dirty = odd.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice")))
+    checks = [("price_not_null", "o_totalprice IS NOT NULL")]
+    try:
+        write_audit_publish(dirty, path, checks)
+        raise AssertionError("dirty batch must not publish")
+    except AuditFailed:
+        pass
+    write_audit_publish(odd, path, checks, tag="r4")
+    return (read_table(spark, path, tag="r4")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
 def _q_icelite_time_travel(spark, sf_dir):
     # snapshot log + time travel: two appends, then version-pinned
     # reads of both snapshots (sources/icelite.py read_table)
@@ -1747,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_user_state": _q_latest_user_state,
         "scd2_user_history": _q_scd2_user_history,
         "icelite_merge_snapshot": _q_icelite_merge_snapshot,
+        "icelite_wap_gated": _q_icelite_wap_gated,
         "icelite_time_travel": _q_icelite_time_travel,
         "icelite_pruned_scan": _q_icelite_pruned_scan,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
@@ -2335,6 +2376,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM merged GROUP BY 1
+        """,
+        "icelite_wap_gated": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
         """,
         "icelite_time_travel": """
             SELECT 2 AS version, count(*) AS n,

@@ -79,12 +79,19 @@ def bpe_train(
     no symbol with it, so every selected pair's count is the true
     corpus count at selection time, and applying the batch in rank
     order equals applying each selected pair as its own round. The
-    ONE deviation from sequential BPE (batch_size=1): a pair *created*
-    by an earlier merge in the same batch (e.g. ("th","e") right after
-    (t,h)) cannot be chosen until the next round, so it may be ranked
-    up to batch_size-1 positions later than the sequential trainer
-    would rank it. Pairs that share a symbol with an already-selected
-    pair are deferred, never skipped.
+    deviation from sequential BPE (batch_size=1): a pair *created* by
+    an earlier merge in the same batch (e.g. ("th","e") right after
+    (t,h)) cannot be chosen until the next round, and that deferral
+    compounds — later rounds see different pair counts, so the greedy
+    TRAJECTORY (and eventually the merge set itself) can drift from
+    the sequential trainer's, the standard tradeoff every batched BPE
+    trainer makes (measured on sf0.01 at m=8: same prefix, then
+    order/set drift — BENCH.md "Round 4: BPE batched merge rounds").
+    Pairs that share a symbol with an already-selected pair are
+    deferred within the round, never dropped. batch_size=1 is
+    bit-identical to classic Sennrich BPE; the single-node oracle
+    mirrors whatever batch_size the engine ran, so engine==oracle
+    parity is pinned for m in {1,3,8} (tests/test_bpe.py).
     """
     spark = documents.sparkSession
     # localCheckpoint (not persist): each round's table must TRUNCATE

@@ -488,6 +488,7 @@ def read_table(
     version: int | None = None,
     as_of_ms: int | None = None,
     where: list[tuple] | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read.
 
@@ -498,7 +499,12 @@ def read_table(
     into the parquet scan for row-group-level pruning inside the
     surviving files. Richer predicates belong in ``.filter`` on the
     returned DataFrame (they just skip the file-level prune).
-    """
+    ``tag`` reads the snapshot a named ref pins (see
+    :func:`create_tag`)."""
+    if tag is not None:
+        if version is not None or as_of_ms is not None:
+            raise ValueError("pass tag OR version/as_of_ms, not both")
+        version = resolve_tag(path, tag)
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
     schema = StructType.fromJson(snap["schema"])
     entries = _snapshot_entries(path, snap)
@@ -838,6 +844,9 @@ def expire_snapshots(path: str, keep_last: int = 2,
         keep.update(
             i for i in ids
             if _load_snapshot(path, i)["timestamp_ms"] >= older_than_ms)
+    # tagged snapshots are retention pins (Iceberg keeps ref'd
+    # snapshots through expiry): a named release must stay readable
+    keep.update(sid for sid in tags(path).values() if sid in set(ids))
     live_manifests: set[str] = set()
     live_files: set[str] = set()
     for i in keep:
@@ -914,3 +923,187 @@ def remove_orphan_files(path: str, older_than_s: float = 3 * 86400) -> dict:
             shutil.rmtree(p, ignore_errors=True)
             removed["staging_dirs"] += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish + named refs (tags)
+
+
+class AuditFailed(RuntimeError):
+    """A write-audit-publish run found expectation violations; the
+    staged data was aborted and the table is unchanged."""
+
+
+def _ref_file(path: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"invalid ref name {name!r} "
+                         "(allowed: letters, digits, . _ -)")
+    return os.path.join(_meta_dir(path), f"ref-{name}.json")
+
+
+def create_tag(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Pin a named immutable tag to a snapshot (default: current).
+
+    Tags are Iceberg refs: human-named retention/time-travel anchors
+    ("v1-train-cut"). ``expire_snapshots`` always keeps tagged
+    snapshots, so a tag is also a retention pin. Creation is atomic
+    (link-claimed like commits) and tags are immutable — re-pointing
+    means drop + create."""
+    sid = current_snapshot_id(path) if snapshot_id is None else snapshot_id
+    _load_snapshot(path, sid)   # must exist (raises otherwise)
+    ref = _ref_file(path, name)
+    tmp = os.path.join(_meta_dir(path), f"._tmp-ref-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": sid, "type": "tag"}, f)
+    try:
+        os.link(tmp, ref)
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists "
+                         "(tags are immutable; drop_tag first)")
+    finally:
+        os.unlink(tmp)
+    return sid
+
+
+def tags(path: str) -> dict:
+    """All tags as ``{name: snapshot_id}``."""
+    out = {}
+    for n in os.listdir(_meta_dir(path)):
+        if n.startswith("ref-") and n.endswith(".json"):
+            with open(os.path.join(_meta_dir(path), n)) as f:
+                out[n[4:-5]] = json.load(f)["snapshot_id"]
+    return out
+
+
+def drop_tag(path: str, name: str) -> None:
+    try:
+        os.unlink(_ref_file(path, name))
+    except FileNotFoundError:
+        raise ValueError(f"no such tag {name!r}")
+
+
+def resolve_tag(path: str, name: str) -> int:
+    t = tags(path)
+    if name not in t:
+        raise ValueError(f"no such tag {name!r} (have: {sorted(t)})")
+    return t[name]
+
+
+def stage_append(df: DataFrame, path: str,
+                 parquet_block_bytes: int | None = None) -> dict:
+    """WRITE phase of write-audit-publish: data files + manifest land
+    on storage but NO snapshot is committed — invisible to every
+    reader and to the streaming source until :func:`publish_staged`.
+
+    Crash/abandon safety needs no new machinery: an unpublished
+    staging is exactly the "written but never committed" debris
+    :func:`remove_orphan_files` age-gates, and :func:`expire_snapshots`
+    never touches files no expired snapshot owns."""
+    entries = _write_data_files(df, path,
+                                parquet_block_bytes=parquet_block_bytes)
+    manifest = _write_manifest(path, entries)
+    return {"manifest": manifest, "entries": entries}
+
+
+def read_staged(spark: SparkSession, path: str, staged: dict,
+                as_if_published: bool = False) -> DataFrame:
+    """AUDIT-phase read: the staged rows (table schema), optionally
+    unioned with the current table — the "table as it would look after
+    publish" view Iceberg's WAP audits run against (duplicate checks,
+    referential checks, and volume checks need the existing rows)."""
+    schema = table_schema(path)
+    files = [os.path.join(path, e["path"]) for e in staged["entries"]]
+    df = (spark.read.schema(schema).parquet(*files) if files
+          else spark.createDataFrame([], schema))
+    if as_if_published:
+        df = read_table(spark, path).unionByName(df)
+    return df
+
+
+def publish_staged(path: str, staged: dict, max_retries: int = 10,
+                   summary_extra: dict | None = None) -> int:
+    """PUBLISH phase: one atomic append-type snapshot referencing the
+    staged manifest. Pure metadata — no data file moves or rewrites —
+    so concurrent appends between stage and publish are fine (the
+    commit retries against the new parent like any append)."""
+    for _ in range(max_retries):
+        parent = _load_snapshot(path, current_snapshot_id(path))
+        snap = {"snapshot_id": parent["snapshot_id"] + 1,
+                "parent_id": parent["snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "append", "schema": parent["schema"],
+                "manifests": parent["manifests"] + [staged["manifest"]],
+                "added_manifests": [staged["manifest"]],
+                "summary": {"added_files": len(staged["entries"]),
+                            "removed_files": 0, "wap": True,
+                            **(summary_extra or {})}}
+        try:
+            return _commit_snapshot(path, snap)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"publish_staged lost {max_retries} commit races")
+
+
+def abort_staged(path: str, staged: dict) -> None:
+    """Drop a staged (unpublished) manifest and its data files."""
+    for e in staged["entries"]:
+        try:
+            os.unlink(os.path.join(path, e["path"]))
+        except FileNotFoundError:
+            pass
+    try:
+        os.unlink(os.path.join(_meta_dir(path), staged["manifest"]))
+    except FileNotFoundError:
+        pass
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    checks: list,
+    audit_scope: str = "staged",
+    tag: str | None = None,
+) -> int:
+    """Iceberg's WAP pattern as one call: stage ``df``, run the
+    declarative expectation ``checks`` (see
+    ``operators/expectations.py`` — ``(name, sql_predicate)`` pairs,
+    CHECK-constraint NULL semantics) against the staged rows
+    (``audit_scope="staged"``) or the as-if-published table
+    (``audit_scope="table"``), then publish atomically. On any failed
+    expectation the staged files are removed, the table is untouched,
+    and :class:`AuditFailed` reports the violation counts. ``tag``
+    additionally pins the published snapshot (e.g. a dataset release
+    name).
+
+    Readers and the incremental streaming source can NEVER observe
+    unaudited rows: data only becomes visible via the publish commit.
+    """
+    if audit_scope not in ("staged", "table"):
+        raise ValueError("audit_scope must be 'staged' or 'table'")
+    from ..operators.expectations import expectation_summary
+
+    spark = df.sparkSession
+    staged = stage_append(df, path)
+    try:
+        audit_df = read_staged(spark, path, staged,
+                               as_if_published=audit_scope == "table")
+        failed = [(r["expectation"], r["n_violations"], r["n_rows"])
+                  for r in expectation_summary(audit_df, checks).collect()
+                  if not r["passed"]]
+    except BaseException:
+        abort_staged(path, staged)
+        raise
+    if failed:
+        abort_staged(path, staged)
+        raise AuditFailed(
+            "audit failed, staged data aborted, table unchanged: " +
+            "; ".join(f"{name}: {n}/{total} rows violate"
+                      for name, n, total in failed))
+    sid = publish_staged(path, staged,
+                         summary_extra={"wap_audit": "passed",
+                                        "wap_checks": len(checks)})
+    if tag is not None:
+        create_tag(path, tag, sid)
+    return sid

@@ -641,3 +641,150 @@ def test_streaming_replace_snapshot_policy(spark, tbl, registered,
     q2.awaitTermination(120)
     # replace snapshot skipped: only the original append's files emitted
     assert spark.read.parquet(str(tmp_path / "sTrue")).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish + tags (round 4)
+
+
+def _meta_names(tbl, prefix):
+    return {n for n in os.listdir(os.path.join(tbl, "meta"))
+            if n.startswith(prefix)}
+
+
+def _data_names(tbl):
+    return set(os.listdir(os.path.join(tbl, "data")))
+
+
+def test_wap_publish_is_atomic_and_invisible_until_published(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        publish_staged,
+        read_staged,
+        stage_append,
+    )
+
+    append(_rows(spark, 0, 50), tbl)
+    staged = stage_append(_rows(spark, 50, 80, src="b"), tbl)
+    # staged data exists on disk but NO reader path can see it
+    assert read_table(spark, tbl).count() == 50
+    assert current_snapshot_id(tbl) == 2
+    assert len(table_files(tbl)) < len(_data_names(tbl))
+    # audit-phase reads: staged-only and as-if-published
+    assert read_staged(spark, tbl, staged).count() == 30
+    assert read_staged(spark, tbl, staged, as_if_published=True).count() == 80
+    sid = publish_staged(tbl, staged)
+    assert sid == 3
+    assert read_table(spark, tbl).count() == 80
+    snap = icelite._load_snapshot(tbl, sid)
+    assert snap["summary"]["wap"] is True
+    assert snap["added_manifests"] == [staged["manifest"]]
+
+
+def test_wap_audit_failure_aborts_cleanly(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        AuditFailed,
+        write_audit_publish,
+    )
+
+    append(_rows(spark, 0, 50), tbl)
+    pre_data = _data_names(tbl)
+    pre_manifests = _meta_names(tbl, "manifest-")
+    bad = _rows(spark, 50, 60).withColumn(
+        "v", F.when(F.col("k") >= 55, F.lit(None)).otherwise(F.col("v")))
+    with pytest.raises(AuditFailed, match="v_not_null: 5/10 rows violate"):
+        write_audit_publish(bad, tbl, [("v_not_null", "v IS NOT NULL")])
+    # table untouched: same snapshot, same rows, no file or manifest leak
+    assert current_snapshot_id(tbl) == 2
+    assert read_table(spark, tbl).count() == 50
+    assert _data_names(tbl) == pre_data
+    assert _meta_names(tbl, "manifest-") == pre_manifests
+
+
+def test_wap_passes_and_tags_release(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        resolve_tag,
+        write_audit_publish,
+    )
+
+    append(_rows(spark, 0, 50), tbl)
+    sid = write_audit_publish(
+        _rows(spark, 50, 70, src="b"), tbl,
+        [("v_not_null", "v IS NOT NULL"), ("k_in_range", "k < 100")],
+        tag="release-1")
+    assert resolve_tag(tbl, "release-1") == sid
+    assert read_table(spark, tbl, tag="release-1").count() == 70
+    snap = icelite._load_snapshot(tbl, sid)
+    assert snap["summary"]["wap_audit"] == "passed"
+    assert snap["summary"]["wap_checks"] == 2
+
+
+def test_wap_audit_scope_table_sees_existing_rows(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        AuditFailed,
+        write_audit_publish,
+    )
+
+    # base table carries a violation; clean staged rows pass a
+    # staged-scope audit but the as-if-published audit catches it
+    append(_rows(spark, 0, 10).withColumn(
+        "v", F.when(F.col("k") == 3, F.lit(None)).otherwise(F.col("v"))),
+        tbl)
+    clean = _rows(spark, 10, 20, src="b")
+    checks = [("v_not_null", "v IS NOT NULL")]
+    with pytest.raises(AuditFailed):
+        write_audit_publish(clean, tbl, checks, audit_scope="table")
+    assert read_table(spark, tbl).count() == 10   # aborted
+    sid = write_audit_publish(clean, tbl, checks, audit_scope="staged")
+    assert sid is not None
+    assert read_table(spark, tbl).count() == 20
+
+
+def test_wap_staged_rows_never_reach_the_stream(spark, tbl, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        publish_staged,
+        stage_append,
+    )
+
+    append(_rows(spark, 0, 20), tbl)
+    staged = stage_append(_rows(spark, 20, 30, src="b"), tbl)
+    spark.dataSource.register(IceliteDataSource)
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (spark.readStream.format("icelite").load(tbl)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    assert run_batch() == 20               # staged rows not emitted
+    publish_staged(tbl, staged)
+    assert run_batch() == 30               # exactly the published rows
+
+
+def test_tags_immutable_and_pin_expiry(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        create_tag,
+        drop_tag,
+        tags,
+    )
+
+    append(_rows(spark, 0, 10), tbl)           # snap 2
+    create_tag(tbl, "v1")
+    append(_rows(spark, 10, 30, src="b"), tbl)  # snap 3
+    append(_rows(spark, 30, 60, src="c"), tbl)  # snap 4
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(tbl, "v1")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        create_tag(tbl, "bad/name")
+    # expiry keeps the tagged snapshot alive (retention pin)
+    expire_snapshots(tbl, keep_last=1)
+    assert read_table(spark, tbl, tag="v1").count() == 10
+    assert tags(tbl) == {"v1": 2}
+    # dropping the tag releases the pin; the next expiry reclaims it
+    drop_tag(tbl, "v1")
+    expire_snapshots(tbl, keep_last=1)
+    assert 2 not in icelite._list_snapshot_ids(tbl)
+    with pytest.raises(ValueError, match="no such tag"):
+        read_table(spark, tbl, tag="v1")
