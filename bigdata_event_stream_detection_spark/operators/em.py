@@ -190,8 +190,11 @@ def em_themes(
         replicated = replicated.crossJoin(F.broadcast(run_ids))
     else:
         replicated = replicated.withColumn("run", F.lit(0))
-    return replicated.groupBy("window_start", "run").applyInPandas(
-        fit, schema=THEMES_SCHEMA)
+    # pin the kernel shuffle's parallelism: AQE byte-coalescing would
+    # serialize the CPU-bound EM stage onto one task (util.py)
+    from ..util import pin_partitions
+    return pin_partitions(replicated, "window_start", "run").groupBy(
+        "window_start", "run").applyInPandas(fit, schema=THEMES_SCHEMA)
 
 
 def em_themes_chunked(
@@ -225,8 +228,9 @@ def em_themes_chunked(
         return em_window(window_start, int(run), pdf, ids, p_all, k,
                          iterations=iterations, lambda_b=lambda_b)
 
-    return chunked.groupBy("window_start", "run").applyInPandas(
-        fit, schema=THEMES_SCHEMA)
+    from ..util import pin_partitions
+    return pin_partitions(chunked, "window_start", "run").groupBy(
+        "window_start", "run").applyInPandas(fit, schema=THEMES_SCHEMA)
 
 
 DOC_WEIGHTS_SCHEMA = (
@@ -300,7 +304,10 @@ def em_doc_weights(
         return em_doc_weights_window(window_start, pdf, ids, p_all, k,
                                      iterations=iterations, lambda_b=lambda_b)
 
-    return windowed.select("window_start", "doc_id", "tokens").groupBy(
+    from ..util import pin_partitions
+    return pin_partitions(
+        windowed.select("window_start", "doc_id", "tokens"),
+        "window_start").groupBy(
         "window_start").applyInPandas(fit, schema=DOC_WEIGHTS_SCHEMA)
 
 

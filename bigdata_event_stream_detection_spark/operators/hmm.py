@@ -208,9 +208,11 @@ def detect_events_pooled(
         return pd.DataFrame(rows, columns=[
             "window_start", "source", "theme_id", "strength"])
 
-    return (windowed
-            .select("window_start", "source", "doc_id", "event_time",
-                    "tokens")
+    from ..util import pin_partitions
+    return (pin_partitions(
+                windowed.select("window_start", "source", "doc_id",
+                                "event_time", "tokens"),
+                "window_start")
             .groupBy("window_start")
             .applyInPandas(run, EVENTS_SCHEMA))
 
@@ -240,17 +242,25 @@ def _cogrouped(sequences: DataFrame, themes: DataFrame, fn, schema,
     largest source. Results are identical: per-source decode is
     independent by construction (the EM pooling already happened on the
     themes side)."""
+    from ..util import pin_partitions
+
     seq_cols = sequences.select(
         "window_start", "source", "doc_id", "event_time", "tokens")
     theme_cols = themes.select(
         "window_start", "theme_id", "word_ids", "probs")
     if not by_source:
-        return seq_cols.groupBy("window_start").cogroup(
-            theme_cols.groupBy("window_start")).applyInPandas(fn, schema)
+        # pin BOTH cogroup sides (AQE byte-coalescing would serialize
+        # the CPU-bound decode stage onto one task — util.py)
+        return pin_partitions(seq_cols, "window_start").groupBy(
+            "window_start").cogroup(
+            pin_partitions(theme_cols, "window_start")
+            .groupBy("window_start")).applyInPandas(fn, schema)
     win_sources = sequences.select("window_start", "source").distinct()
     replicated = theme_cols.join(win_sources, "window_start")
-    return seq_cols.groupBy("window_start", "source").cogroup(
-        replicated.groupBy("window_start", "source")
+    return pin_partitions(seq_cols, "window_start", "source").groupBy(
+        "window_start", "source").cogroup(
+        pin_partitions(replicated, "window_start", "source")
+        .groupBy("window_start", "source")
     ).applyInPandas(fn, schema)
 
 

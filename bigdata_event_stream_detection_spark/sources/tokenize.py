@@ -27,18 +27,27 @@ def words_column(text_col):
 def build_lexicon(documents: DataFrame, min_count: int = 1) -> DataFrame:
     """Dense word ids, deterministically ordered by (count desc, word asc).
 
-    Ids are assigned with a range-partitioned sort + per-partition
-    offsets (``zipWithIndex`` over an ``orderBy``) — a global
-    ``row_number`` window would move the whole vocabulary to ONE
-    partition (Spark's "No Partition Defined for Window" cliff), which
-    single-threads at web-scale vocab. The sorted-RDD index is the
-    exact global dense rank at any parallelism: range partitions are
-    globally ordered and each partition is sorted, so index =
-    partition offset + local position, computed in two narrow passes.
-    Unlike the reference's partition-order-dependent ``zipWithIndex``
-    (HmmInputFromParser.java:46-58), the total (count desc, word asc)
-    order makes the ids reproducible.
+    Ids are assigned as a range-partitioned sort + per-partition
+    offsets — a global ``row_number`` window would move the whole
+    vocabulary to ONE partition (Spark's "No Partition Defined for
+    Window" cliff), which single-threads at web-scale vocab. Range
+    partitions are globally ordered and each is sorted, so
+    id = partition offset + local rank is the exact global dense rank
+    at any parallelism; the sort key (count, word) is unique per row
+    (word is unique), so ids are reproducible regardless of range
+    boundaries. Unlike the reference's partition-order-dependent
+    ``zipWithIndex`` (HmmInputFromParser.java:46-58), the total order
+    makes the ids deterministic — and unlike an RDD ``zipWithIndex``
+    the whole computation stays JVM-side: the only driver traffic is
+    one row per shuffle partition (the offsets), not the vocabulary.
+    The partition ids are stamped into the persisted rows BEFORE the
+    offsets job, so the two passes can never disagree about placement
+    (AQE may re-plan exchanges between jobs; cached data cannot move).
     """
+    from pyspark.sql import Window
+
+    from ..util import persist_once
+
     counts = (
         documents.select(F.explode(words_column(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -46,10 +55,27 @@ def build_lexicon(documents: DataFrame, min_count: int = 1) -> DataFrame:
         .filter(F.col("count") >= min_count)
     )
     spark = documents.sparkSession
-    ordered = counts.orderBy(F.col("count").desc(), F.col("word").asc())
-    indexed = ordered.rdd.zipWithIndex().map(
-        lambda wi: (wi[0]["word"], int(wi[1])))
-    return spark.createDataFrame(indexed, schema="word string, word_id int")
+    order = [F.col("count").desc(), F.col("word").asc()]
+    ordered = persist_once(
+        counts.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id()))
+    sizes = {r["_pid"]: r["n"] for r in
+             ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    if not sizes:
+        return spark.createDataFrame([], "word string, word_id int")
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(sizes) for x in (pid, offsets[pid])])
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (ordered
+            .withColumn("word_id",
+                        (F.row_number().over(w) - 1
+                         + off_map[F.col("_pid")]).cast("int"))
+            .select("word", "word_id"))
 
 
 # Lexicons up to this size encode via a broadcast map *literal* — a

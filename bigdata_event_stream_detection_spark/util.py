@@ -45,3 +45,26 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def pin_partitions(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
+    """Hash-partition on ``keys`` with an EXPLICIT partition count, so
+    the following per-group kernel stage keeps its parallelism.
+
+    AQE's partition coalescing targets BYTES (64 MB post-shuffle), but
+    an ``applyInPandas`` kernel stage is CPU-bound on tiny bytes: a few
+    MB of token arrays carry seconds of EM/Baum-Welch per group, and
+    coalescing serializes the whole stage onto one task (measured:
+    detect_events' fused stage = 1 task, 3.6 s wall for 1.8 s of
+    kernel CPU that parallelizes to ~0.2 s). A ``repartition(n, keys)``
+    with an explicit count is exempt from coalescing (Spark honors
+    user-specified numPartitions), and its hash partitioning satisfies
+    the downstream groupBy's ClusteredDistribution, so this adds NO
+    extra exchange — it just pins the one that was already there.
+
+    ``n`` defaults to the session's ``spark.sql.shuffle.partitions``
+    (sized to cores locally; set by the job on a cluster).
+    """
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
