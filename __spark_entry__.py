@@ -1766,6 +1766,44 @@ def _q_icelite_pruned_scan(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def _q_icelite_partitioned_prune(spark, sf_dir):
+    # hidden partitioning (Iceberg partition transforms): the table is
+    # bucketed on user_id and day-partitioned on ts at WRITE time; the
+    # reads keep filtering on the SOURCE columns and planning prunes
+    # files by the transformed partition value — exactly, not
+    # min/max-conservatively (sources/icelite.py _partition_may_match).
+    # The result is a pure function of the events data (partitioning
+    # only changes which files are planned), so DuckDB oracles it
+    # directly against the parquet.
+    import datetime as dt
+
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        read_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    path = _icelite_fresh("partprune")
+    create_table(path, ev.schema,
+                 partition_spec=[("user_id", "bucket", 8), ("ts", "day")])
+    append(ev, path)
+    by_user = (read_table(spark, path, where=[("user_id", "=", 42)])
+               .groupBy(F.col("event_type").alias("grp"))
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum("value"), 2).alias("total"))
+               .select(F.lit("user").alias("leg"), "grp", "n", "total"))
+    d0, d1 = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 8)
+    by_day = (read_table(spark, path,
+                         where=[("ts", ">=", d0), ("ts", "<", d1)])
+              .groupBy(F.col("ts").cast("date").cast("string").alias("grp"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("total"))
+              .select(F.lit("days").alias("leg"), "grp", "n", "total"))
+    return by_user.unionByName(by_day)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -1790,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_wap_gated": _q_icelite_wap_gated,
         "icelite_time_travel": _q_icelite_time_travel,
         "icelite_pruned_scan": _q_icelite_pruned_scan,
+        "icelite_partitioned_prune": _q_icelite_partitioned_prune,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2395,6 +2434,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000
             GROUP BY 1
+        """,
+        "icelite_partitioned_prune": """
+            SELECT 'user' AS leg, event_type AS grp, count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events WHERE user_id = 42 GROUP BY 2
+            UNION ALL
+            SELECT 'days', CAST(CAST(ts AS DATE) AS VARCHAR), count(*),
+                   round(sum(value), 2)
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND ts < TIMESTAMP '2024-01-08'
+            GROUP BY 2
         """,
         "latest_user_state": """
             WITH c AS (

@@ -42,6 +42,15 @@ real implementation rather than a pointer at a dependency:
 * **Schema evolution.** Add-only column evolution: a schema commit
   changes the table schema; old files read the new columns as null
   (parquet-by-name resolution), like Iceberg's id-based add-column.
+* **Hidden partitioning.** ``create_table(..., partition_spec=
+  [("doc_id", "bucket", 16), ("ts", "day")])`` routes every write
+  through partition transforms (identity/bucket/truncate/day/hour);
+  each data file carries exactly one partition tuple in its manifest
+  entry and readers keep filtering on the SOURCE column — the format
+  prunes by the transformed value, exactly (not min/max-conservative).
+  A bucketed merge key additionally prunes ``merge_into`` planning to
+  the source's buckets — the lever stats pruning lacks under uniform
+  keys. See the "hidden partitioning" section below.
 
 A snapshot-incremental *streaming source* over these tables (each
 micro-batch = the data files appended by newly committed snapshots,
@@ -90,6 +99,7 @@ __all__ = [
     "remove_orphan_files",
     "rewrite_manifests",
     "add_columns",
+    "table_partition_spec",
 ]
 
 _META = "meta"
@@ -101,7 +111,7 @@ _DATA = "data"
 # have to preserve NUMERIC ordering to prune soundly, so they are
 # conservatively excluded (their files are always scanned).
 _STATS_TYPES = {"string", "integer", "long", "short", "byte", "float",
-                "double", "date", "timestamp", "boolean"}
+                "double", "date", "timestamp", "timestamp_ntz", "boolean"}
 
 
 class CommitConflict(RuntimeError):
@@ -260,8 +270,244 @@ def _plain(v):
     return v
 
 
+# ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg partition transforms)
+#
+# A partition spec maps SOURCE columns through TRANSFORMS to partition
+# values; readers keep filtering on the source column and the format
+# prunes files by the transformed value ("hidden" — queries never name
+# the partition column, Iceberg spec §Partitioning). Each transform has
+# TWO implementations that must agree bit-for-bit: a Spark Column
+# expression (write path: group rows into partition-aligned files) and
+# a Python scalar (plan path: transform a predicate literal and compare
+# against the manifest's per-file partition tuple). Supported, with the
+# source types that keep the two sides provably identical:
+#
+#   identity            string/int/long/short/byte/date/boolean
+#   bucket[n]           string/int/long/short/byte/date
+#                       (crc32(utf8(cast(v as string))) mod n — crc32 is
+#                       the same polynomial in Spark and zlib, and
+#                       str()/cast-to-string agree for these types)
+#   truncate[w]         string (prefix) or int/long/short/byte
+#                       (v - pmod(v, w): floor-to-multiple, exact for
+#                       negatives on both sides)
+#   day / hour          timestamp (epoch-micros floor-division, exact
+#                       long arithmetic); day also for date columns
+#
+# Timestamp bucket/identity and float keys are rejected: their
+# cast-to-string rendering is not guaranteed to match Python's, and a
+# silent mismatch would mis-prune. month/year are intentionally absent
+# (calendar arithmetic; day covers the layout need here).
+
+_IDENTITY_TYPES = {"string", "integer", "long", "short", "byte", "date",
+                   "boolean"}
+_BUCKET_TYPES = {"string", "integer", "long", "short", "byte", "date"}
+_TRUNC_TYPES = {"string", "integer", "long", "short", "byte"}
+_US_PER = {"day": 86_400_000_000, "hour": 3_600_000_000}
+_HIDDEN = "_p_"  # prefix of the write-path partitionBy columns
+_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _normalize_spec(partition_spec, schema: StructType) -> list[dict]:
+    """Validate a user spec ``[(col, transform[, param]), ...]`` into
+    the stored form ``[{name, source, transform, param, result}]``."""
+    out: list[dict] = []
+    for item in partition_spec:
+        if isinstance(item, dict):  # already stored form (re-validation)
+            src, tr, param = item["source"], item["transform"], item["param"]
+        elif len(item) == 2:
+            (src, tr), param = item, None
+        else:
+            src, tr, param = item
+        t = _col_type(schema, src)
+        if t is None:
+            raise ValueError(f"partition source column {src!r} not in schema")
+        if tr == "identity":
+            if t not in _IDENTITY_TYPES:
+                raise ValueError(f"identity partition unsupported for {t}"
+                                 f" column {src!r} (timestamps: use day/hour)")
+            name, result = src, ("string" if t == "string" else "long")
+        elif tr == "bucket":
+            if not param or int(param) < 2:
+                raise ValueError("bucket transform needs param n >= 2")
+            if t not in _BUCKET_TYPES:
+                raise ValueError(f"bucket partition unsupported for {t}"
+                                 f" column {src!r}")
+            param, result = int(param), "long"
+            name = f"{src}_bucket{param}"
+        elif tr == "truncate":
+            if not param or int(param) < 1:
+                raise ValueError("truncate transform needs param w >= 1")
+            if t not in _TRUNC_TYPES:
+                raise ValueError(f"truncate partition unsupported for {t}"
+                                 f" column {src!r}")
+            param, result = int(param), ("string" if t == "string" else "long")
+            name = f"{src}_trunc{param}"
+        elif tr in _US_PER:
+            if t not in ("timestamp", "timestamp_ntz") and not (
+                    t == "date" and tr == "day"):
+                raise ValueError(f"{tr} partition needs a timestamp"
+                                 f" (or date for day) column, got {t}"
+                                 f" for {src!r}")
+            name, result = f"{src}_{tr}", "long"
+        else:
+            raise ValueError(f"unknown partition transform {tr!r}")
+        out.append({"name": name, "source": src, "transform": tr,
+                    "param": param, "result": result})
+    names = [f["name"] for f in out]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate partition fields: {names}")
+    return out
+
+
+def _table_spec(path: str) -> list[dict]:
+    try:
+        snap = _load_snapshot(path, current_snapshot_id(path))
+    except FileNotFoundError:
+        return []
+    return snap.get("partition_spec") or []
+
+
+def table_partition_spec(path: str) -> list[dict]:
+    """The table's partition spec (empty list when unpartitioned)."""
+    return _table_spec(path)
+
+
+def _transform_expr(field: dict, schema: StructType) -> Column:
+    """Spark-side partition value of ``field`` (write path)."""
+    src, tr = field["source"], field["transform"]
+    t = _col_type(schema, src)
+    c = F.col(src)
+    if tr == "identity":
+        if t == "date":
+            return F.unix_date(c)
+        if t == "string":
+            return c
+        return c.cast("long")
+    if tr == "bucket":
+        return F.pmod(F.crc32(F.encode(c.cast("string"), "UTF-8")),
+                      F.lit(field["param"])).cast("long")
+    if tr == "truncate":
+        if t == "string":
+            return F.substring(c, 1, field["param"])
+        cl = c.cast("long")
+        return cl - F.pmod(cl, F.lit(field["param"]))
+    # day / hour: exact long floor-division — `x div d` truncates toward
+    # zero, so divide the pmod-floored multiple (never a double: the
+    # epoch-micros range exceeds double's exact-integer range)
+    if t == "date":
+        return F.unix_date(c)
+    d = _US_PER[tr]
+    us = (f"unix_micros(cast(`{src}` as timestamp))"
+          if t == "timestamp_ntz" else f"unix_micros(`{src}`)")
+    return F.expr(f"({us} - pmod({us}, {d})) div {d}")
+
+
+def _transform_value(field: dict, v, schema: StructType):
+    """Python-side twin of :func:`_transform_expr` for predicate
+    literals (plan-time pruning). ``v`` is the raw user value (datetime
+    / date / str / int)."""
+    import datetime
+    import zlib
+
+    src, tr = field["source"], field["transform"]
+    t = _col_type(schema, src)
+    if v is None:
+        return None
+    if tr == "identity":
+        return _encode_value(v, t) if t == "date" else (
+            int(v) if t != "string" else v)
+    if tr == "bucket":
+        s = v.isoformat() if isinstance(v, datetime.date) else str(v)
+        return zlib.crc32(s.encode("utf-8")) % field["param"]
+    if tr == "truncate":
+        return v[: field["param"]] if t == "string" else (
+            int(v) - (int(v) % field["param"]))
+    if t == "date":
+        return _encode_value(v, t)
+    us = _plain(v) if isinstance(v, datetime.datetime) else int(v)
+    return us // _US_PER[tr]
+
+
+def _parse_partition_dirs(relparts: list[str], spec: list[dict]) -> dict:
+    """Decode Spark's hive-style ``_p_<name>=<value>`` staging dirs
+    back into the manifest's partition tuple. The null/empty sentinel
+    decodes to None (readers treat None as "unknown — never prune":
+    Spark folds empty strings into the same sentinel as nulls, so None
+    must stay conservative)."""
+    from urllib.parse import unquote
+
+    by_name = {f["name"]: f for f in spec}
+    out: dict = {}
+    for part in relparts:
+        k, _, raw = part.partition("=")
+        if not k.startswith(_HIDDEN):
+            continue
+        f = by_name.get(k[len(_HIDDEN):])
+        if f is None:
+            continue
+        val = unquote(raw)
+        out[f["name"]] = (None if val == _NULL_DIR
+                          else int(val) if f["result"] == "long" else val)
+    return out
+
+
+def _partition_may_match(entry: dict, pred: tuple, spec: list[dict],
+                         schema: StructType) -> bool:
+    """Exact partition-level predicate check: False ONLY when the
+    file's partition tuple proves no row can match. Unlike min/max
+    stats this is metadata the WRITER fixed per file, so equality
+    pruning is exact (the property that bounds 10^12-row planning:
+    a bucketed point lookup plans 1/n of the files regardless of data
+    distribution). Missing/None partition values never prune."""
+    col, op, val = pred
+    part = entry.get("partition") or {}
+    for field in spec:
+        if field["source"] != col or field["name"] not in part:
+            continue
+        pv = part[field["name"]]
+        if pv is None:
+            continue
+        tr = field["transform"]
+        if tr == "bucket":
+            if op == "=" and _transform_value(field, val, schema) != pv:
+                return False
+            continue  # bucket prunes equality only
+        if tr == "identity":
+            # exact value: reuse the stats comparison with min==max==pv
+            st = {"min": pv, "max": pv}
+            if not _file_may_match({"stats": {col: st}}, pred, schema):
+                return False
+            continue
+        # monotonic transforms (truncate/day/hour): t(lo) <= pv <= t(hi)
+        if op == "between":
+            lo = _transform_value(field, val[0], schema)
+            hi = _transform_value(field, val[1], schema)
+            if pv < lo or pv > hi:
+                return False
+        elif op == "=":
+            if pv != _transform_value(field, val, schema):
+                return False
+        elif op in ("<", "<="):
+            if pv > _transform_value(field, val, schema):
+                return False
+        elif op in (">", ">="):
+            if pv < _transform_value(field, val, schema):
+                return False
+    return True
+
+
+def _entry_may_match(entry: dict, pred: tuple, spec: list[dict],
+                     schema: StructType) -> bool:
+    return (_file_may_match(entry, pred, schema)
+            and (not spec
+                 or _partition_may_match(entry, pred, spec, schema)))
+
+
 def _write_data_files(df: DataFrame, path: str,
-                      parquet_block_bytes: int | None = None) -> list[dict]:
+                      parquet_block_bytes: int | None = None,
+                      spec: list[dict] | None = None,
+                      distribute: bool = True) -> list[dict]:
     """Write ``df`` as immutable data files + collect footer stats.
 
     Spark writes to a staging dir (task commits are Spark's problem);
@@ -272,9 +518,30 @@ def _write_data_files(df: DataFrame, path: str,
     tasks WITHOUT touching footers at plan time (Iceberg's
     split-offsets idea). ``parquet_block_bytes`` caps the row-group
     size (mainly for tests that need multi-row-group files).
+
+    With a partition ``spec``, hidden transform columns drive a
+    ``partitionBy`` write so every data file holds exactly ONE
+    partition tuple (recorded in its manifest entry; the hidden columns
+    themselves are never stored — the source columns are). By default
+    rows are hash-distributed on the partition tuple first (Iceberg's
+    hash write-distribution mode: one file per tuple per append instead
+    of one per task per tuple); layout rewrites pass
+    ``distribute=False`` to keep their range clustering, trading file
+    count for ordered stats.
     """
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    hidden = []
+    if spec:
+        for fld in spec:
+            hc = _HIDDEN + fld["name"]
+            df = df.withColumn(hc, _transform_expr(fld, df.schema))
+            hidden.append(hc)
+        if distribute:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartition(n, *hidden)
     writer = df.write.mode("overwrite")
+    if hidden:
+        writer = writer.partitionBy(*hidden)
     if parquet_block_bytes is not None:
         writer = writer.option("parquet.block.size",
                                str(parquet_block_bytes))
@@ -292,26 +559,33 @@ def _write_data_files(df: DataFrame, path: str,
         sess.conf.set(ts_key, ts_old)
     stat_cols = {f.name: f.dataType.typeName()
                  for f in df.schema.fields
-                 if f.dataType.typeName() in _STATS_TYPES}
+                 if f.dataType.typeName() in _STATS_TYPES
+                 and not f.name.startswith(_HIDDEN)}
     entries = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, name)
-        rel = f"{_DATA}/f-{uuid.uuid4().hex}.parquet"
-        dst = os.path.join(path, rel)
-        stats = _stats_from_footer(src, dict(stat_cols))
-        import pyarrow.parquet as pq
+    for root, _dirs, names in sorted(os.walk(staging)):
+        relparts = [p for p in os.path.relpath(root, staging).split(os.sep)
+                    if p not in (".", "")]
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel = f"{_DATA}/f-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(path, rel)
+            stats = _stats_from_footer(src, dict(stat_cols))
+            import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(src).metadata
-        os.replace(src, dst)
-        entries.append({"path": rel, "rows": md.num_rows,
-                        "row_groups": md.num_row_groups,
-                        "bytes": os.path.getsize(dst), "stats": stats})
-    # clear staging remnants (_SUCCESS, crc files)
-    for name in os.listdir(staging):
-        os.unlink(os.path.join(staging, name))
-    os.rmdir(staging)
+            md = pq.ParquetFile(src).metadata
+            os.replace(src, dst)
+            entry = {"path": rel, "rows": md.num_rows,
+                     "row_groups": md.num_row_groups,
+                     "bytes": os.path.getsize(dst), "stats": stats}
+            if spec:
+                entry["partition"] = _parse_partition_dirs(relparts, spec)
+            entries.append(entry)
+    # clear staging remnants (_SUCCESS, crc files, partition dirs)
+    import shutil
+
+    shutil.rmtree(staging)
     return entries
 
 
@@ -319,13 +593,21 @@ def _write_data_files(df: DataFrame, path: str,
 # table operations
 
 
-def create_table(path: str, schema: StructType) -> None:
-    """Create an empty table (snapshot 1, no files)."""
+def create_table(path: str, schema: StructType,
+                 partition_spec: list | None = None) -> None:
+    """Create an empty table (snapshot 1, no files).
+
+    ``partition_spec`` is a list of ``(col, transform[, param])``
+    tuples (e.g. ``[("doc_id", "bucket", 16), ("ts", "day")]``) — see
+    the hidden-partitioning section above. The spec is fixed at create
+    time and carried by every snapshot."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     snap = {"snapshot_id": 1, "parent_id": None,
             "timestamp_ms": int(time.time() * 1000),
             "operation": "create", "schema": json.loads(schema.json()),
+            "partition_spec": (_normalize_spec(partition_spec, schema)
+                               if partition_spec else []),
             "manifests": [], "added_manifests": [],
             "summary": {"added_files": 0, "removed_files": 0}}
     _commit_snapshot(path, snap)
@@ -342,7 +624,8 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
     snapshot summary — the streaming sinks stamp their (stream id,
     batch id) there for replay idempotence."""
     entries = _write_data_files(df, path,
-                                parquet_block_bytes=parquet_block_bytes)
+                                parquet_block_bytes=parquet_block_bytes,
+                                spec=_table_spec(path))
     manifest = _write_manifest(path, entries)
     for _ in range(max_retries):
         parent = _load_snapshot(path, current_snapshot_id(path))
@@ -350,6 +633,7 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
                 "parent_id": parent["snapshot_id"],
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": "append", "schema": parent["schema"],
+                "partition_spec": parent.get("partition_spec") or [],
                 "manifests": parent["manifests"] + [manifest],
                 "added_manifests": [manifest],
                 "summary": {"added_files": len(entries),
@@ -363,8 +647,12 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
 
 
 def overwrite(df: DataFrame, path: str) -> int:
-    """Replace the table contents (single replace snapshot)."""
-    entries = _write_data_files(df, path)
+    """Replace the table contents (single replace snapshot). The
+    partition spec survives (re-validated against the new schema)."""
+    spec = _table_spec(path)
+    if spec:
+        spec = _normalize_spec(spec, df.schema)
+    entries = _write_data_files(df, path, spec=spec)
     manifest = _write_manifest(path, entries)
     parent = _load_snapshot(path, current_snapshot_id(path))
     removed = sum(len(_load_manifest(path, m)) for m in parent["manifests"])
@@ -372,6 +660,7 @@ def overwrite(df: DataFrame, path: str) -> int:
             "parent_id": parent["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "operation": "overwrite", "schema": json.loads(df.schema.json()),
+            "partition_spec": spec,
             "manifests": [manifest], "added_manifests": [manifest],
             "summary": {"added_files": len(entries),
                         "removed_files": removed}}
@@ -396,13 +685,16 @@ def snapshots(path: str) -> list[dict]:
 def table_files(path: str, version: int | None = None,
                 as_of_ms: int | None = None,
                 where: list[tuple] | None = None) -> list[dict]:
-    """Manifest entries for a snapshot, after min/max file pruning."""
+    """Manifest entries for a snapshot, after min/max file pruning and
+    (for partitioned tables) exact partition-transform pruning."""
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
     schema = StructType.fromJson(snap["schema"])
+    spec = snap.get("partition_spec") or []
     entries = _snapshot_entries(path, snap)
     if where:
         entries = [e for e in entries
-                   if all(_file_may_match(e, p, schema) for p in where)]
+                   if all(_entry_may_match(e, p, spec, schema)
+                          for p in where)]
     return entries
 
 
@@ -419,7 +711,9 @@ def _encode_value(v, type_name: str | None):
     days), so datetime/date predicate values must be encoded the same
     way before comparing — raw comparison would silently mis-prune
     (epoch *seconds* vs micros, Spark's implicit cast)."""
-    if type_name in ("timestamp", "date"):
+    if type_name in ("timestamp", "timestamp_ntz", "date"):
+        # ntz footer stats arrive as naive datetimes; _plain pins them
+        # to UTC — consistent because the session timezone is UTC
         return _plain(v)
     return v
 
@@ -433,6 +727,10 @@ def _encode_expr(name: str, schema: StructType) -> Column:
     c = F.col(name)
     if t == "timestamp":
         return F.unix_micros(c)
+    if t == "timestamp_ntz":
+        # UTC session: ntz -> timestamp cast pins the same instant the
+        # footer-stats path assumes (_plain treats naive as UTC)
+        return F.unix_micros(c.cast("timestamp"))
     if t == "date":
         return F.unix_date(c)
     return c
@@ -507,10 +805,12 @@ def read_table(
         version = resolve_tag(path, tag)
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
     schema = StructType.fromJson(snap["schema"])
+    spec = snap.get("partition_spec") or []
     entries = _snapshot_entries(path, snap)
     if where:
         entries = [e for e in entries
-                   if all(_file_may_match(e, p, schema) for p in where)]
+                   if all(_entry_may_match(e, p, spec, schema)
+                          for p in where)]
     if not entries:
         df = spark.createDataFrame([], schema)
     else:
@@ -538,6 +838,7 @@ def add_columns(path: str, new_fields: StructType) -> int:
             "parent_id": parent["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "operation": "schema", "schema": json.loads(schema.json()),
+            "partition_spec": parent.get("partition_spec") or [],
             "manifests": parent["manifests"], "added_manifests": [],
             "summary": {"added_files": 0, "removed_files": 0}}
     return _commit_snapshot(path, snap)
@@ -595,7 +896,27 @@ def merge_into(
     """
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
+    spec = parent.get("partition_spec") or []
     entries = _snapshot_entries(path, parent)
+
+    # bucket-partition prefilter: when the merge key has a bucket
+    # transform, every file whose bucket is absent from the source is
+    # provably untouched BEFORE any stats work. This is the lever stats
+    # pruning lacks under uniform keys (every file's [min,max] spans the
+    # key space, so the range join touches all of them): the source's
+    # distinct buckets are at most n values (driver-safe collect), and a
+    # point-lookup merge plans 1/n of the files regardless of data
+    # distribution.
+    bucket_fld = next((f for f in spec if f["transform"] == "bucket"
+                       and f["source"] == key), None)
+    if bucket_fld is not None:
+        src_buckets = {r["_b"] for r in source.select(
+            _transform_expr(bucket_fld, schema).alias("_b"))
+            .distinct().collect()}
+        entries = [e for e in entries
+                   if (e.get("partition") or {}).get(bucket_fld["name"])
+                   is None
+                   or e["partition"][bucket_fld["name"]] in src_buckets]
 
     stats_rows = [(e["path"], e["stats"].get(key, {}).get("min"),
                    e["stats"].get(key, {}).get("max"))
@@ -632,8 +953,6 @@ def merge_into(
         touched = {r["_file"] for r in touched_rows} | no_stats
     else:
         touched = set(no_stats)
-
-    untouched_entries = [e for e in entries if e["path"] not in touched]
 
     src = source
     if delete_col is not None:
@@ -673,7 +992,7 @@ def merge_into(
                      .select(*[F.col(f"_w.{c}").alias(c)
                                for c in src_cols]))
 
-    new_entries = _write_data_files(rewritten, path)
+    new_entries = _write_data_files(rewritten, path, spec=spec)
     # untouched manifests whose every entry survives are carried whole;
     # partially-touched manifests are rewritten without the dead entries
     kept_manifests: list[str] = []
@@ -690,6 +1009,7 @@ def merge_into(
             "parent_id": parent["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "operation": "merge", "schema": parent["schema"],
+            "partition_spec": spec,
             "manifests": kept_manifests + [new_manifest],
             "added_manifests": [new_manifest],
             "summary": {"added_files": len(new_entries),
@@ -754,7 +1074,11 @@ def compact_files(spark: SparkSession, path: str,
                .sortWithinPartitions(*cluster_by))
     else:
         out = df.repartition(n_out)
-    new_entries = _write_data_files(out, path)
+    # partitioned tables stay partition-aligned through compaction; a
+    # layout rewrite keeps its range clustering (files split per tuple)
+    new_entries = _write_data_files(out, path,
+                                    spec=parent.get("partition_spec") or [],
+                                    distribute=not layout)
     dead = {e["path"] for e in victims}
     kept_manifests = []
     for m in parent["manifests"]:
@@ -770,6 +1094,7 @@ def compact_files(spark: SparkSession, path: str,
             "parent_id": parent["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "operation": "compact", "schema": parent["schema"],
+            "partition_spec": parent.get("partition_spec") or [],
             "manifests": kept_manifests + [new_manifest],
             "added_manifests": [new_manifest],
             "summary": {"added_files": len(new_entries),
@@ -813,6 +1138,7 @@ def rewrite_manifests(path: str, target_entries: int = 100_000) -> int | None:
             "parent_id": parent["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "operation": "rewrite-manifests", "schema": parent["schema"],
+            "partition_spec": parent.get("partition_spec") or [],
             "manifests": new_manifests, "added_manifests": [],
             "summary": {"added_files": 0, "removed_files": 0,
                         "rewritten_manifests": len(parent["manifests"])}}
@@ -1002,7 +1328,8 @@ def stage_append(df: DataFrame, path: str,
     :func:`remove_orphan_files` age-gates, and :func:`expire_snapshots`
     never touches files no expired snapshot owns."""
     entries = _write_data_files(df, path,
-                                parquet_block_bytes=parquet_block_bytes)
+                                parquet_block_bytes=parquet_block_bytes,
+                                spec=_table_spec(path))
     manifest = _write_manifest(path, entries)
     return {"manifest": manifest, "entries": entries}
 
@@ -1034,6 +1361,7 @@ def publish_staged(path: str, staged: dict, max_retries: int = 10,
                 "parent_id": parent["snapshot_id"],
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": "append", "schema": parent["schema"],
+                "partition_spec": parent.get("partition_spec") or [],
                 "manifests": parent["manifests"] + [staged["manifest"]],
                 "added_manifests": [staged["manifest"]],
                 "summary": {"added_files": len(staged["entries"]),

@@ -126,12 +126,14 @@ class _CommittedBatchCache:
                      else max(self._max, batch_id))
 
 
-def _ensure_table(table_path: str, schema: StructType) -> None:
+def _ensure_table(table_path: str, schema: StructType,
+                  partition_spec: list | None = None) -> None:
     try:
         icelite.current_snapshot_id(table_path)
     except FileNotFoundError:
         try:
-            icelite.create_table(table_path, schema)
+            icelite.create_table(table_path, schema,
+                                 partition_spec=partition_spec)
         except icelite.CommitConflict:
             # two queries (or query + batch writer) raced the create:
             # the table exists now — losing the snap-1 link is success
@@ -143,10 +145,17 @@ def start_append_sink(
     table_path: str,
     checkpoint_path: str,
     available_now: bool = False,
+    partition_spec: list | None = None,
 ):
     """Append every micro-batch to the table as one atomic snapshot,
-    exactly once under replay. Returns the streaming query."""
-    _ensure_table(table_path, df.schema)
+    exactly once under replay. Returns the streaming query.
+
+    ``partition_spec`` (used only when the sink creates the table)
+    routes every trigger's rows through icelite's hidden partition
+    transforms — downstream point reads prune to one bucket/day and a
+    bucketed key turns the APPLY CHANGES merge below into a
+    touched-buckets-only rewrite."""
+    _ensure_table(table_path, df.schema, partition_spec)
     done = _CommittedBatchCache(table_path, checkpoint_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,6 +198,7 @@ def start_apply_changes_icelite(
     op_col: str = "op",
     attrs: Sequence[str] = ("event_type", "value"),
     available_now: bool = False,
+    partition_spec: list | None = None,
 ):
     """Continuously MERGE a changelog stream into an icelite table.
 
@@ -196,10 +206,17 @@ def start_apply_changes_icelite(
     :func:`read_cdc_snapshot`) so a delete keeps beating late-arriving
     older updates; ``precedence=(last_ts, last_id)`` makes the merge
     order-insensitive across triggers. Returns the streaming query.
+
+    ``partition_spec`` (used when this sink creates the table): a
+    bucket transform on ``key_col`` bounds every trigger's merge
+    planning to the batch's buckets — under uniform keys (the measured
+    CDC worst case, BENCH.md "CDC family") stats pruning alone touches
+    every file, while bucket pruning is exact by construction.
     """
     attrs = list(attrs)
     _ensure_table(table_path, _store_schema(
-        changelog, key_col, time_col, id_col, op_col, attrs))
+        changelog, key_col, time_col, id_col, op_col, attrs),
+        partition_spec)
     done = _CommittedBatchCache(table_path, checkpoint_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:

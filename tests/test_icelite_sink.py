@@ -266,6 +266,70 @@ def test_apply_changes_icelite_tombstone_beats_late_update(spark,
     assert dead.first()["op"] == "D"
 
 
+def test_apply_changes_bucketed_table_touches_only_batch_buckets(
+        spark, tmp_path):
+    """APPLY CHANGES into a bucket-partitioned store: trigger 2 only
+    rewrites files in the buckets its keys hash to — every other file
+    survives byte-identical (the uniform-key planning lever: stats
+    ranges all overlap, bucket membership is exact)."""
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        _transform_value,
+        table_files,
+        table_partition_spec,
+        table_schema,
+    )
+
+    d = str(tmp_path / "clb")
+    os.makedirs(d)
+    t0 = time.time()
+    pdf = _changelog(11, n=200, keys=40)
+    # chunk 2 touches exactly two keys
+    late = _changelog(12, n=20, keys=40)
+    late["user_id"] = np.where(np.arange(20) % 2 == 0, "u3", "u17")
+    late["event_id"] += 10_000
+    late["ts"] += pd.to_timedelta(20_000, "s")  # strictly newer
+    _write_chunk(pdf, d, "c1.parquet", t0)
+    _write_chunk(late, d, "c2.parquet", t0 + 1)
+    tbl = str(tmp_path / "storeb")
+
+    stream = (spark.readStream.schema(CHANGELOG_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(d))
+    q = start_apply_changes_icelite(
+        stream, tbl, str(tmp_path / "ckb"), available_now=True,
+        partition_spec=[("user_id", "bucket", 8)])
+    q.awaitTermination(300)
+
+    spec = table_partition_spec(tbl)
+    assert spec and spec[0]["name"] == "user_id_bucket8"
+    schema = table_schema(tbl)
+    touched = {_transform_value(spec[0], k, schema) for k in ("u3", "u17")}
+
+    # trigger-1 files outside the touched buckets survived trigger 2
+    # byte-identical (same path still referenced, same size+mtime)
+    hist = snapshots(tbl)
+    merge_snaps = [s["snapshot_id"] for s in hist
+                   if s["operation"] == "merge"]
+    assert len(merge_snaps) == 2
+    t1_files = {e["path"]: e for e in table_files(tbl,
+                                                  version=merge_snaps[0])}
+    t2_files = {e["path"] for e in table_files(tbl)}
+    untouched = [p for p, e in t1_files.items()
+                 if e["partition"]["user_id_bucket8"] not in touched]
+    assert untouched and all(p in t2_files for p in untouched)
+
+    # and the content equals the batch recomputation
+    full = pd.concat([pdf, late], ignore_index=True)
+    want = (latest_snapshot(
+        spark.createDataFrame(full, CHANGELOG_SCHEMA),
+        attrs=["event_type", "value"])
+        .select("user_id", "event_type", "value", "last_ts", "last_id")
+        .orderBy("user_id").toPandas().reset_index(drop=True))
+    got = (read_cdc_snapshot(spark, tbl)
+           .select("user_id", "event_type", "value", "last_ts", "last_id")
+           .orderBy("user_id").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_merge_precedence_older_source_loses(spark, tmp_path):
     # unit-level: precedence merge keeps the newer TARGET row
     tbl = str(tmp_path / "t")
