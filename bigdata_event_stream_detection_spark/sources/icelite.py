@@ -42,6 +42,28 @@ real implementation rather than a pointer at a dependency:
 * **Schema evolution.** Add-only column evolution: a schema commit
   changes the table schema; old files read the new columns as null
   (parquet-by-name resolution), like Iceberg's id-based add-column.
+* **Merge-on-read deletes (Iceberg v2).** Every data/delete file
+  carries a *data sequence number* (the committing snapshot id, spec
+  §Sequence Numbers). ``delete_where(..., strategy="merge-on-read")``
+  commits **positional delete files** (``file, pos`` rows — no data
+  file is rewritten); ``merge_into(..., strategy="merge-on-read")``
+  commits the upserted rows plus one **equality delete file** of the
+  source keys, which kills rows only in data files with a *strictly
+  smaller* sequence number — so the commit's own inserts, and any
+  later re-insert, survive. Readers apply deletes with two
+  vectorized anti-joins (``_metadata.file_path`` / ``row_index``
+  supply positions; a broadcast file→seq map supplies sequence
+  numbers); tables with no deletes pay nothing. ``compact_files`` and
+  copy-on-write merges read through the delete-applied view, so a
+  rewrite *folds deletes in* (rewritten files get a fresh, higher
+  seq); ``remove_dangling_deletes`` then drops delete files that can
+  no longer apply, metadata-only. This is the table-format lever for
+  the measured CDC write-amplification wall: a per-trigger upsert
+  writes O(batch), never O(store).
+* **Table properties.** ``create_table(..., properties=...)`` /
+  ``set_properties`` — a small committed key→value dict carried by
+  every snapshot (Iceberg's table properties); the CDC sink stamps
+  its read mode there so ``read_cdc_snapshot`` is self-describing.
 * **Hidden partitioning.** ``create_table(..., partition_spec=
   [("doc_id", "bucket", 16), ("ts", "day")])`` routes every write
   through partition transforms (identity/bucket/truncate/day/hour);
@@ -100,6 +122,10 @@ __all__ = [
     "rewrite_manifests",
     "add_columns",
     "table_partition_spec",
+    "delete_where",
+    "remove_dangling_deletes",
+    "table_properties",
+    "set_properties",
 ]
 
 _META = "meta"
@@ -190,6 +216,34 @@ def _commit_snapshot(path: str, snap: dict) -> int:
     return snap["snapshot_id"]
 
 
+def _child_snap(parent: dict, operation: str, manifests: list[str],
+                added: list[str], summary: dict, *,
+                delete_manifests: list[str] | None = None,
+                schema: dict | None = None,
+                partition_spec: list | None = None,
+                properties: dict | None = None) -> dict:
+    """Child-snapshot dict with the invariants every commit shares:
+    schema / partition spec / properties / delete manifests are
+    CARRIED from the parent unless the operation changes them."""
+    return {
+        "snapshot_id": parent["snapshot_id"] + 1,
+        "parent_id": parent["snapshot_id"],
+        "timestamp_ms": int(time.time() * 1000),
+        "operation": operation,
+        "schema": parent["schema"] if schema is None else schema,
+        "partition_spec": (parent.get("partition_spec") or []
+                           if partition_spec is None else partition_spec),
+        "properties": (parent.get("properties") or {}
+                       if properties is None else properties),
+        "delete_manifests": (parent.get("delete_manifests") or []
+                             if delete_manifests is None
+                             else delete_manifests),
+        "manifests": manifests,
+        "added_manifests": added,
+        "summary": summary,
+    }
+
+
 def _resolve_snapshot(path: str, version: int | None = None,
                       as_of_ms: int | None = None) -> dict:
     if version is not None and as_of_ms is not None:
@@ -216,6 +270,136 @@ def _snapshot_entries(path: str, snap: dict) -> list[dict]:
     for m in snap["manifests"]:
         out.extend(_load_manifest(path, m))
     return out
+
+
+def _snapshot_delete_entries(path: str, snap: dict) -> list[dict]:
+    """Delete-file manifest entries (empty for pre-MOR snapshots)."""
+    out: list[dict] = []
+    for m in snap.get("delete_manifests", []):
+        out.extend(_load_manifest(path, m))
+    return out
+
+
+def _all_manifests(snap: dict) -> list[str]:
+    """Data + delete manifests a snapshot references (liveness scans)."""
+    return list(snap["manifests"]) + list(snap.get("delete_manifests", []))
+
+
+def _stamped(entries: list[dict], seq: int) -> list[dict]:
+    """Entries with the data sequence number of the committing
+    snapshot (Iceberg's sequence-number inheritance: the number is
+    final only once the commit wins its id, so retried commits
+    re-stamp and re-write their manifest — a one-JSON cost)."""
+    return [{**e, "seq": seq} for e in entries]
+
+
+def _entry_seq(e: dict) -> int:
+    # pre-MOR entries have no seq: 0 = "older than any delete"
+    return e.get("seq", 0)
+
+
+def _apply_deletes(spark: SparkSession, path: str, snap: dict,
+                   data_entries: list[dict], df: DataFrame) -> DataFrame:
+    """Merge-on-read delete application (Iceberg v2 read path).
+
+    Positional deletes anti-join on ``(file, pos)`` via the parquet
+    scan's ``_metadata.file_path`` / ``row_index`` columns (no extra
+    I/O — the position IS the scan order). Equality deletes reduce to
+    one ``(key, max seq)`` row per deleted key and kill data rows whose
+    file's sequence number is *strictly smaller* — the file→seq map is
+    a broadcast of the (tiny) manifest metadata. Delete files that
+    cannot apply to ``data_entries`` (older seq than every file, or
+    positional refs to files not being read) are pruned driver-side,
+    so a table with no applicable deletes pays nothing.
+
+    Delete sets are bounded by compaction cadence (``compact_files``
+    folds them into data files; ``remove_dangling_deletes`` drops the
+    husks), so the broadcast hint is sound the way Iceberg's own
+    delete-file reads are; a deployment that lets deletes outgrow
+    memory has skipped table maintenance, not hit an engine limit.
+    """
+    dels = _snapshot_delete_entries(path, snap)
+    if not dels or not data_entries:
+        return df
+    live = {os.path.basename(e["path"]): _entry_seq(e)
+            for e in data_entries}
+    min_seq = min(live.values())
+    eq = [d for d in dels if d["type"] == "eq" and d["seq"] > min_seq]
+    pos = [d for d in dels if d["type"] == "pos"
+           and any(r in live for r in d.get("refs", live))]
+    if not eq and not pos:
+        return df
+    cols = df.columns
+    out = df.withColumn(
+        "_fname",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+    if pos:
+        pdel = spark.read.parquet(
+            *[os.path.join(path, d["path"]) for d in pos])
+        out = (out.withColumn("_pos", F.col("_metadata.row_index"))
+               .join(F.broadcast(pdel.select(
+                   F.col("file").alias("_fname"),
+                   F.col("pos").alias("_pos"))),
+                   ["_fname", "_pos"], "left_anti"))
+    if eq:
+        seq_map = spark.createDataFrame(
+            sorted(live.items()), ["_fname", "_dseq"])
+        out = out.join(F.broadcast(seq_map), "_fname", "left")
+        by_key: dict[str, list[dict]] = {}
+        for d in eq:
+            by_key.setdefault(d["key"], []).append(d)
+        for key, group in sorted(by_key.items()):
+            kdel = None
+            for d in group:
+                part = (spark.read
+                        .parquet(os.path.join(path, d["path"]))
+                        .select(F.col(key).alias("_ekey"),
+                                F.lit(d["seq"]).alias("_eseq")))
+                kdel = part if kdel is None else kdel.unionByName(part)
+            kdel = kdel.groupBy("_ekey").agg(F.max("_eseq").alias("_eseq"))
+            out = (out.join(F.broadcast(kdel),
+                            out[key] == F.col("_ekey"), "left")
+                   .filter(F.col("_eseq").isNull()
+                           | (F.col("_dseq") >= F.col("_eseq")))
+                   .drop("_ekey", "_eseq"))
+    return out.select(*cols)
+
+
+def _write_aux_files(df: DataFrame, path: str, prefix: str) -> list[dict]:
+    """Write ``df`` as immutable auxiliary (delete) files under
+    ``data/`` — like :func:`_write_data_files` but with no stats, no
+    partition routing, and no timestamp handling (delete files carry
+    keys or positions, both plain)."""
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, names in sorted(os.walk(staging)):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            md = pq.ParquetFile(src).metadata
+            if md.num_rows == 0:
+                continue
+            rel = f"{_DATA}/{prefix}-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(path, rel)
+            os.replace(src, dst)
+            entries.append({"path": rel, "rows": md.num_rows,
+                            "bytes": os.path.getsize(dst)})
+    import shutil
+
+    shutil.rmtree(staging)
+    return entries
+
+
+def _unlink_quiet(path: str, *rels: str) -> None:
+    for rel in rels:
+        try:
+            os.unlink(os.path.join(path, rel))
+        except FileNotFoundError:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -594,13 +778,16 @@ def _write_data_files(df: DataFrame, path: str,
 
 
 def create_table(path: str, schema: StructType,
-                 partition_spec: list | None = None) -> None:
+                 partition_spec: list | None = None,
+                 properties: dict | None = None) -> None:
     """Create an empty table (snapshot 1, no files).
 
     ``partition_spec`` is a list of ``(col, transform[, param])``
     tuples (e.g. ``[("doc_id", "bucket", 16), ("ts", "day")]``) — see
     the hidden-partitioning section above. The spec is fixed at create
-    time and carried by every snapshot."""
+    time and carried by every snapshot. ``properties`` is the initial
+    table-properties dict (string keys/values; see
+    :func:`set_properties`)."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     snap = {"snapshot_id": 1, "parent_id": None,
@@ -608,6 +795,8 @@ def create_table(path: str, schema: StructType,
             "operation": "create", "schema": json.loads(schema.json()),
             "partition_spec": (_normalize_spec(partition_spec, schema)
                                if partition_spec else []),
+            "properties": dict(properties or {}),
+            "delete_manifests": [],
             "manifests": [], "added_manifests": [],
             "summary": {"added_files": 0, "removed_files": 0}}
     _commit_snapshot(path, snap)
@@ -626,19 +815,22 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
     entries = _write_data_files(df, path,
                                 parquet_block_bytes=parquet_block_bytes,
                                 spec=_table_spec(path))
-    manifest = _write_manifest(path, entries)
+    prev_manifest: str | None = None
     for _ in range(max_retries):
         parent = _load_snapshot(path, current_snapshot_id(path))
-        snap = {"snapshot_id": parent["snapshot_id"] + 1,
-                "parent_id": parent["snapshot_id"],
-                "timestamp_ms": int(time.time() * 1000),
-                "operation": "append", "schema": parent["schema"],
-                "partition_spec": parent.get("partition_spec") or [],
-                "manifests": parent["manifests"] + [manifest],
-                "added_manifests": [manifest],
-                "summary": {"added_files": len(entries),
+        # data files keep their (final) snapshot id as sequence number;
+        # a lost race means a new id, so the manifest is re-stamped
+        # (one small JSON rewrite — the data files are reused)
+        manifest = _write_manifest(
+            path, _stamped(entries, parent["snapshot_id"] + 1))
+        if prev_manifest is not None:
+            _unlink_quiet(path, os.path.join(_META, prev_manifest))
+        prev_manifest = manifest
+        snap = _child_snap(parent, "append",
+                           parent["manifests"] + [manifest], [manifest],
+                           {"added_files": len(entries),
                             "removed_files": 0,
-                            **(summary_extra or {})}}
+                            **(summary_extra or {})})
         try:
             return _commit_snapshot(path, snap)
         except CommitConflict:
@@ -646,24 +838,29 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
     raise CommitConflict(f"append lost {max_retries} commit races")
 
 
-def overwrite(df: DataFrame, path: str) -> int:
+def overwrite(df: DataFrame, path: str,
+              summary_extra: dict | None = None) -> int:
     """Replace the table contents (single replace snapshot). The
-    partition spec survives (re-validated against the new schema)."""
+    partition spec survives (re-validated against the new schema);
+    outstanding merge-on-read delete files are dropped (nothing they
+    reference survives). ``summary_extra`` lands in the snapshot
+    summary (the CDC delta compactor carries its replay stamps
+    there)."""
     spec = _table_spec(path)
     if spec:
         spec = _normalize_spec(spec, df.schema)
     entries = _write_data_files(df, path, spec=spec)
-    manifest = _write_manifest(path, entries)
     parent = _load_snapshot(path, current_snapshot_id(path))
+    manifest = _write_manifest(
+        path, _stamped(entries, parent["snapshot_id"] + 1))
     removed = sum(len(_load_manifest(path, m)) for m in parent["manifests"])
-    snap = {"snapshot_id": parent["snapshot_id"] + 1,
-            "parent_id": parent["snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "overwrite", "schema": json.loads(df.schema.json()),
-            "partition_spec": spec,
-            "manifests": [manifest], "added_manifests": [manifest],
-            "summary": {"added_files": len(entries),
-                        "removed_files": removed}}
+    snap = _child_snap(parent, "overwrite", [manifest], [manifest],
+                       {"added_files": len(entries),
+                        "removed_files": removed,
+                        **(summary_extra or {})},
+                       schema=json.loads(df.schema.json()),
+                       partition_spec=spec,
+                       delete_manifests=[])
     return _commit_snapshot(path, snap)
 
 
@@ -816,6 +1013,7 @@ def read_table(
     else:
         df = spark.read.schema(schema).parquet(
             *[os.path.join(path, e["path"]) for e in entries])
+        df = _apply_deletes(spark, path, snap, entries, df)
     if where:
         for p in where:
             df = df.filter(_pred_column(p, schema))
@@ -834,13 +1032,32 @@ def add_columns(path: str, new_fields: StructType) -> int:
         if f.name in existing:
             raise ValueError(f"column {f.name!r} already exists")
         schema = schema.add(f)
-    snap = {"snapshot_id": parent["snapshot_id"] + 1,
-            "parent_id": parent["snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "schema", "schema": json.loads(schema.json()),
-            "partition_spec": parent.get("partition_spec") or [],
-            "manifests": parent["manifests"], "added_manifests": [],
-            "summary": {"added_files": 0, "removed_files": 0}}
+    snap = _child_snap(parent, "schema", parent["manifests"], [],
+                       {"added_files": 0, "removed_files": 0},
+                       schema=json.loads(schema.json()))
+    return _commit_snapshot(path, snap)
+
+
+def table_properties(path: str) -> dict:
+    """The committed table-properties dict (empty when unset)."""
+    snap = _load_snapshot(path, current_snapshot_id(path))
+    return dict(snap.get("properties") or {})
+
+
+def set_properties(path: str, props: dict) -> int:
+    """Merge ``props`` into the table properties (metadata-only
+    commit; a None value removes the key). Iceberg's
+    ``ALTER TABLE ... SET TBLPROPERTIES``."""
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    merged = dict(parent.get("properties") or {})
+    for k, v in props.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = v
+    snap = _child_snap(parent, "properties", parent["manifests"], [],
+                       {"added_files": 0, "removed_files": 0},
+                       properties=merged)
     return _commit_snapshot(path, snap)
 
 
@@ -856,6 +1073,8 @@ def merge_into(
     delete_col: str | None = None,
     precedence: tuple[str, ...] | None = None,
     summary_extra: dict | None = None,
+    strategy: str = "copy-on-write",
+    max_retries: int = 10,
 ) -> int:
     """Upsert ``source`` into the table by ``key`` (copy-on-write).
 
@@ -893,11 +1112,51 @@ def merge_into(
     A concurrent commit between planning and commit raises
     ``CommitConflict`` (rerun against the new snapshot) — replace ops
     must not auto-retry over a changed file set.
+
+    ``strategy="merge-on-read"`` (Iceberg v2) instead commits the
+    upserted rows as new data files plus ONE equality delete file of
+    the distinct source keys — NO existing file is read or rewritten,
+    so a trigger's write cost is O(batch) regardless of table size
+    (the CDC write-amplification lever). The delete applies only to
+    data files with a strictly smaller sequence number, so the
+    commit's own inserts survive, as does any later re-insert of a
+    deleted key. Restrictions: ``precedence`` is unsupported (MOR is
+    write-blind by design — an out-of-order changelog needs read-time
+    resolution; use the delta CDC sink,
+    ``streaming/icelite_sink.start_apply_changes_icelite(mode=
+    "delta")``), and a lost commit race retries like an append
+    (concurrent upserts of the same key resolve last-committer-wins,
+    Iceberg's serializable-by-sequence-number outcome). Read cost is
+    deferred to scans until :func:`compact_files` folds the deletes
+    in; :func:`remove_dangling_deletes` then drops the husks.
     """
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
     spec = parent.get("partition_spec") or []
     entries = _snapshot_entries(path, parent)
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(f"source lacks delete column {delete_col!r}")
+    # loud null-key guard: SQL MERGE's null keys never match (insert);
+    # the precedence path would instead collapse every null-key row —
+    # including base rows in touched files — into ONE survivor (and an
+    # equality delete on NULL would be meaningless). The contract is
+    # non-null keys (latest_snapshot emits exactly that), so a
+    # violation must fail the commit, not lose data silently.
+    if not source.filter(F.col(key).isNull()).isEmpty():
+        raise ValueError(
+            f"merge_into source has null values in key column {key!r}; "
+            "MERGE keys must be non-null (pre-reduce the changelog, "
+            "e.g. operators/cdc.latest_snapshot, and drop null keys)")
+    if strategy == "merge-on-read":
+        if precedence is not None:
+            raise ValueError(
+                "merge-on-read cannot resolve precedence at write time "
+                "(it never reads the base rows); use copy-on-write, or "
+                "read-time resolution via the delta CDC sink")
+        return _merge_mor(spark, path, parent, source, key,
+                          delete_col, summary_extra, max_retries)
 
     # bucket-partition prefilter: when the merge key has a bucket
     # transform, every file whose bucket is absent from the source is
@@ -923,18 +1182,6 @@ def merge_into(
                   for e in entries]
     no_stats = {p for p, lo, hi in stats_rows if lo is None or hi is None}
     src_cols = [f.name for f in schema.fields]
-    if delete_col is not None and delete_col not in source.columns:
-        raise ValueError(f"source lacks delete column {delete_col!r}")
-    # loud null-key guard: SQL MERGE's null keys never match (insert);
-    # the precedence path would instead collapse every null-key row —
-    # including base rows in touched files — into ONE survivor. The
-    # contract is non-null keys (latest_snapshot emits exactly that),
-    # so a violation must fail the commit, not lose data silently.
-    if not source.filter(F.col(key).isNull()).isEmpty():
-        raise ValueError(
-            f"merge_into source has null values in key column {key!r}; "
-            "MERGE keys must be non-null (pre-reduce the changelog, "
-            "e.g. operators/cdc.latest_snapshot, and drop null keys)")
 
     ranged = [(p, lo, hi) for p, lo, hi in stats_rows if p not in no_stats]
     if ranged:
@@ -960,9 +1207,17 @@ def merge_into(
     else:
         keep_src = src.select(*src_cols)
 
-    base = (spark.read.schema(schema).parquet(
-        *[os.path.join(path, p) for p in sorted(touched)])
-        if touched else None)
+    # base rows are read through the delete-applied view: the rewrite
+    # gives surviving rows a fresh (higher) sequence number, so pending
+    # equality deletes stop applying to them — a raw read would
+    # resurrect merge-on-read-deleted rows into the rewrite
+    if touched:
+        touched_entries = [e for e in entries if e["path"] in touched]
+        base = spark.read.schema(schema).parquet(
+            *[os.path.join(path, p) for p in sorted(touched)])
+        base = _apply_deletes(spark, path, parent, touched_entries, base)
+    else:
+        base = None
     if precedence is None:
         if base is not None:
             survivors = base.join(source.select(key).distinct(), key,
@@ -1004,18 +1259,187 @@ def merge_into(
             alive = [e for e in ment if e["path"] not in touched]
             if alive:
                 kept_manifests.append(_write_manifest(path, alive))
-    new_manifest = _write_manifest(path, new_entries)
-    snap = {"snapshot_id": parent["snapshot_id"] + 1,
-            "parent_id": parent["snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "merge", "schema": parent["schema"],
-            "partition_spec": spec,
-            "manifests": kept_manifests + [new_manifest],
-            "added_manifests": [new_manifest],
-            "summary": {"added_files": len(new_entries),
+    new_manifest = _write_manifest(
+        path, _stamped(new_entries, parent["snapshot_id"] + 1))
+    snap = _child_snap(parent, "merge",
+                       kept_manifests + [new_manifest], [new_manifest],
+                       {"added_files": len(new_entries),
                         "removed_files": len(touched),
-                        **(summary_extra or {})}}
+                        **(summary_extra or {})})
     return _commit_snapshot(path, snap)
+
+
+def _merge_mor(spark: SparkSession, path: str, parent: dict,
+               source: DataFrame, key: str, delete_col: str | None,
+               summary_extra: dict | None, max_retries: int) -> int:
+    """Merge-on-read upsert: new data files (the non-delete source
+    rows) + one equality delete file (the distinct source keys),
+    committed append-style. See :func:`merge_into`."""
+    schema = StructType.fromJson(parent["schema"])
+    spec = parent.get("partition_spec") or []
+    src_cols = [f.name for f in schema.fields]
+    keep_src = (source.filter(~F.col(delete_col))
+                if delete_col is not None else source).select(*src_cols)
+    data_entries = _write_data_files(keep_src, path, spec=spec)
+    # one file: the key set is one shuffled agg's output (distinct),
+    # and delete application reads every eq file anyway
+    del_entries = _write_aux_files(
+        source.select(key).distinct().coalesce(1), path, prefix="d")
+    prev: list[str] = []
+    for _ in range(max_retries):
+        cur = _load_snapshot(path, current_snapshot_id(path))
+        seq = cur["snapshot_id"] + 1
+        data_manifest = _write_manifest(path, _stamped(data_entries, seq))
+        del_manifest = _write_manifest(
+            path, [{**e, "type": "eq", "key": key, "seq": seq}
+                   for e in del_entries])
+        _unlink_quiet(path, *[os.path.join(_META, m) for m in prev])
+        prev = [data_manifest, del_manifest]
+        snap = _child_snap(
+            cur, "merge-mor",
+            cur["manifests"] + [data_manifest], [data_manifest],
+            {"added_files": len(data_entries),
+             "added_delete_files": len(del_entries),
+             "removed_files": 0, **(summary_extra or {})},
+            delete_manifests=(cur.get("delete_manifests") or [])
+            + [del_manifest])
+        try:
+            return _commit_snapshot(path, snap)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"merge-on-read lost {max_retries} commit races")
+
+
+# ---------------------------------------------------------------------------
+# row-level DELETE
+
+
+def delete_where(spark: SparkSession, path: str, where: list[tuple],
+                 strategy: str = "merge-on-read") -> int | None:
+    """Row-level ``DELETE FROM t WHERE ...`` (predicates ANDed, same
+    ``(col, op, value)`` grammar as :func:`read_table`). Returns the
+    new snapshot id, or None when no file can contain a matching row.
+
+    Planning prunes to the files whose stats/partition tuple could
+    match (O(manifest) driver work). Then:
+
+    * ``strategy="merge-on-read"`` (default, Iceberg v2): ONE pass
+      over the touched files emits **positional delete files** —
+      ``(file, pos)`` rows via the scan's ``_metadata`` columns — and
+      commits them as a delete-only snapshot. No data file is written
+      or rewritten; the delete costs O(matching rows) regardless of
+      file sizes, and readers apply it as a broadcast anti-join until
+      :func:`compact_files` folds it in. Each delete entry records the
+      file names it references (Iceberg's ``referenced_data_file``),
+      so dangling-delete cleanup is metadata-only.
+    * ``strategy="copy-on-write"``: touched files are rewritten
+      without the matching rows (replace snapshot, untouched files
+      carried by reference) — the right choice when a large fraction
+      of the touched files' rows die.
+
+    Raises :exc:`CommitConflict` if the table moved between planning
+    and commit (both strategies plan against a pinned snapshot).
+    """
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    schema = StructType.fromJson(parent["schema"])
+    spec = parent.get("partition_spec") or []
+    entries = _snapshot_entries(path, parent)
+    victims = [e for e in entries
+               if all(_entry_may_match(e, p, spec, schema) for p in where)]
+    if not victims:
+        return None
+    match = None
+    for p in where:
+        c = _pred_column(p, schema)
+        match = c if match is None else (match & c)
+    raw = spark.read.schema(schema).parquet(
+        *[os.path.join(path, e["path"]) for e in victims])
+    seq = parent["snapshot_id"] + 1
+
+    if strategy == "merge-on-read":
+        pos = (raw.filter(match).select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("file"),
+            F.col("_metadata.row_index").alias("pos")))
+        del_entries = _write_aux_files(pos.coalesce(1), path, prefix="d")
+        if not del_entries:
+            return None  # stats said maybe; the rows said no
+        refs = sorted(os.path.basename(e["path"]) for e in victims)
+        del_manifest = _write_manifest(
+            path, [{**e, "type": "pos", "refs": refs, "seq": seq}
+                   for e in del_entries])
+        snap = _child_snap(
+            parent, "delete", parent["manifests"], [],
+            {"added_files": 0, "removed_files": 0,
+             "added_delete_files": len(del_entries)},
+            delete_manifests=(parent.get("delete_manifests") or [])
+            + [del_manifest])
+        return _commit_snapshot(path, snap)
+
+    # copy-on-write: rewrite victims without the matching rows, reading
+    # through the delete-applied view (the rewrite folds pending
+    # merge-on-read deletes into the fresh, higher-seq files)
+    survivors = _apply_deletes(spark, path, parent, victims, raw)
+    survivors = survivors.filter(~F.coalesce(match, F.lit(False)))
+    new_entries = _write_data_files(survivors, path, spec=spec)
+    dead = {e["path"] for e in victims}
+    kept_manifests: list[str] = []
+    for m in parent["manifests"]:
+        ment = _load_manifest(path, m)
+        if all(e["path"] not in dead for e in ment):
+            kept_manifests.append(m)
+        else:
+            alive = [e for e in ment if e["path"] not in dead]
+            if alive:
+                kept_manifests.append(_write_manifest(path, alive))
+    new_manifest = _write_manifest(path, _stamped(new_entries, seq))
+    snap = _child_snap(parent, "delete",
+                       kept_manifests + [new_manifest], [new_manifest],
+                       {"added_files": len(new_entries),
+                        "removed_files": len(dead)})
+    return _commit_snapshot(path, snap)
+
+
+def remove_dangling_deletes(path: str) -> dict | None:
+    """Metadata-only cleanup of delete files that can no longer apply
+    (Iceberg's ``rewrite_position_delete_files`` dangling-removal):
+    an equality delete whose sequence number is not greater than any
+    live data file's, or a positional delete none of whose referenced
+    files is live (compaction/merges rewrote them all). Returns
+    ``{"dropped": n}`` or None when nothing is dangling. The dropped
+    files themselves stay on disk until :func:`expire_snapshots`
+    reclaims them (older snapshots still reference them)."""
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    data = _snapshot_entries(path, parent)
+    live_names = {os.path.basename(e["path"]) for e in data}
+    min_seq = min((_entry_seq(e) for e in data), default=None)
+
+    def dangling(d: dict) -> bool:
+        if d["type"] == "eq":
+            return min_seq is None or d["seq"] <= min_seq
+        refs = d.get("refs")
+        return refs is not None and not any(r in live_names for r in refs)
+
+    new_dm: list[str] = []
+    dropped = 0
+    for m in parent.get("delete_manifests", []):
+        ment = _load_manifest(path, m)
+        alive = [e for e in ment if not dangling(e)]
+        dropped += len(ment) - len(alive)
+        if len(alive) == len(ment):
+            new_dm.append(m)
+        elif alive:
+            new_dm.append(_write_manifest(path, alive))
+    if not dropped:
+        return None
+    snap = _child_snap(parent, "rewrite-deletes", parent["manifests"], [],
+                       {"added_files": 0, "removed_files": 0,
+                        "dropped_delete_files": dropped},
+                       delete_manifests=new_dm)
+    _commit_snapshot(path, snap)
+    return {"dropped": dropped}
 
 
 # ---------------------------------------------------------------------------
@@ -1063,6 +1487,9 @@ def compact_files(spark: SparkSession, path: str,
              else max(1, math.ceil(total / (target_mb * (1 << 20)))))
     df = spark.read.schema(schema).parquet(
         *[os.path.join(path, e["path"]) for e in victims])
+    # fold merge-on-read deletes into the rewrite: rewritten files get
+    # a fresh (higher) seq, so the folded deletes stop applying to them
+    df = _apply_deletes(spark, path, parent, victims, df)
     if zorder_by:
         from ..sinks.maintenance import _zorder_key
 
@@ -1089,16 +1516,17 @@ def compact_files(spark: SparkSession, path: str,
             alive = [e for e in ment if e["path"] not in dead]
             if alive:
                 kept_manifests.append(_write_manifest(path, alive))
-    new_manifest = _write_manifest(path, new_entries)
-    snap = {"snapshot_id": parent["snapshot_id"] + 1,
-            "parent_id": parent["snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "compact", "schema": parent["schema"],
-            "partition_spec": parent.get("partition_spec") or [],
-            "manifests": kept_manifests + [new_manifest],
-            "added_manifests": [new_manifest],
-            "summary": {"added_files": len(new_entries),
-                        "removed_files": len(dead)}}
+    new_manifest = _write_manifest(
+        path, _stamped(new_entries, parent["snapshot_id"] + 1))
+    # a FULL rewrite folded every delete in; a partial one keeps the
+    # delete files (they still apply to the carried, lower-seq files —
+    # remove_dangling_deletes trims the subset that no longer can)
+    full_rewrite = len(victims) == len(entries)
+    snap = _child_snap(parent, "compact",
+                       kept_manifests + [new_manifest], [new_manifest],
+                       {"added_files": len(new_entries),
+                        "removed_files": len(dead)},
+                       delete_manifests=([] if full_rewrite else None))
     return _commit_snapshot(path, snap)
 
 
@@ -1134,14 +1562,9 @@ def rewrite_manifests(path: str, target_entries: int = 100_000) -> int | None:
         for m in new_manifests:  # abandon: don't leave orphans behind
             os.unlink(os.path.join(_meta_dir(path), m))
         return None  # would not shrink; skip the commit
-    snap = {"snapshot_id": parent["snapshot_id"] + 1,
-            "parent_id": parent["snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "rewrite-manifests", "schema": parent["schema"],
-            "partition_spec": parent.get("partition_spec") or [],
-            "manifests": new_manifests, "added_manifests": [],
-            "summary": {"added_files": 0, "removed_files": 0,
-                        "rewritten_manifests": len(parent["manifests"])}}
+    snap = _child_snap(parent, "rewrite-manifests", new_manifests, [],
+                       {"added_files": 0, "removed_files": 0,
+                        "rewritten_manifests": len(parent["manifests"])})
     return _commit_snapshot(path, snap)
 
 
@@ -1177,7 +1600,7 @@ def expire_snapshots(path: str, keep_last: int = 2,
     live_files: set[str] = set()
     for i in keep:
         snap = _load_snapshot(path, i)
-        for m in snap["manifests"]:
+        for m in _all_manifests(snap):
             live_manifests.add(m)
             live_files.update(e["path"] for e in _load_manifest(path, m))
     # files/manifests OWNED by the expiring snapshots (scoped delete:
@@ -1188,7 +1611,7 @@ def expire_snapshots(path: str, keep_last: int = 2,
         if i in keep:
             continue
         snap = _load_snapshot(path, i)
-        for m in snap["manifests"]:
+        for m in _all_manifests(snap):
             if m in live_manifests:
                 continue
             dead_manifests.add(m)
@@ -1225,7 +1648,7 @@ def remove_orphan_files(path: str, older_than_s: float = 3 * 86400) -> dict:
     live_files: set[str] = set()
     for i in _list_snapshot_ids(path):
         snap = _load_snapshot(path, i)
-        for m in snap["manifests"]:
+        for m in _all_manifests(snap):
             live_manifests.add(m)
             live_files.update(e["path"] for e in _load_manifest(path, m))
     removed = {"manifests": 0, "data_files": 0, "staging_dirs": 0}
@@ -1357,16 +1780,19 @@ def publish_staged(path: str, staged: dict, max_retries: int = 10,
     commit retries against the new parent like any append)."""
     for _ in range(max_retries):
         parent = _load_snapshot(path, current_snapshot_id(path))
-        snap = {"snapshot_id": parent["snapshot_id"] + 1,
-                "parent_id": parent["snapshot_id"],
-                "timestamp_ms": int(time.time() * 1000),
-                "operation": "append", "schema": parent["schema"],
-                "partition_spec": parent.get("partition_spec") or [],
-                "manifests": parent["manifests"] + [staged["manifest"]],
-                "added_manifests": [staged["manifest"]],
-                "summary": {"added_files": len(staged["entries"]),
+        # stamp the staged entries with the (final) sequence number;
+        # the staged manifest name is reused so an abort after a lost
+        # race still cleans up the right file
+        with open(os.path.join(_meta_dir(path), staged["manifest"]),
+                  "w") as f:
+            json.dump({"files": _stamped(staged["entries"],
+                                         parent["snapshot_id"] + 1)}, f)
+        snap = _child_snap(parent, "append",
+                           parent["manifests"] + [staged["manifest"]],
+                           [staged["manifest"]],
+                           {"added_files": len(staged["entries"]),
                             "removed_files": 0, "wap": True,
-                            **(summary_extra or {})}}
+                            **(summary_extra or {})})
         try:
             return _commit_snapshot(path, snap)
         except CommitConflict:

@@ -54,7 +54,12 @@ from pyspark.sql.types import StructType
 
 from . import icelite
 
-_REPLACE_OPS = {"merge", "overwrite", "compact"}
+# snapshots whose change is not representable as an append: rewrites
+# (merge/overwrite/compact/COW delete) and merge-on-read commits
+# (merge-mor adds rows AND an equality delete; "delete" may be a
+# positional-delete-only commit). Iceberg's streaming read has the
+# same contract: fail by default, skip when told to.
+_REPLACE_OPS = {"merge", "overwrite", "compact", "merge-mor", "delete"}
 
 
 class _FilePartition(InputPartition):

@@ -26,11 +26,15 @@ Scale posture vs the bucket-store modes (``streaming/cdc.py``):
 key-LOCAL triggers rewrite only the files whose footer key ranges the
 merge planner touches (stats pruning instead of bucket pruning);
 uniform-key triggers degrade to a full COW rewrite per trigger — the
-same worst case the bucket store's ``mode="delta"`` exists for, and a
-real deployment composes both (delta files committed as icelite
-appends, compaction as replace snapshots). The point of THIS module is
-the transactional contract, measured in tests by snapshot-count and
-content invariants under replay.
+measured CDC write-amplification wall. ``mode="delta"`` is the
+table-format answer (round 4): each trigger APPENDS its per-key
+latest rows as one O(batch) snapshot commit, reads resolve
+latest-wins, and :func:`compact_cdc_delta` amortizes the fold — the
+same merge-on-read trade the bucket store's delta mode makes, now
+with snapshot isolation, replay stamps that survive compaction, and
+time travel. The point of THIS module is the transactional contract,
+measured in tests by snapshot-count and content invariants under
+replay.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ from .cdc import _batch_latest
 __all__ = [
     "start_append_sink",
     "start_apply_changes_icelite",
+    "compact_cdc_delta",
     "read_cdc_snapshot",
     "last_committed_batch",
 ]
@@ -78,13 +83,20 @@ def _stream_id(checkpoint_path: str) -> str:
 def last_committed_batch(table_path: str, stream_id: str) -> int | None:
     """Greatest micro-batch id this stream has committed to the table
     (scans the snapshot log's summaries — O(snapshots), bounded by
-    ``expire_snapshots``)."""
+    ``expire_snapshots``). ``stream_stamps`` summaries (written by
+    :func:`compact_cdc_delta`, which replaces many stamped appends
+    with one snapshot) carry the per-stream max forward, so the
+    replay wall survives compaction + expiry."""
     best = None
     for snap in icelite.snapshots(table_path):
         s = snap["summary"]
         if (s.get("stream_id") == stream_id
                 and s.get("stream_batch_id") is not None):
             b = int(s["stream_batch_id"])
+            best = b if best is None or b > best else best
+        carried = (s.get("stream_stamps") or {}).get(stream_id)
+        if carried is not None:
+            b = int(carried)
             best = b if best is None or b > best else best
     return best
 
@@ -127,13 +139,15 @@ class _CommittedBatchCache:
 
 
 def _ensure_table(table_path: str, schema: StructType,
-                  partition_spec: list | None = None) -> None:
+                  partition_spec: list | None = None,
+                  properties: dict | None = None) -> None:
     try:
         icelite.current_snapshot_id(table_path)
     except FileNotFoundError:
         try:
             icelite.create_table(table_path, schema,
-                                 partition_spec=partition_spec)
+                                 partition_spec=partition_spec,
+                                 properties=properties)
         except icelite.CommitConflict:
             # two queries (or query + batch writer) raced the create:
             # the table exists now — losing the snap-1 link is success
@@ -199,24 +213,46 @@ def start_apply_changes_icelite(
     attrs: Sequence[str] = ("event_type", "value"),
     available_now: bool = False,
     partition_spec: list | None = None,
+    mode: str = "merge",
 ):
     """Continuously MERGE a changelog stream into an icelite table.
 
     Tombstones are kept as ``op='D'`` rows (read the live view with
     :func:`read_cdc_snapshot`) so a delete keeps beating late-arriving
-    older updates; ``precedence=(last_ts, last_id)`` makes the merge
-    order-insensitive across triggers. Returns the streaming query.
+    older updates. Returns the streaming query. Two modes, the same
+    levers ``streaming/cdc.py`` offers over its bucket store, here
+    with the table format's transactional contract:
+
+    * ``mode="merge"`` (copy-on-write): each trigger MERGEs its
+      per-key latest rows with ``precedence=(last_ts, last_id)`` —
+      order-insensitive across triggers, reads resolve nothing.
+      Per-trigger cost is O(touched files); uniform keys degrade to a
+      full rewrite per trigger (the measured CDC wall).
+    * ``mode="delta"`` (merge-on-read): each trigger APPENDS its
+      per-key latest rows — one O(batch) snapshot commit, never a
+      base read or rewrite, regardless of key layout.
+      :func:`read_cdc_snapshot` resolves latest-wins at read (the
+      table self-describes via the ``cdc.mode`` property), and
+      :func:`compact_cdc_delta` periodically folds the history back
+      to one row per key, carrying the replay stamps forward.
+      Correct under out-of-order triggers for the same reason the
+      merge mode is: ``max_by(last_ts, last_id)`` over appended rows
+      is order-blind.
 
     ``partition_spec`` (used when this sink creates the table): a
-    bucket transform on ``key_col`` bounds every trigger's merge
-    planning to the batch's buckets — under uniform keys (the measured
-    CDC worst case, BENCH.md "CDC family") stats pruning alone touches
-    every file, while bucket pruning is exact by construction.
+    bucket transform on ``key_col`` bounds every merge-mode trigger's
+    planning to the batch's buckets — under uniform keys stats
+    pruning alone touches every file, while bucket pruning is exact
+    by construction. In delta mode it instead buckets the appended
+    files so snapshot reads prune point lookups.
     """
+    if mode not in ("merge", "delta"):
+        raise ValueError(f"unknown apply-changes mode {mode!r}")
     attrs = list(attrs)
     _ensure_table(table_path, _store_schema(
         changelog, key_col, time_col, id_col, op_col, attrs),
-        partition_spec)
+        partition_spec,
+        properties={"cdc.mode": mode, "cdc.key": key_col})
     done = _CommittedBatchCache(table_path, checkpoint_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
@@ -224,11 +260,13 @@ def start_apply_changes_icelite(
             return
         latest = _batch_latest(batch_df, key_col, time_col, id_col,
                                op_col, attrs, n_buckets=1).drop("bucket")
-        icelite.merge_into(
-            batch_df.sparkSession, table_path, latest, key=key_col,
-            precedence=("last_ts", "last_id"),
-            summary_extra={"stream_id": done.stream_id,
-                           "stream_batch_id": batch_id})
+        stamp = {"stream_id": done.stream_id, "stream_batch_id": batch_id}
+        if mode == "delta":
+            icelite.append(latest, table_path, summary_extra=stamp)
+        else:
+            icelite.merge_into(
+                batch_df.sparkSession, table_path, latest, key=key_col,
+                precedence=("last_ts", "last_id"), summary_extra=stamp)
         done.record(batch_id)
 
     writer = (changelog.writeStream.foreachBatch(commit)
@@ -239,12 +277,60 @@ def start_apply_changes_icelite(
     return writer.start()
 
 
+def compact_cdc_delta(spark: SparkSession, table_path: str,
+                      key_col: str | None = None) -> int:
+    """Fold a ``mode="delta"`` CDC table back to ONE row per key
+    (tombstones kept — they must keep beating late older updates).
+    A maintenance job, not part of the trigger path: run it on a
+    cadence, like Iceberg compaction. The replaced snapshots' replay
+    stamps are carried forward in the new snapshot's summary
+    (``stream_stamps``), so :func:`last_committed_batch` still sees
+    them after ``expire_snapshots`` reclaims the appended history."""
+    props = icelite.table_properties(table_path)
+    key = key_col or props.get("cdc.key")
+    if not key:
+        raise ValueError("key_col not given and table has no cdc.key "
+                         "property — is this a CDC delta table?")
+    from pyspark.sql import functions as F
+
+    full = icelite.read_table(spark, table_path)
+    order = F.struct(F.col("last_ts"), F.col("last_id"))
+    payload = F.struct(*[F.col(c) for c in full.columns])
+    folded = (full.groupBy(key)
+              .agg(F.max_by(payload, order).alias("_l"))
+              .select(*[F.col(f"_l.{c}").alias(c) for c in full.columns]))
+    stamps: dict[str, int] = {}
+    for snap in icelite.snapshots(table_path):
+        s = snap["summary"]
+        sid, b = s.get("stream_id"), s.get("stream_batch_id")
+        if sid is not None and b is not None:
+            stamps[sid] = max(stamps.get(sid, -1), int(b))
+        for sid, b in (s.get("stream_stamps") or {}).items():
+            stamps[sid] = max(stamps.get(sid, -1), int(b))
+    return icelite.overwrite(folded, table_path,
+                             summary_extra={"stream_stamps": stamps})
+
+
 def read_cdc_snapshot(spark: SparkSession, table_path: str,
                       version: int | None = None) -> DataFrame:
     """Live view of the CDC table: tombstoned keys excluded. Time
     travel (``version``) gives the store AS OF any committed trigger —
-    the audit capability the bucket store cannot offer."""
+    the audit capability the bucket store cannot offer.
+
+    Self-describing via table properties: a ``cdc.mode=delta`` table
+    holds the appended per-trigger latest rows, so the read resolves
+    latest-wins per key (``max_by`` over ``(last_ts, last_id)`` — one
+    hash agg) before dropping tombstones; a merge-mode table is
+    already one row per key."""
     from pyspark.sql import functions as F
 
-    return icelite.read_table(spark, table_path, version=version).filter(
-        F.col("op") != DELETE_OP)
+    df = icelite.read_table(spark, table_path, version=version)
+    props = icelite.table_properties(table_path)
+    if props.get("cdc.mode") == "delta":
+        key = props.get("cdc.key", "user_id")
+        order = F.struct(F.col("last_ts"), F.col("last_id"))
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        df = (df.groupBy(key)
+              .agg(F.max_by(payload, order).alias("_l"))
+              .select(*[F.col(f"_l.{c}").alias(c) for c in df.columns]))
+    return df.filter(F.col("op") != DELETE_OP)
