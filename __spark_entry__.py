@@ -1804,6 +1804,121 @@ def _q_icelite_partitioned_prune(spark, sf_dir):
     return by_user.unionByName(by_day)
 
 
+def _q_icelite_mor_merge_snapshot(spark, sf_dir):
+    # the SAME merge as icelite_merge_snapshot, committed MERGE-ON-READ
+    # (Iceberg v2): one equality delete file + appended upserts, no
+    # base file read or rewritten (asserted: every pre-merge file is
+    # still referenced). The read path resolves the deletes by
+    # sequence number, so the profile must equal the copy-on-write /
+    # SQL answer (sources/icelite.py _merge_mor/_apply_deletes)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        merge_into,
+        read_table,
+        table_files,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _icelite_fresh("mor")
+    create_table(path, orders.schema)
+    append(orders.repartitionByRange(8, "o_orderkey"), path)
+    before = {e["path"] for e in table_files(path)}
+    upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+           .withColumn("is_delete", F.col("o_orderkey") % 9 == 0))
+    ins = (orders.filter(F.col("o_orderkey") % 1000 == 0)
+           .select((F.col("o_orderkey") + F.lit(100000000)
+                    ).alias("o_orderkey"),
+                   F.lit("Z").alias("o_orderstatus"),
+                   F.col("o_totalprice"),
+                   F.lit(False).alias("is_delete")))
+    merge_into(spark, path, upd.unionByName(ins), key="o_orderkey",
+               delete_col="is_delete", strategy="merge-on-read")
+    after = {e["path"] for e in table_files(path)}
+    assert before <= after, "merge-on-read must not rewrite base files"
+    return (read_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+def _q_icelite_delete_where(spark, sf_dir):
+    # row-level DELETE in both strategies composing on one table: a
+    # merge-on-read positional delete of a time slice (delete files
+    # only — base files untouched), then a copy-on-write delete of a
+    # user range (whose rewrite folds the positional delete into the
+    # surviving rows). The read applies what remains
+    # (sources/icelite.py delete_where)
+    import datetime as dt
+
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        delete_where,
+        read_table,
+        snapshots,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    path = _icelite_fresh("delete")
+    create_table(path, ev.schema)
+    append(ev.repartitionByRange(8, "ts"), path)
+    d0, d1 = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 10)
+    delete_where(spark, path, [("ts", ">=", d0), ("ts", "<", d1)],
+                 strategy="merge-on-read")
+    assert snapshots(path)[-1]["summary"]["added_files"] == 0
+    delete_where(spark, path, [("user_id", "between", (100, 200))],
+                 strategy="copy-on-write")
+    return (read_table(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
+
+
+def _q_icelite_delta_cdc_snapshot(spark, sf_dir):
+    # the delta (merge-on-read) CDC store shape: per-"trigger" latest
+    # rows APPENDED to a cdc.mode=delta table — O(batch) per commit,
+    # never a base rewrite — and read_cdc_snapshot resolves latest-wins
+    # at read. Two batch appends emulate two triggers; the result must
+    # equal the one-shot batch latest_snapshot (= the latest_user_state
+    # oracle) regardless of the split
+    # (streaming/icelite_sink.py start_apply_changes_icelite/
+    # read_cdc_snapshot)
+    from bigdata_event_stream_detection_spark.operators.cdc import (
+        events_as_changelog,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+    )
+    from bigdata_event_stream_detection_spark.streaming.cdc import (
+        _batch_latest,
+    )
+    from bigdata_event_stream_detection_spark.streaming.icelite_sink import (
+        read_cdc_snapshot,
+    )
+
+    cl = events_as_changelog(_t(spark, sf_dir, "events"))
+
+    def trigger(batch):
+        return _batch_latest(batch, "user_id", "ts", "event_id", "op",
+                             ["event_type", "value"],
+                             n_buckets=1).drop("bucket")
+
+    first = trigger(cl.filter(F.col("event_id") % 2 == 0))
+    second = trigger(cl.filter(F.col("event_id") % 2 == 1))
+    path = _icelite_fresh("deltacdc")
+    create_table(path, first.schema,
+                 properties={"cdc.mode": "delta", "cdc.key": "user_id"})
+    append(first, path)
+    append(second, path)
+    return read_cdc_snapshot(spark, path).select(
+        "user_id", "event_type", "value", "last_ts", "last_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -1829,6 +1944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_time_travel": _q_icelite_time_travel,
         "icelite_pruned_scan": _q_icelite_pruned_scan,
         "icelite_partitioned_prune": _q_icelite_partitioned_prune,
+        "icelite_mor_merge_snapshot": _q_icelite_mor_merge_snapshot,
+        "icelite_delete_where": _q_icelite_delete_where,
+        "icelite_delta_cdc_snapshot": _q_icelite_delta_cdc_snapshot,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2446,6 +2564,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05'
               AND ts < TIMESTAMP '2024-01-08'
             GROUP BY 2
+        """,
+        "icelite_mor_merge_snapshot": """
+            WITH merged AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 9 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'Z', o_totalprice
+              FROM orders WHERE o_orderkey % 1000 = 0
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM merged GROUP BY 1
+        """,
+        "icelite_delete_where": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events
+            WHERE NOT (ts >= TIMESTAMP '2024-01-05'
+                       AND ts < TIMESTAMP '2024-01-10')
+              AND NOT (user_id BETWEEN 100 AND 200)
+            GROUP BY 1
+        """,
+        "icelite_delta_cdc_snapshot": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     CASE WHEN event_type = 'signup' THEN 'I'
+                          WHEN event_type = 'error' THEN 'D'
+                          ELSE 'U' END AS op
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM c)
+            SELECT user_id, event_type, value,
+                   ts AS last_ts, event_id AS last_id
+            FROM r WHERE rn = 1 AND op <> 'D'
         """,
         "latest_user_state": """
             WITH c AS (
