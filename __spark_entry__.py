@@ -1919,6 +1919,50 @@ def _q_icelite_delta_cdc_snapshot(spark, sf_dir):
         "user_id", "event_type", "value", "last_ts", "last_id")
 
 
+def _q_icelite_table_changes(spark, sf_dir):
+    # changelog (CDF) scan over a history mixing every change kind:
+    # two appends, a merge-on-read upsert (updates+deletes+inserts of
+    # fresh keys... here all keys exist, so updates+deletes), and a
+    # MOR positional time-slice delete. table_changes renders the
+    # exact row-level history — an update is delete(old)+insert(new),
+    # rows already dead are never re-reported
+    # (sources/icelite_changes.py table_changes)
+    import datetime as dt
+
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        delete_where,
+        merge_into,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite_changes import (
+        table_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    path = _icelite_fresh("changes")
+    create_table(path, ev.schema)
+    append(ev.filter(F.col("event_id") % 2 == 0)
+           .repartitionByRange(4, "event_id"), path)
+    append(ev.filter(F.col("event_id") % 2 == 1)
+           .repartitionByRange(4, "event_id"), path)
+    src = (ev.filter(F.col("event_id") % 7 == 0)
+           .withColumn("value", F.col("value") + F.lit(1000.0))
+           .withColumn("is_delete", F.col("event_id") % 21 == 0))
+    merge_into(spark, path, src, key="event_id", delete_col="is_delete",
+               strategy="merge-on-read")
+    delete_where(spark, path,
+                 [("ts", ">=", dt.datetime(2024, 1, 5)),
+                  ("ts", "<", dt.datetime(2024, 1, 10))],
+                 strategy="merge-on-read")
+    return (table_changes(spark, path)
+            .groupBy(F.col("_change_type").alias("change_type"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -1947,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_mor_merge_snapshot": _q_icelite_mor_merge_snapshot,
         "icelite_delete_where": _q_icelite_delete_where,
         "icelite_delta_cdc_snapshot": _q_icelite_delta_cdc_snapshot,
+        "icelite_table_changes": _q_icelite_table_changes,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2604,6 +2649,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, value,
                    ts AS last_ts, event_id AS last_id
             FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "icelite_table_changes": """
+            WITH upd AS (
+              SELECT * FROM events WHERE event_id % 7 = 0),
+            changes AS (
+              SELECT 'insert' AS change_type, event_type, value
+              FROM events
+              UNION ALL
+              SELECT 'insert', event_type, value + 1000.0
+              FROM upd WHERE event_id % 21 <> 0
+              UNION ALL
+              SELECT 'delete', event_type, value FROM upd
+              UNION ALL
+              SELECT 'delete', event_type,
+                     CASE WHEN event_id % 7 = 0 THEN value + 1000.0
+                          ELSE value END
+              FROM events
+              WHERE event_id % 21 <> 0
+                AND ts >= TIMESTAMP '2024-01-05'
+                AND ts < TIMESTAMP '2024-01-10')
+            SELECT change_type, event_type, count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM changes GROUP BY 1, 2
         """,
         "latest_user_state": """
             WITH c AS (

@@ -24,6 +24,15 @@ Structured Streaming source with Iceberg's incremental-scan semantics:
 * Workers read each data file with pyarrow and hand Spark **Arrow
   record batches** (zero per-row Python, the token arrays move as
   Arrow lists), cast to the table schema's Arrow form.
+* **CDC mode** (``.option("mode", "cdc")``): emits row-level CHANGES
+  instead of raw appended rows — the table columns plus
+  ``_change_type`` / ``_commit_snapshot_id`` / ``_change_ordinal``.
+  Appends stream as inserts; merge-on-read merges as inserts + exact
+  deletes; MOR row-level deletes as deletes of the parent's live rows
+  (per-parent-data-file worker tasks; see
+  icelite_changes.cdc_plan_snapshot). COW rewrites raise (or skip
+  with ``skip-replace-snapshots``); batch
+  :func:`icelite_changes.table_changes` diffs those exactly.
 * ``Trigger.AvailableNow`` caveat: Python data sources do not expose
   ``SupportsTriggerAvailableNow``, so Spark falls back to ONE batch
   per availableNow run — and the run terminates before its watermark
@@ -235,12 +244,21 @@ def available_now_drain(start_query, table_path: str, *,
         q.awaitTermination(60)
 
 
+class _CdcPartition(InputPartition):
+    """One CDC change-compute task (see icelite_changes.cdc_plan_snapshot)."""
+
+    def __init__(self, task: dict, ordinal: int):
+        self.task = task
+        self.ordinal = ordinal
+
+
 class IceliteStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, schema_json: str,
-                 skip_replace: bool):
+                 skip_replace: bool, cdc: bool = False):
         self._path = table_path
         self._schema_json = schema_json
         self._skip_replace = skip_replace
+        self._cdc = cdc
         self._last_seen: int | None = None
 
     def initialOffset(self) -> dict:
@@ -270,10 +288,34 @@ class IceliteStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._last_seen}
 
     def partitions(self, start: dict, end: dict):
-        return _added_partitions(self._path, start["snapshot_id"],
-                                 end["snapshot_id"], self._skip_replace)
+        if not self._cdc:
+            return _added_partitions(self._path, start["snapshot_id"],
+                                     end["snapshot_id"],
+                                     self._skip_replace)
+        from .icelite_changes import cdc_plan_snapshot
 
-    def read(self, partition: _FilePartition):
+        out: list[_CdcPartition] = []
+        ordinal = -1
+        for sid in range(start["snapshot_id"] + 1,
+                         end["snapshot_id"] + 1):
+            snap = _cached_snapshot(self._path, sid)
+            parent = (_cached_snapshot(self._path, sid - 1)
+                      if snap.get("parent_id") is not None else {})
+            tasks = cdc_plan_snapshot(self._path, snap, parent,
+                                      self._skip_replace)
+            if tasks:
+                ordinal += 1
+            out.extend(_CdcPartition(t, ordinal) for t in tasks)
+        return out
+
+    def read(self, partition):
+        if isinstance(partition, _CdcPartition):
+            from .icelite_changes import cdc_read_partition
+
+            yield from cdc_read_partition(self._path, partition.task,
+                                          self._schema_json,
+                                          partition.ordinal)
+            return
         yield from _arrow_batches(partition.path, self._schema_json,
                                   getattr(partition, "rg", None))
 
@@ -323,15 +365,33 @@ class IceliteDataSource(DataSource):
         v = self.options.get("as-of-ms")
         return int(v) if v is not None else None
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("mode", "")).lower() == "cdc"
+
     def schema(self) -> StructType:
-        return icelite.table_schema(self._table_path(),
-                                    version=self._version())
+        table = icelite.table_schema(self._table_path(),
+                                     version=self._version())
+        if not self._cdc():
+            return table
+        from .icelite_changes import CHANGE_META_FIELDS
+
+        return StructType(table.fields + CHANGE_META_FIELDS.fields)
 
     def reader(self, schema: StructType) -> IceliteBatchReader:
+        if self._cdc():
+            raise ValueError(
+                "mode='cdc' is streaming-only here; use "
+                "icelite_changes.table_changes for a batch changelog")
         return IceliteBatchReader(self._table_path(), schema.json(),
                                   self._version(), self._as_of_ms())
 
     def streamReader(self, schema: StructType) -> IceliteStreamReader:
         skip = str(self.options.get("skip-replace-snapshots",
                                     "false")).lower() == "true"
+        if self._cdc():
+            # workers read data files in the TABLE schema; the three
+            # change-metadata columns are appended by the CDC compute
+            table = icelite.table_schema(self._table_path())
+            return IceliteStreamReader(self._table_path(), table.json(),
+                                       skip, cdc=True)
         return IceliteStreamReader(self._table_path(), schema.json(), skip)
