@@ -1963,6 +1963,40 @@ def _q_icelite_table_changes(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("total")))
 
 
+def _q_icelite_rename_evolution(spark, sf_dir):
+    # field-id schema evolution: append under the ORIGINAL column
+    # names, rename o_totalprice -> price (metadata-only — zero files
+    # rewritten, asserted), append more data under the NEW name, then
+    # run a predicate on the renamed column. Old files resolve by
+    # field id and their footer stats keep pruning the renamed
+    # predicate exactly (sources/icelite.py rename_column/_read_mapped)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        read_table,
+        rename_column,
+        table_files,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _icelite_fresh("rename")
+    create_table(path, orders.schema)
+    append(orders.filter(F.col("o_orderkey") % 2 == 0)
+           .repartitionByRange(4, "o_totalprice"), path)
+    before = {e["path"] for e in table_files(path)}
+    rename_column(path, "o_totalprice", "price")
+    assert {e["path"] for e in table_files(path)} == before, \
+        "rename must rewrite no data files"
+    append(orders.filter(F.col("o_orderkey") % 2 == 1)
+           .withColumnRenamed("o_totalprice", "price")
+           .repartitionByRange(4, "price"), path)
+    return (read_table(spark, path, where=[("price", ">=", 100000.0)])
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("price"), 2).alias("total")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -1992,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_delete_where": _q_icelite_delete_where,
         "icelite_delta_cdc_snapshot": _q_icelite_delta_cdc_snapshot,
         "icelite_table_changes": _q_icelite_table_changes,
+        "icelite_rename_evolution": _q_icelite_rename_evolution,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2649,6 +2684,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, value,
                    ts AS last_ts, event_id AS last_id
             FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "icelite_rename_evolution": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_totalprice >= 100000.0
+            GROUP BY 1
         """,
         "icelite_table_changes": """
             WITH upd AS (

@@ -39,9 +39,16 @@ real implementation rather than a pointer at a dependency:
   snapshot) and ``expire_snapshots`` (drop history + delete
   unreferenced files) mirror Iceberg's ``rewrite_data_files`` /
   ``expire_snapshots`` actions.
-* **Schema evolution.** Add-only column evolution: a schema commit
-  changes the table schema; old files read the new columns as null
-  (parquet-by-name resolution), like Iceberg's id-based add-column.
+* **Schema evolution (field ids).** Every column has a field id
+  (assigned at create/``add_columns``, carried in the snapshot and
+  stamped per data file as ``cols``), so :func:`rename_column` and
+  :func:`drop_column` are METADATA-ONLY: old files resolve their
+  columns by id through :func:`_read_mapped` (renamed columns read
+  under their write-time name; columns that postdate a file
+  null-fill), a dropped-then-re-added name gets a fresh id (no data
+  resurrection), and stats/merge pruning translates predicate names
+  per file so it stays exact across renames. Partition-spec sources
+  and live equality-delete keys cannot evolve (compact first).
 * **Merge-on-read deletes (Iceberg v2).** Every data/delete file
   carries a *data sequence number* (the committing snapshot id, spec
   §Sequence Numbers). ``delete_where(..., strategy="merge-on-read")``
@@ -103,7 +110,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 __all__ = [
     "CommitConflict",
@@ -121,6 +128,8 @@ __all__ = [
     "remove_orphan_files",
     "rewrite_manifests",
     "add_columns",
+    "rename_column",
+    "drop_column",
     "table_partition_spec",
     "delete_where",
     "remove_dangling_deletes",
@@ -221,15 +230,23 @@ def _child_snap(parent: dict, operation: str, manifests: list[str],
                 delete_manifests: list[str] | None = None,
                 schema: dict | None = None,
                 partition_spec: list | None = None,
-                properties: dict | None = None) -> dict:
+                properties: dict | None = None,
+                field_ids: dict | None = None,
+                next_field_id: int | None = None) -> dict:
     """Child-snapshot dict with the invariants every commit shares:
-    schema / partition spec / properties / delete manifests are
-    CARRIED from the parent unless the operation changes them."""
+    schema / partition spec / properties / delete manifests / field
+    ids are CARRIED from the parent unless the operation changes
+    them."""
+    carried_fids = parent.get("field_ids")
+    carried_next = parent.get("next_field_id")
     return {
         "snapshot_id": parent["snapshot_id"] + 1,
         "parent_id": parent["snapshot_id"],
         "timestamp_ms": int(time.time() * 1000),
         "operation": operation,
+        "field_ids": carried_fids if field_ids is None else field_ids,
+        "next_field_id": (carried_next if next_field_id is None
+                          else next_field_id),
         "schema": parent["schema"] if schema is None else schema,
         "partition_spec": (parent.get("partition_spec") or []
                            if partition_spec is None else partition_spec),
@@ -285,6 +302,50 @@ def _all_manifests(snap: dict) -> list[str]:
     return list(snap["manifests"]) + list(snap.get("delete_manifests", []))
 
 
+def _field_ids(snap: dict) -> dict[str, int]:
+    """Current-name -> field-id map (Iceberg's schema field ids: a
+    column's identity survives renames, and a dropped-then-re-added
+    name gets a FRESH id so old files can never resurrect into it).
+    Tables created before the feature synthesize positional ids —
+    their files resolve by name, exactly the old behavior."""
+    fids = snap.get("field_ids")
+    if fids is None:
+        schema = StructType.fromJson(snap["schema"])
+        fids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    return dict(fids)
+
+
+def _entry_local_name(entry: dict, col: str,
+                      fids: dict[str, int]) -> tuple[str | None, bool]:
+    """``col``'s name INSIDE ``entry``'s file. Returns ``(name,
+    known)``: known=False for legacy entries with no recorded column
+    ids (resolve by name, stats conservative); name=None when the
+    file predates the column — every row is null there, so a non-null
+    predicate can prune it exactly."""
+    cols = entry.get("cols")
+    if cols is None:
+        return col, False
+    fid = fids.get(col)
+    for wname, wid in cols.items():
+        if wid == fid:
+            return wname, True
+    return None, True
+
+
+def _entry_names(entry: dict, fids: dict | None) -> dict | None:
+    """Declared-name -> write-time-name map for one manifest entry
+    (None = resolve by name: legacy entry or identity mapping). The
+    worker-side (pyarrow) twin of :func:`_read_mapped`'s grouping."""
+    cols = entry.get("cols")
+    if not cols or not fids:
+        return None
+    id2w = {i: n for n, i in cols.items()}
+    names = {dn: id2w.get(did) for dn, did in fids.items()}
+    if all(w == dn for dn, w in names.items()):
+        return None
+    return names
+
+
 def _stamped(entries: list[dict], seq: int) -> list[dict]:
     """Entries with the data sequence number of the committing
     snapshot (Iceberg's sequence-number inheritance: the number is
@@ -296,6 +357,65 @@ def _stamped(entries: list[dict], seq: int) -> list[dict]:
 def _entry_seq(e: dict) -> int:
     # pre-MOR entries have no seq: 0 = "older than any delete"
     return e.get("seq", 0)
+
+
+def _read_mapped(spark: SparkSession, path: str, schema: StructType,
+                 fids: dict[str, int], entries: list[dict],
+                 coords: bool = True) -> DataFrame | None:
+    """Read ``entries`` rendered in ``schema``, resolving columns by
+    FIELD ID (Iceberg schema evolution): files written under old
+    names (pre-rename) project to the current names; files written
+    before a column existed null-fill it; a column dropped and
+    re-added under the same name never resurrects old data (the
+    re-add got a fresh id). Files whose recorded ids match the
+    current names — the overwhelmingly common case — go through one
+    plain scan. Legacy entries with no recorded ids resolve by name.
+
+    With ``coords`` every returned row carries ``_fname``/``_pos``
+    scan coordinates (reused by :func:`_apply_deletes` — they must be
+    derived at scan level, before any projection hides ``_metadata``);
+    pass False on a delete-free read to keep the scan untouched.
+    Returns None when ``entries`` is empty.
+    """
+    if not entries:
+        return None
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    groups: dict = {}
+    for e in entries:
+        cols = e.get("cols")
+        sig = None if cols is None else tuple(sorted(cols.items()))
+        groups.setdefault(sig, []).append(e)
+    current = {f.name: fids.get(f.name) for f in schema.fields}
+    frames = []
+    for sig, group in sorted(groups.items(),
+                             key=lambda kv: kv[0] or ()):
+        paths = [os.path.join(path, e["path"]) for e in group]
+        if sig is None or dict(sig) == current:
+            df = spark.read.schema(schema).parquet(*paths)
+            if coords:
+                df = df.select(
+                    "*", fname.alias("_fname"),
+                    F.col("_metadata.row_index").alias("_pos"))
+            frames.append(df)
+            continue
+        id2w = {i: n for n, i in sig}
+        read_fields, sel = [], []
+        for f in schema.fields:
+            w = id2w.get(fids.get(f.name))
+            if w is not None:
+                read_fields.append(StructField(w, f.dataType, True))
+                sel.append(F.col(w).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = spark.read.schema(StructType(read_fields)).parquet(*paths)
+        extra = ([fname.alias("_fname"),
+                  F.col("_metadata.row_index").alias("_pos")]
+                 if coords else [])
+        frames.append(df.select(*sel, *extra))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _apply_deletes(spark: SparkSession, path: str, snap: dict,
@@ -330,14 +450,17 @@ def _apply_deletes(spark: SparkSession, path: str, snap: dict,
     if not eq and not pos:
         return df
     cols = df.columns
-    out = df.withColumn(
+    # scan coordinates: reuse the ones _read_mapped attached (after a
+    # projection, _metadata no longer resolves), else derive them here
+    out = df if "_fname" in df.columns else df.withColumn(
         "_fname",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
     if pos:
         pdel = spark.read.parquet(
             *[os.path.join(path, d["path"]) for d in pos])
-        out = (out.withColumn("_pos", F.col("_metadata.row_index"))
-               .join(F.broadcast(pdel.select(
+        if "_pos" not in out.columns:
+            out = out.withColumn("_pos", F.col("_metadata.row_index"))
+        out = (out.join(F.broadcast(pdel.select(
                    F.col("file").alias("_fname"),
                    F.col("pos").alias("_pos"))),
                    ["_fname", "_pos"], "left_anti"))
@@ -682,8 +805,23 @@ def _partition_may_match(entry: dict, pred: tuple, spec: list[dict],
 
 
 def _entry_may_match(entry: dict, pred: tuple, spec: list[dict],
-                     schema: StructType) -> bool:
-    return (_file_may_match(entry, pred, schema)
+                     schema: StructType,
+                     fids: dict[str, int] | None = None) -> bool:
+    stats_entry = entry
+    if fids is not None:
+        # footer stats are keyed by the file's WRITE-TIME names;
+        # resolve the predicate column through the field ids. A file
+        # that predates the column is all-null there — no comparison
+        # predicate can match, prune it exactly.
+        local, known = _entry_local_name(entry, pred[0], fids)
+        if known:
+            if local is None:
+                return False
+            if local != pred[0]:
+                st = entry.get("stats", {}).get(local)
+                stats_entry = {"stats": ({pred[0]: st}
+                                         if st is not None else {})}
+    return (_file_may_match(stats_entry, pred, schema)
             and (not spec
                  or _partition_may_match(entry, pred, spec, schema)))
 
@@ -691,7 +829,8 @@ def _entry_may_match(entry: dict, pred: tuple, spec: list[dict],
 def _write_data_files(df: DataFrame, path: str,
                       parquet_block_bytes: int | None = None,
                       spec: list[dict] | None = None,
-                      distribute: bool = True) -> list[dict]:
+                      distribute: bool = True,
+                      fids: dict[str, int] | None = None) -> list[dict]:
     """Write ``df`` as immutable data files + collect footer stats.
 
     Spark writes to a staging dir (task commits are Spark's problem);
@@ -763,6 +902,12 @@ def _write_data_files(df: DataFrame, path: str,
             entry = {"path": rel, "rows": md.num_rows,
                      "row_groups": md.num_row_groups,
                      "bytes": os.path.getsize(dst), "stats": stats}
+            if fids is not None:
+                # written-name -> field id (Iceberg's name-mapping):
+                # lets renames/drops resolve this file forever
+                entry["cols"] = {f.name: fids[f.name]
+                                 for f in df.schema.fields
+                                 if f.name in fids}
             if spec:
                 entry["partition"] = _parse_partition_dirs(relparts, spec)
             entries.append(entry)
@@ -793,6 +938,9 @@ def create_table(path: str, schema: StructType,
     snap = {"snapshot_id": 1, "parent_id": None,
             "timestamp_ms": int(time.time() * 1000),
             "operation": "create", "schema": json.loads(schema.json()),
+            "field_ids": {f.name: i + 1
+                          for i, f in enumerate(schema.fields)},
+            "next_field_id": len(schema.fields) + 1,
             "partition_spec": (_normalize_spec(partition_spec, schema)
                                if partition_spec else []),
             "properties": dict(properties or {}),
@@ -812,9 +960,10 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
     snapshot JSON is re-attempted). ``summary_extra`` lands in the
     snapshot summary — the streaming sinks stamp their (stream id,
     batch id) there for replay idempotence."""
-    entries = _write_data_files(df, path,
-                                parquet_block_bytes=parquet_block_bytes,
-                                spec=_table_spec(path))
+    entries = _write_data_files(
+        df, path, parquet_block_bytes=parquet_block_bytes,
+        spec=_table_spec(path),
+        fids=_field_ids(_load_snapshot(path, current_snapshot_id(path))))
     prev_manifest: str | None = None
     for _ in range(max_retries):
         parent = _load_snapshot(path, current_snapshot_id(path))
@@ -849,7 +998,8 @@ def overwrite(df: DataFrame, path: str,
     spec = _table_spec(path)
     if spec:
         spec = _normalize_spec(spec, df.schema)
-    entries = _write_data_files(df, path, spec=spec)
+    fids = _field_ids(_load_snapshot(path, current_snapshot_id(path)))
+    entries = _write_data_files(df, path, spec=spec, fids=fids)
     parent = _load_snapshot(path, current_snapshot_id(path))
     manifest = _write_manifest(
         path, _stamped(entries, parent["snapshot_id"] + 1))
@@ -889,8 +1039,9 @@ def table_files(path: str, version: int | None = None,
     spec = snap.get("partition_spec") or []
     entries = _snapshot_entries(path, snap)
     if where:
+        fids = _field_ids(snap)
         entries = [e for e in entries
-                   if all(_entry_may_match(e, p, spec, schema)
+                   if all(_entry_may_match(e, p, spec, schema, fids)
                           for p in where)]
     return entries
 
@@ -1002,18 +1153,20 @@ def read_table(
         version = resolve_tag(path, tag)
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
     schema = StructType.fromJson(snap["schema"])
+    fids = _field_ids(snap)
     spec = snap.get("partition_spec") or []
     entries = _snapshot_entries(path, snap)
     if where:
         entries = [e for e in entries
-                   if all(_entry_may_match(e, p, spec, schema)
+                   if all(_entry_may_match(e, p, spec, schema, fids)
                           for p in where)]
-    if not entries:
+    df = _read_mapped(spark, path, schema, fids, entries,
+                      coords=bool(snap.get("delete_manifests")))
+    if df is None:
         df = spark.createDataFrame([], schema)
     else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(path, e["path"]) for e in entries])
         df = _apply_deletes(spark, path, snap, entries, df)
+        df = df.drop("_fname", "_pos")
     if where:
         for p in where:
             df = df.filter(_pred_column(p, schema))
@@ -1021,20 +1174,100 @@ def read_table(
 
 
 def add_columns(path: str, new_fields: StructType) -> int:
-    """Add-only schema evolution: commit the widened schema; existing
-    files read the new columns as null (parquet name-based resolution).
-    Renames/drops/type-changes are intentionally unsupported — they
-    need Iceberg's field ids to be safe."""
+    """Add columns (schema evolution): commit the widened schema;
+    existing files read the new columns as null. Every added column
+    gets a FRESH field id — re-adding a previously dropped name can
+    therefore never resurrect the old column's data (Iceberg's
+    field-id guarantee). Type changes remain unsupported."""
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
+    fids = _field_ids(parent)
+    next_id = parent.get("next_field_id") or (max(fids.values()) + 1)
     existing = {f.name for f in schema.fields}
     for f in new_fields.fields:
         if f.name in existing:
             raise ValueError(f"column {f.name!r} already exists")
         schema = schema.add(f)
+        fids[f.name] = next_id
+        next_id += 1
     snap = _child_snap(parent, "schema", parent["manifests"], [],
                        {"added_files": 0, "removed_files": 0},
-                       schema=json.loads(schema.json()))
+                       schema=json.loads(schema.json()),
+                       field_ids=fids, next_field_id=next_id)
+    return _commit_snapshot(path, snap)
+
+
+def _check_evolvable(path: str, parent: dict, name: str,
+                     verb: str) -> None:
+    """Shared guards for rename/drop: partition-spec sources and the
+    key of a LIVE equality-delete file keep their names (the spec and
+    the delete entries reference them by name; compact first)."""
+    spec = parent.get("partition_spec") or []
+    if any(f["source"] == name for f in spec):
+        raise ValueError(
+            f"cannot {verb} {name!r}: it is a partition-spec source "
+            "column (the spec is fixed at create time)")
+    for m in parent.get("delete_manifests") or []:
+        for d in _load_manifest(path, m):
+            if d.get("type") == "eq" and d.get("key") == name:
+                raise ValueError(
+                    f"cannot {verb} {name!r}: live equality-delete "
+                    "files reference it as their key; run "
+                    "compact_files + remove_dangling_deletes first")
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Metadata-only column rename (Iceberg ``ALTER TABLE ... RENAME
+    COLUMN``): the field keeps its id, so every existing data file —
+    written under the old name — keeps resolving through the
+    manifest's recorded column ids; no data is rewritten. Stats-based
+    pruning on the renamed column stays EXACT (predicates translate
+    to each file's write-time name). Restrictions: partition-spec
+    sources and live equality-delete keys cannot be renamed."""
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    schema = StructType.fromJson(parent["schema"])
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no such column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _check_evolvable(path, parent, old, "rename")
+    fids = _field_ids(parent)
+    fids[new] = fids.pop(old)
+    new_schema = StructType([
+        StructField(new if f.name == old else f.name, f.dataType,
+                    f.nullable, f.metadata) for f in schema.fields])
+    snap = _child_snap(parent, "schema", parent["manifests"], [],
+                       {"added_files": 0, "removed_files": 0,
+                        "renamed": f"{old}->{new}"},
+                       schema=json.loads(new_schema.json()),
+                       field_ids=fids,
+                       next_field_id=parent.get("next_field_id"))
+    return _commit_snapshot(path, snap)
+
+
+def drop_column(path: str, name: str) -> int:
+    """Metadata-only column drop: the field leaves the schema and its
+    id is retired (never reused — see :func:`add_columns`); the data
+    stays in the files, invisible, until rewrites age it out.
+    Restrictions match :func:`rename_column`."""
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    schema = StructType.fromJson(parent["schema"])
+    if name not in [f.name for f in schema.fields]:
+        raise ValueError(f"no such column {name!r}")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the only column")
+    _check_evolvable(path, parent, name, "drop")
+    fids = _field_ids(parent)
+    fids.pop(name, None)
+    new_schema = StructType(
+        [f for f in schema.fields if f.name != name])
+    snap = _child_snap(parent, "schema", parent["manifests"], [],
+                       {"added_files": 0, "removed_files": 0,
+                        "dropped": name},
+                       schema=json.loads(new_schema.json()),
+                       field_ids=fids,
+                       next_field_id=parent.get("next_field_id"))
     return _commit_snapshot(path, snap)
 
 
@@ -1132,6 +1365,7 @@ def merge_into(
     """
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
+    fids = _field_ids(parent)
     spec = parent.get("partition_spec") or []
     entries = _snapshot_entries(path, parent)
     if strategy not in ("copy-on-write", "merge-on-read"):
@@ -1177,8 +1411,15 @@ def merge_into(
                    is None
                    or e["partition"][bucket_fld["name"]] in src_buckets]
 
-    stats_rows = [(e["path"], e["stats"].get(key, {}).get("min"),
-                   e["stats"].get(key, {}).get("max"))
+    def _key_stats(e: dict) -> dict:
+        # stats are keyed by the file's write-time name for the key
+        local, known = _entry_local_name(e, key, fids)
+        if known and local != key:
+            return e["stats"].get(local, {}) if local else {}
+        return e["stats"].get(key, {})
+
+    stats_rows = [(e["path"], _key_stats(e).get("min"),
+                   _key_stats(e).get("max"))
                   for e in entries]
     no_stats = {p for p, lo, hi in stats_rows if lo is None or hi is None}
     src_cols = [f.name for f in schema.fields]
@@ -1213,9 +1454,9 @@ def merge_into(
     # resurrect merge-on-read-deleted rows into the rewrite
     if touched:
         touched_entries = [e for e in entries if e["path"] in touched]
-        base = spark.read.schema(schema).parquet(
-            *[os.path.join(path, p) for p in sorted(touched)])
+        base = _read_mapped(spark, path, schema, fids, touched_entries)
         base = _apply_deletes(spark, path, parent, touched_entries, base)
+        base = base.drop("_fname", "_pos")
     else:
         base = None
     if precedence is None:
@@ -1247,7 +1488,8 @@ def merge_into(
                      .select(*[F.col(f"_w.{c}").alias(c)
                                for c in src_cols]))
 
-    new_entries = _write_data_files(rewritten, path, spec=spec)
+    new_entries = _write_data_files(rewritten, path, spec=spec,
+                                    fids=fids)
     # untouched manifests whose every entry survives are carried whole;
     # partially-touched manifests are rewritten without the dead entries
     kept_manifests: list[str] = []
@@ -1280,7 +1522,8 @@ def _merge_mor(spark: SparkSession, path: str, parent: dict,
     src_cols = [f.name for f in schema.fields]
     keep_src = (source.filter(~F.col(delete_col))
                 if delete_col is not None else source).select(*src_cols)
-    data_entries = _write_data_files(keep_src, path, spec=spec)
+    data_entries = _write_data_files(keep_src, path, spec=spec,
+                                     fids=_field_ids(parent))
     # one file: the key set is one shuffled agg's output (distinct),
     # and delete application reads every eq file anyway
     del_entries = _write_aux_files(
@@ -1344,25 +1587,25 @@ def delete_where(spark: SparkSession, path: str, where: list[tuple],
         raise ValueError(f"unknown delete strategy {strategy!r}")
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
+    fids = _field_ids(parent)
     spec = parent.get("partition_spec") or []
     entries = _snapshot_entries(path, parent)
     victims = [e for e in entries
-               if all(_entry_may_match(e, p, spec, schema) for p in where)]
+               if all(_entry_may_match(e, p, spec, schema, fids)
+                      for p in where)]
     if not victims:
         return None
     match = None
     for p in where:
         c = _pred_column(p, schema)
         match = c if match is None else (match & c)
-    raw = spark.read.schema(schema).parquet(
-        *[os.path.join(path, e["path"]) for e in victims])
+    raw = _read_mapped(spark, path, schema, fids, victims)
     seq = parent["snapshot_id"] + 1
 
     if strategy == "merge-on-read":
         pos = (raw.filter(match).select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-            .alias("file"),
-            F.col("_metadata.row_index").alias("pos")))
+            F.col("_fname").alias("file"),
+            F.col("_pos").alias("pos")))
         del_entries = _write_aux_files(pos.coalesce(1), path, prefix="d")
         if not del_entries:
             return None  # stats said maybe; the rows said no
@@ -1382,8 +1625,9 @@ def delete_where(spark: SparkSession, path: str, where: list[tuple],
     # through the delete-applied view (the rewrite folds pending
     # merge-on-read deletes into the fresh, higher-seq files)
     survivors = _apply_deletes(spark, path, parent, victims, raw)
-    survivors = survivors.filter(~F.coalesce(match, F.lit(False)))
-    new_entries = _write_data_files(survivors, path, spec=spec)
+    survivors = (survivors.filter(~F.coalesce(match, F.lit(False)))
+                 .drop("_fname", "_pos"))
+    new_entries = _write_data_files(survivors, path, spec=spec, fids=fids)
     dead = {e["path"] for e in victims}
     kept_manifests: list[str] = []
     for m in parent["manifests"]:
@@ -1485,11 +1729,12 @@ def compact_files(spark: SparkSession, path: str,
     total = sum(e["bytes"] for e in victims)
     n_out = (n_files if n_files is not None
              else max(1, math.ceil(total / (target_mb * (1 << 20)))))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, e["path"]) for e in victims])
+    fids = _field_ids(parent)
+    df = _read_mapped(spark, path, schema, fids, victims)
     # fold merge-on-read deletes into the rewrite: rewritten files get
     # a fresh (higher) seq, so the folded deletes stop applying to them
     df = _apply_deletes(spark, path, parent, victims, df)
+    df = df.drop("_fname", "_pos")
     if zorder_by:
         from ..sinks.maintenance import _zorder_key
 
@@ -1505,7 +1750,7 @@ def compact_files(spark: SparkSession, path: str,
     # layout rewrite keeps its range clustering (files split per tuple)
     new_entries = _write_data_files(out, path,
                                     spec=parent.get("partition_spec") or [],
-                                    distribute=not layout)
+                                    distribute=not layout, fids=fids)
     dead = {e["path"] for e in victims}
     kept_manifests = []
     for m in parent["manifests"]:
@@ -1750,9 +1995,10 @@ def stage_append(df: DataFrame, path: str,
     staging is exactly the "written but never committed" debris
     :func:`remove_orphan_files` age-gates, and :func:`expire_snapshots`
     never touches files no expired snapshot owns."""
-    entries = _write_data_files(df, path,
-                                parquet_block_bytes=parquet_block_bytes,
-                                spec=_table_spec(path))
+    entries = _write_data_files(
+        df, path, parquet_block_bytes=parquet_block_bytes,
+        spec=_table_spec(path),
+        fids=_field_ids(_load_snapshot(path, current_snapshot_id(path))))
     manifest = _write_manifest(path, entries)
     return {"manifest": manifest, "entries": entries}
 

@@ -73,8 +73,10 @@ from . import icelite
 from .icelite import (
     _apply_deletes,
     _entry_seq,
+    _field_ids,
     _load_manifest,
     _load_snapshot,
+    _read_mapped,
     _snapshot_entries,
 )
 
@@ -92,11 +94,6 @@ CHANGE_META_FIELDS = StructType([
 _NOCHANGE_OPS = {"create", "compact", "rewrite-deletes",
                  "rewrite-manifests", "schema", "properties"}
 
-def _fname_col():
-    return F.element_at(
-        F.split(F.col("_metadata.file_path"), "/"), -1)
-
-
 def _added_entries(path: str, snap: dict) -> list[dict]:
     return [e for m in snap.get("added_manifests", [])
             for e in _load_manifest(path, m)]
@@ -110,25 +107,15 @@ def _new_delete_entries(path: str, snap: dict, parent: dict) -> list[dict]:
             for e in _load_manifest(path, m)]
 
 
-def _read_entries(spark: SparkSession, path: str, schema: StructType,
-                  entries: list[dict]) -> DataFrame | None:
-    if not entries:
-        return None
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(path, e["path"]) for e in entries])
-
-
 def _live(spark: SparkSession, path: str, snap: dict,
           entries: list[dict], schema: StructType,
-          with_pos: bool = False) -> DataFrame | None:
-    """The delete-applied (live) view of ``entries`` as of ``snap``,
-    optionally carrying ``_cfile``/``_cpos`` scan coordinates."""
-    df = _read_entries(spark, path, schema, entries)
+          fids: dict) -> DataFrame | None:
+    """The delete-applied (live) view of ``entries`` as of ``snap``.
+    Rows carry ``_fname``/``_pos`` scan coordinates (from the mapped
+    read — also what lets a changelog range cross column renames)."""
+    df = _read_mapped(spark, path, schema, fids, entries)
     if df is None:
         return None
-    if with_pos:
-        df = (df.withColumn("_cfile", _fname_col())
-              .withColumn("_cpos", F.col("_metadata.row_index")))
     return _apply_deletes(spark, path, snap, entries, df)
 
 
@@ -168,7 +155,9 @@ def table_changes(spark: SparkSession, path: str,
             f"from_version {frm}: snapshots before {min(ids)} are "
             "expired; their changes cannot be replayed")
 
-    to_schema = StructType.fromJson(_load_snapshot(path, to)["schema"])
+    to_snap = _load_snapshot(path, to)
+    to_schema = StructType.fromJson(to_snap["schema"])
+    fids = _field_ids(to_snap)
     data_cols = [f.name for f in to_schema.fields]
     out_schema = StructType(to_schema.fields + CHANGE_META_FIELDS.fields)
     frames: list[DataFrame] = []
@@ -207,11 +196,20 @@ def table_changes(spark: SparkSession, path: str,
             eq = [e for e in _new_delete_entries(path, snap, parent)
                   if e["type"] == "eq"]
             parent_entries = _snapshot_entries(path, parent)
-            live = _live(spark, path, parent, parent_entries, to_schema)
+            live = _live(spark, path, parent, parent_entries, to_schema,
+                         fids)
             if eq and live is not None:
-                key = eq[0]["key"]
-                keys = spark.read.parquet(
-                    *[os.path.join(path, e["path"]) for e in eq]).distinct()
+                # the delete file's key column carries its COMMIT-TIME
+                # name; if the key was renamed since (deletes since
+                # compacted away — live eq keys block renames), the
+                # live view is in the to-schema: translate by field id
+                key_w = eq[0]["key"]
+                kid = _field_ids(parent).get(key_w)
+                key = next((n for n, i in fids.items() if i == kid),
+                           key_w)
+                keys = (spark.read.parquet(
+                    *[os.path.join(path, e["path"]) for e in eq])
+                    .select(F.col(key_w).alias(key)).distinct())
                 dead = live.join(F.broadcast(keys), key, "leftsemi")
                 frames.append(
                     _with_meta(dead, data_cols, "delete", sid, ordinal))
@@ -228,14 +226,14 @@ def table_changes(spark: SparkSession, path: str,
             ref_entries = [e for e in _snapshot_entries(path, parent)
                            if os.path.basename(e["path"]) in refs]
             live = _live(spark, path, parent, ref_entries, to_schema,
-                         with_pos=True)
+                         fids)
             if pos and live is not None:
                 pairs = spark.read.parquet(
                     *[os.path.join(path, e["path"]) for e in pos]).select(
-                    F.col("file").alias("_cfile"),
-                    F.col("pos").alias("_cpos"))
+                    F.col("file").alias("_fname"),
+                    F.col("pos").alias("_pos"))
                 dead = live.join(F.broadcast(pairs),
-                                 ["_cfile", "_cpos"], "inner")
+                                 ["_fname", "_pos"], "inner")
                 frames.append(
                     _with_meta(dead, data_cols, "delete", sid, ordinal))
             continue
@@ -254,8 +252,8 @@ def table_changes(spark: SparkSession, path: str,
         removed = [e for e in _snapshot_entries(path, parent)
                    if e["path"] not in snap_paths]
         added = _added_entries(path, snap)
-        before = _live(spark, path, parent, removed, to_schema)
-        after = _live(spark, path, snap, added, to_schema)
+        before = _live(spark, path, parent, removed, to_schema, fids)
+        after = _live(spark, path, snap, added, to_schema, fids)
         empty = spark.createDataFrame([], to_schema)
         before = empty if before is None else before.select(*data_cols)
         after = empty if after is None else after.select(*data_cols)
@@ -265,12 +263,11 @@ def table_changes(spark: SparkSession, path: str,
             after.exceptAll(before), data_cols, "insert", sid, ordinal))
 
     if ins_entries:
-        scan = _read_entries(spark, path, to_schema, ins_entries)
+        scan = _read_mapped(spark, path, to_schema, fids, ins_entries)
         meta = spark.createDataFrame(
-            ins_map, ["_cfile", "_commit_snapshot_id", "_change_ordinal"])
+            ins_map, ["_fname", "_commit_snapshot_id", "_change_ordinal"])
         frames.append(
-            scan.withColumn("_cfile", _fname_col())
-            .join(F.broadcast(meta), "_cfile")
+            scan.join(F.broadcast(meta), "_fname")
             .select(*data_cols,
                     F.lit("insert").alias("_change_type"),
                     F.col("_commit_snapshot_id").cast("long"),
@@ -290,7 +287,8 @@ def table_changes(spark: SparkSession, path: str,
 
 
 def cdc_plan_snapshot(table_path: str, snap: dict, parent: dict,
-                      skip_replace: bool) -> list[dict]:
+                      skip_replace: bool,
+                      fids: dict | None = None) -> list[dict]:
     """Driver-side plan for ONE snapshot's change rows: a list of task
     dicts the stream reader turns into InputPartitions.
 
@@ -314,12 +312,15 @@ def cdc_plan_snapshot(table_path: str, snap: dict, parent: dict,
         return []
     tasks: list[dict] = []
 
+    from .icelite import _entry_names
+
     if op in ("append", "merge-mor"):
         for e in _added_entries(table_path, snap):
             n_rg = e.get("row_groups", 1) or 1
+            names = _entry_names(e, fids)
             for rg in (range(n_rg) if n_rg > 1 else (None,)):
                 tasks.append({"kind": "insert", "path": e["path"],
-                              "rg": rg, "sid": sid})
+                              "rg": rg, "sid": sid, "names": names})
         if op == "append":
             return tasks
     new_dels = _new_delete_entries(table_path, snap, parent)
@@ -331,6 +332,15 @@ def cdc_plan_snapshot(table_path: str, snap: dict, parent: dict,
         parent_dels = [e for m in (parent.get("delete_manifests") or [])
                        for e in _load_manifest(table_path, m)]
         pos_refs = {r for e in new_pos for r in e.get("refs", [])}
+        pfids = _field_ids(parent) if parent.get("schema") else {}
+
+        def _declared_key(key_w: str) -> str:
+            # commit-time key name -> declared-schema name by field id
+            if not fids:
+                return key_w
+            kid = pfids.get(key_w)
+            return next((n for n, i in fids.items() if i == kid), key_w)
+
         for e in parent_entries:
             fname = os.path.basename(e["path"])
             fseq = _entry_seq(e)
@@ -340,11 +350,15 @@ def cdc_plan_snapshot(table_path: str, snap: dict, parent: dict,
                 continue
             tasks.append({
                 "kind": "mor-delete", "path": e["path"], "sid": sid,
+                "names": _entry_names(e, fids),
                 "file_seq": fseq,
-                "key": eq_hits[0]["key"] if eq_hits else None,
+                "key": (_declared_key(eq_hits[0]["key"])
+                        if eq_hits else None),
+                "key_file": eq_hits[0]["key"] if eq_hits else None,
                 "new_eq": [(d["path"], d["seq"]) for d in eq_hits],
                 "new_pos": [d["path"] for d in pos_hits],
-                "parent_eq": [(d["key"], d["path"], d["seq"])
+                "parent_eq": [(_declared_key(d["key"]), d["key"],
+                               d["path"], d["seq"])
                               for d in parent_dels
                               if d["type"] == "eq" and d["seq"] > fseq],
                 "parent_pos": [d["path"] for d in parent_dels
@@ -380,7 +394,7 @@ def cdc_read_partition(table_path: str, task: dict, schema_json: str,
     if task["kind"] == "insert":
         for batch in _arrow_batches(
                 os.path.join(table_path, task["path"]), schema_json,
-                task.get("rg")):
+                task.get("rg"), task.get("names")):
             yield pa.RecordBatch.from_arrays(
                 list(batch.columns) + metad(batch.num_rows, "insert"),
                 names=batch.schema.names + meta_names)
@@ -393,7 +407,8 @@ def cdc_read_partition(table_path: str, task: dict, schema_json: str,
 
     fname = os.path.basename(task["path"])
     tbl = pa.Table.from_batches(list(_arrow_batches(
-        os.path.join(table_path, task["path"]), schema_json)))
+        os.path.join(table_path, task["path"]), schema_json,
+        names=task.get("names"))))
     n = tbl.num_rows
 
     def positions(paths: list[str]) -> np.ndarray:
@@ -405,12 +420,14 @@ def cdc_read_partition(table_path: str, task: dict, schema_json: str,
                        .to_numpy(zero_copy_only=False).astype(np.int64))
         return np.concatenate(out)
 
-    def eq_mask(col: str, files: list[str]) -> np.ndarray:
+    def eq_mask(col: str, files: list[str],
+                file_col: str | None = None) -> np.ndarray:
+        fc = file_col or col
         keys = pa.concat_tables(
-            [pq.read_table(os.path.join(table_path, p), columns=[col])
+            [pq.read_table(os.path.join(table_path, p), columns=[fc])
              for p in files])
         hit = pc.is_in(tbl.column(col),
-                       value_set=keys.column(col).combine_chunks())
+                       value_set=keys.column(fc).combine_chunks())
         return (pc.fill_null(hit, False).combine_chunks()
                 .to_numpy(zero_copy_only=False).astype(bool))
 
@@ -418,15 +435,16 @@ def cdc_read_partition(table_path: str, task: dict, schema_json: str,
     ppos = positions(task["parent_pos"])
     if ppos.size:
         alive[ppos] = False
-    for key, p, _seq in task["parent_eq"]:
-        alive &= ~eq_mask(key, [p])
+    for key, key_file, p, _seq in task["parent_eq"]:
+        alive &= ~eq_mask(key, [p], key_file)
 
     dead = np.zeros(n, dtype=bool)
     npos = positions(task["new_pos"])
     if npos.size:
         dead[npos] = True
     if task["new_eq"]:
-        dead |= eq_mask(task["key"], [p for p, _ in task["new_eq"]])
+        dead |= eq_mask(task["key"], [p for p, _ in task["new_eq"]],
+                        task.get("key_file"))
 
     out = tbl.filter(pa.array(alive & dead))
     if out.num_rows:

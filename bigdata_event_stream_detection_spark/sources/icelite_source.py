@@ -62,6 +62,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from . import icelite
+from .icelite import _entry_names
 
 # snapshots whose change is not representable as an append: rewrites
 # (merge/overwrite/compact/COW delete) and merge-on-read commits
@@ -76,53 +77,69 @@ class _FilePartition(InputPartition):
     (``rg`` set) when the manifest recorded several — a 1 GB file must
     not become one Python task. The split plan costs NO footer reads:
     ``row_groups`` travels in the manifest entry (Iceberg's
-    split-offsets idea)."""
+    split-offsets idea). ``names`` maps declared column name ->
+    the file's write-time name (field-id schema evolution; None value
+    = column postdates the file, null-fill)."""
 
-    def __init__(self, path: str, rg: int | None = None):
+    def __init__(self, path: str, rg: int | None = None,
+                 names: dict | None = None):
         self.path = path
         self.rg = rg
+        self.names = names
 
 
-def _entry_partitions(table_path: str, entry: dict) -> list:
+def _entry_partitions(table_path: str, entry: dict,
+                      fids: dict | None = None) -> list:
     path = os.path.join(table_path, entry["path"])
+    names = _entry_names(entry, fids)
     n_rg = entry.get("row_groups", 1) or 1
     if n_rg <= 1:
-        return [_FilePartition(path)]
-    return [_FilePartition(path, rg) for rg in range(n_rg)]
+        return [_FilePartition(path, names=names)]
+    return [_FilePartition(path, rg, names=names) for rg in range(n_rg)]
 
 
 def _arrow_batches(file_path: str, schema_json: str,
-                   rg: int | None = None):
+                   rg: int | None = None,
+                   names: dict | None = None):
     """Yield the file's (or one row group's) rows as Arrow record
     batches cast to the table schema (runs in the Python worker;
-    pyarrow is daemon-preloaded)."""
+    pyarrow is daemon-preloaded). ``names`` maps declared -> write-time
+    column names (field-id evolution: renamed columns read under their
+    old name; a None value null-fills — the column postdates the file
+    or was dropped and re-added)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     spark_schema = StructType.fromJson(json.loads(schema_json))
     arrow_schema = to_arrow_schema(spark_schema)
-    # column-pruned read: only the table-schema fields that exist in
-    # the file (missing ones are null-filled below for add-column
-    # evolution); pyarrow skips the other column chunks entirely
+    # column-pruned read: only the fields that exist in the file
+    # (missing ones are null-filled below for add-column evolution);
+    # pyarrow skips the other column chunks entirely
     pf = pq.ParquetFile(file_path)
     file_cols = set(pf.schema_arrow.names)
-    want = [f.name for f in arrow_schema if f.name in file_cols]
+
+    def local(n: str) -> str | None:
+        return names.get(n, None) if names is not None else n
+
+    want = [w for w in (local(f.name) for f in arrow_schema)
+            if w is not None and w in file_cols]
     if rg is None:
         table = pf.read(columns=want)
     else:
         table = pf.read_row_group(rg, columns=want)
-    if table.schema == arrow_schema:
+    if names is None and table.schema == arrow_schema:
         # fast path: file already in table-schema form (the common
         # case — icelite data files are written from the table schema)
         yield from table.to_batches()
         return
-    # name-based resolution + null-fill for add-column evolution
+    # id-mapped / name-based resolution + null-fill
     import pyarrow as pa
 
     cols = []
     for field in arrow_schema:
-        if field.name in table.column_names:
-            cols.append(table.column(field.name).cast(field.type))
+        w = local(field.name)
+        if w is not None and w in table.column_names:
+            cols.append(table.column(w).cast(field.type))
         else:
             cols.append(pa.nulls(table.num_rows, field.type))
     yield from pa.Table.from_arrays(cols, schema=arrow_schema).to_batches()
@@ -144,7 +161,8 @@ def _cached_manifest(table_path: str, name: str) -> list:
 
 
 def _added_partitions(table_path: str, start_id: int, end_id: int,
-                      skip_replace: bool) -> list[_FilePartition]:
+                      skip_replace: bool,
+                      fids: dict | None = None) -> list[_FilePartition]:
     out: list[_FilePartition] = []
     for sid in range(start_id + 1, end_id + 1):
         snap = _cached_snapshot(table_path, sid)
@@ -159,7 +177,7 @@ def _added_partitions(table_path: str, start_id: int, end_id: int,
                 "not re-emitted)")
         for m in snap.get("added_manifests", []):
             for e in _cached_manifest(table_path, m):
-                out.extend(_entry_partitions(table_path, e))
+                out.extend(_entry_partitions(table_path, e, fids))
     return out
 
 
@@ -260,6 +278,13 @@ class IceliteStreamReader(DataSourceStreamReader):
         self._skip_replace = skip_replace
         self._cdc = cdc
         self._last_seen: int | None = None
+        # field ids of the DECLARED schema (fixed at query start) —
+        # files committed under since-renamed columns resolve by id
+        try:
+            self._fids = icelite._field_ids(icelite._load_snapshot(
+                table_path, icelite.current_snapshot_id(table_path)))
+        except FileNotFoundError:
+            self._fids = None
 
     def initialOffset(self) -> dict:
         # start before the EARLIEST snapshot still on disk, so the
@@ -291,7 +316,7 @@ class IceliteStreamReader(DataSourceStreamReader):
         if not self._cdc:
             return _added_partitions(self._path, start["snapshot_id"],
                                      end["snapshot_id"],
-                                     self._skip_replace)
+                                     self._skip_replace, self._fids)
         from .icelite_changes import cdc_plan_snapshot
 
         out: list[_CdcPartition] = []
@@ -302,7 +327,8 @@ class IceliteStreamReader(DataSourceStreamReader):
             parent = (_cached_snapshot(self._path, sid - 1)
                       if snap.get("parent_id") is not None else {})
             tasks = cdc_plan_snapshot(self._path, snap, parent,
-                                      self._skip_replace)
+                                      self._skip_replace,
+                                      fids=self._fids)
             if tasks:
                 ordinal += 1
             out.extend(_CdcPartition(t, ordinal) for t in tasks)
@@ -317,7 +343,8 @@ class IceliteStreamReader(DataSourceStreamReader):
                                           partition.ordinal)
             return
         yield from _arrow_batches(partition.path, self._schema_json,
-                                  getattr(partition, "rg", None))
+                                  getattr(partition, "rg", None),
+                                  getattr(partition, "names", None))
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are immutable; nothing to clean up
@@ -332,14 +359,18 @@ class IceliteBatchReader(DataSourceReader):
         self._as_of_ms = as_of_ms
 
     def partitions(self):
+        snap = icelite._resolve_snapshot(
+            self._path, version=self._version, as_of_ms=self._as_of_ms)
+        fids = icelite._field_ids(snap)
         entries = icelite.table_files(
             self._path, version=self._version, as_of_ms=self._as_of_ms)
         return [p for e in entries
-                for p in _entry_partitions(self._path, e)]
+                for p in _entry_partitions(self._path, e, fids)]
 
     def read(self, partition: _FilePartition):
         yield from _arrow_batches(partition.path, self._schema_json,
-                                  getattr(partition, "rg", None))
+                                  getattr(partition, "rg", None),
+                                  getattr(partition, "names", None))
 
 
 class IceliteDataSource(DataSource):

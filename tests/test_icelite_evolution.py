@@ -1,0 +1,192 @@
+"""Field-id schema evolution: rename/drop columns metadata-only.
+
+Iceberg's core schema trick (spec: every column has a field id; files
+resolve columns by id, not name — behavior parity only, no Iceberg
+code consulted): a rename rewrites NO data, old files keep resolving;
+a dropped-then-re-added name gets a fresh id so the old column's data
+can never resurrect; stats pruning stays exact across renames because
+predicates translate to each file's write-time name.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from bigdata_event_stream_detection_spark.sources.icelite import (
+    add_columns,
+    append,
+    compact_files,
+    create_table,
+    delete_where,
+    drop_column,
+    merge_into,
+    read_table,
+    rename_column,
+    table_files,
+    table_schema,
+)
+
+
+def _df(spark, lo=0, hi=100):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.0).alias("v"))
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(spark)
+    create_table(t, df.schema)
+    append(df.repartition(2), t)
+    return t
+
+
+def test_rename_is_metadata_only(spark, tbl):
+    before = {e["path"] for e in table_files(tbl)}
+    rename_column(tbl, "v", "val")
+    assert {e["path"] for e in table_files(tbl)} == before
+    got = read_table(spark, tbl)
+    assert "val" in got.columns and "v" not in got.columns
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(
+        float(i) for i in range(100))
+    # old name still readable via time travel
+    old = read_table(spark, tbl, version=2)
+    assert "v" in old.columns
+
+
+def test_rename_mixes_old_and_new_files(spark, tbl):
+    rename_column(tbl, "v", "val")
+    append(_df(spark, 100, 150).withColumnRenamed("v", "val"), tbl)
+    got = read_table(spark, tbl)
+    assert got.count() == 150
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(
+        float(i) for i in range(150))
+
+
+def test_pruning_exact_across_rename(spark, tbl):
+    rename_column(tbl, "k", "key")
+    append(_df(spark, 100, 200).withColumnRenamed("k", "key")
+           .repartitionByRange(2, "key"), tbl)
+    # predicate on the NEW name must translate to the old files' stats
+    pruned = table_files(tbl, where=[("key", ">=", 100)])
+    assert 0 < len(pruned) < len(table_files(tbl))
+    got = read_table(spark, tbl, where=[("key", ">=", 100)])
+    assert got.count() == 100
+
+
+def test_drop_then_readd_never_resurrects(spark, tbl):
+    drop_column(tbl, "g")
+    assert "g" not in [f.name for f in table_schema(tbl).fields]
+    add_columns(tbl, StructType([StructField("g", LongType())]))
+    got = read_table(spark, tbl)
+    # the re-added g has a fresh field id: old files' g stays invisible
+    assert got.filter(F.col("g").isNotNull()).count() == 0
+    append(_df(spark, 100, 110), tbl)
+    got = read_table(spark, tbl)
+    assert got.filter(F.col("g").isNotNull()).count() == 10
+    # a predicate on the re-added column prunes old files exactly
+    assert got.filter(F.col("g") >= 0).count() == 10
+    pruned = table_files(tbl, where=[("g", ">=", 0)])
+    assert len(pruned) == len(table_files(tbl)) - 2  # only the new file(s)
+
+
+def test_merge_on_renamed_key(spark, tbl):
+    rename_column(tbl, "k", "key")
+    src = (_df(spark, 0, 10).withColumnRenamed("k", "key")
+           .withColumn("v", F.col("v") + 100))
+    merge_into(spark, tbl, src, key="key")
+    got = read_table(spark, tbl)
+    assert got.filter("key < 10").agg(F.sum("v")).collect()[0][0] == sum(
+        i + 100.0 for i in range(10))
+    assert got.count() == 100
+
+
+def test_mor_delete_on_renamed_column(spark, tbl):
+    rename_column(tbl, "v", "val")
+    delete_where(spark, tbl, [("val", "<", 10.0)],
+                 strategy="merge-on-read")
+    assert read_table(spark, tbl).count() == 90
+
+
+def test_compact_folds_to_current_names(spark, tbl):
+    rename_column(tbl, "v", "val")
+    append(_df(spark, 100, 150).withColumnRenamed("v", "val"), tbl)
+    compact_files(spark, tbl, target_mb=128)  # folds the small files
+    got = read_table(spark, tbl)
+    assert got.count() == 150
+    assert got.agg(F.round(F.sum("val"), 2)).collect()[0][0] == round(
+        sum(float(i) for i in range(150)), 2)
+
+
+def test_evolution_guards(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(spark)
+    create_table(t, df.schema, partition_spec=[("g", "identity")])
+    append(df, t)
+    with pytest.raises(ValueError, match="partition-spec"):
+        rename_column(t, "g", "grp")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(t, "k", "v")
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column(t, "nope")
+    # live equality-delete key blocks rename/drop until compaction
+    src = df.filter("k < 5").withColumn("v", F.col("v") + 1)
+    merge_into(spark, t, src, key="k", strategy="merge-on-read")
+    with pytest.raises(ValueError, match="equality-delete"):
+        rename_column(t, "k", "key")
+    compact_files(spark, t, target_mb=128)
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        remove_dangling_deletes,
+    )
+
+    remove_dangling_deletes(t)
+    rename_column(t, "k", "key")  # now allowed
+    assert "key" in [f.name for f in table_schema(t).fields]
+
+
+def test_stream_and_batch_source_resolve_renames(spark, tbl, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.icelite_source import (
+        IceliteDataSource,
+        available_now_drain,
+    )
+
+    spark.dataSource.register(IceliteDataSource)
+    rename_column(tbl, "v", "val")
+    append(_df(spark, 100, 150).withColumnRenamed("v", "val"), tbl)
+    # batch data source
+    got = spark.read.format("icelite").load(tbl)
+    assert "val" in got.columns
+    assert got.agg(F.round(F.sum("val"), 2)).collect()[0][0] == round(
+        sum(float(i) for i in range(150)), 2)
+    # stream: both the pre-rename and post-rename files flow mapped
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def _go():
+        s = spark.readStream.format("icelite").load(tbl)
+        return (s.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 seconds").start())
+
+    available_now_drain(_go, tbl)
+    rows = spark.read.parquet(out)
+    assert rows.count() == 150 and "val" in rows.columns
+    assert rows.agg(F.round(F.sum("val"), 2)).collect()[0][0] == round(
+        sum(float(i) for i in range(150)), 2)
+
+
+def test_table_changes_across_rename(spark, tbl):
+    from bigdata_event_stream_detection_spark.sources.icelite_changes import (
+        table_changes,
+    )
+
+    rename_column(tbl, "v", "val")
+    append(_df(spark, 100, 120).withColumnRenamed("v", "val"), tbl)
+    ch = table_changes(spark, tbl)
+    assert "val" in ch.columns
+    assert ch.count() == 120
+    assert ch.filter("_change_type = 'insert'").agg(
+        F.round(F.sum("val"), 2)).collect()[0][0] == round(
+        sum(float(i) for i in range(120)), 2)
