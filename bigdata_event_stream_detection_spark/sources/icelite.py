@@ -826,11 +826,22 @@ def _entry_may_match(entry: dict, pred: tuple, spec: list[dict],
                  or _partition_may_match(entry, pred, spec, schema)))
 
 
+def _parse_sort_order(prop: str) -> tuple[str, list[str]]:
+    """Parse a ``write.sort-order`` property: ``"a,b"`` (range-cluster
+    then sort) or ``"zorder(a,b)"`` (interleaved-bit Z-curve)."""
+    p = prop.strip()
+    if p.startswith("zorder(") and p.endswith(")"):
+        return "zorder", [c.strip() for c in p[7:-1].split(",")
+                          if c.strip()]
+    return "range", [c.strip() for c in p.split(",") if c.strip()]
+
+
 def _write_data_files(df: DataFrame, path: str,
                       parquet_block_bytes: int | None = None,
                       spec: list[dict] | None = None,
                       distribute: bool = True,
-                      fids: dict[str, int] | None = None) -> list[dict]:
+                      fids: dict[str, int] | None = None,
+                      sort_order: str | None = None) -> list[dict]:
     """Write ``df`` as immutable data files + collect footer stats.
 
     Spark writes to a staging dir (task commits are Spark's problem);
@@ -862,6 +873,29 @@ def _write_data_files(df: DataFrame, path: str,
         if distribute:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
             df = df.repartition(n, *hidden)
+    if sort_order:
+        # the table's WRITE ORDERED BY (Iceberg write.sort-order):
+        # cluster + sort every write so footer stats stay selective
+        # without waiting for a layout compaction — the lever that
+        # keeps a streaming sink's trigger-sized files prunable
+        kind, cols = _parse_sort_order(sort_order)
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if kind == "zorder":
+            from ..sinks.maintenance import _zorder_key
+
+            df = df.withColumn("_zk", _zorder_key(df, tuple(cols)))
+            keys = ["_zk"]
+        else:
+            keys = list(cols)
+        if hidden:
+            # partitioned: keep the per-tuple distribution, order rows
+            # inside each partition's files
+            df = df.sortWithinPartitions(*hidden, *keys)
+        else:
+            df = (df.repartitionByRange(n, *keys)
+                  .sortWithinPartitions(*keys))
+        if kind == "zorder":
+            df = df.drop("_zk")
     writer = df.write.mode("overwrite")
     if hidden:
         writer = writer.partitionBy(*hidden)
@@ -960,10 +994,11 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
     snapshot JSON is re-attempted). ``summary_extra`` lands in the
     snapshot summary — the streaming sinks stamp their (stream id,
     batch id) there for replay idempotence."""
+    head = _load_snapshot(path, current_snapshot_id(path))
     entries = _write_data_files(
         df, path, parquet_block_bytes=parquet_block_bytes,
-        spec=_table_spec(path),
-        fids=_field_ids(_load_snapshot(path, current_snapshot_id(path))))
+        spec=_table_spec(path), fids=_field_ids(head),
+        sort_order=(head.get("properties") or {}).get("write.sort-order"))
     prev_manifest: str | None = None
     for _ in range(max_retries):
         parent = _load_snapshot(path, current_snapshot_id(path))
@@ -998,8 +1033,23 @@ def overwrite(df: DataFrame, path: str,
     spec = _table_spec(path)
     if spec:
         spec = _normalize_spec(spec, df.schema)
-    fids = _field_ids(_load_snapshot(path, current_snapshot_id(path)))
-    entries = _write_data_files(df, path, spec=spec, fids=fids)
+    head = _load_snapshot(path, current_snapshot_id(path))
+    # overwrite may change the schema: surviving names KEEP their
+    # field ids (their history stays resolvable), new names get fresh
+    # ones, vanished names retire their ids
+    old_fids = _field_ids(head)
+    next_id = head.get("next_field_id") or (
+        max(old_fids.values(), default=0) + 1)
+    fids: dict[str, int] = {}
+    for f in df.schema.fields:
+        if f.name in old_fids:
+            fids[f.name] = old_fids[f.name]
+        else:
+            fids[f.name] = next_id
+            next_id += 1
+    entries = _write_data_files(
+        df, path, spec=spec, fids=fids,
+        sort_order=(head.get("properties") or {}).get("write.sort-order"))
     parent = _load_snapshot(path, current_snapshot_id(path))
     manifest = _write_manifest(
         path, _stamped(entries, parent["snapshot_id"] + 1))
@@ -1010,7 +1060,8 @@ def overwrite(df: DataFrame, path: str,
                         **(summary_extra or {})},
                        schema=json.loads(df.schema.json()),
                        partition_spec=spec,
-                       delete_manifests=[])
+                       delete_manifests=[],
+                       field_ids=fids, next_field_id=next_id)
     return _commit_snapshot(path, snap)
 
 
@@ -1995,10 +2046,11 @@ def stage_append(df: DataFrame, path: str,
     staging is exactly the "written but never committed" debris
     :func:`remove_orphan_files` age-gates, and :func:`expire_snapshots`
     never touches files no expired snapshot owns."""
+    head = _load_snapshot(path, current_snapshot_id(path))
     entries = _write_data_files(
         df, path, parquet_block_bytes=parquet_block_bytes,
-        spec=_table_spec(path),
-        fids=_field_ids(_load_snapshot(path, current_snapshot_id(path))))
+        spec=_table_spec(path), fids=_field_ids(head),
+        sort_order=(head.get("properties") or {}).get("write.sort-order"))
     manifest = _write_manifest(path, entries)
     return {"manifest": manifest, "entries": entries}
 
