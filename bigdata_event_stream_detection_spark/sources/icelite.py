@@ -127,6 +127,7 @@ __all__ = [
     "expire_snapshots",
     "remove_orphan_files",
     "rewrite_manifests",
+    "rollback_to",
     "add_columns",
     "rename_column",
     "drop_column",
@@ -1823,6 +1824,46 @@ def compact_files(spark: SparkSession, path: str,
                        {"added_files": len(new_entries),
                         "removed_files": len(dead)},
                        delete_manifests=([] if full_rewrite else None))
+    return _commit_snapshot(path, snap)
+
+
+def rollback_to(path: str, snapshot_id: int | None = None, *,
+                tag: str | None = None) -> int:
+    """Iceberg's ``rollback_to_snapshot``: commit a NEW snapshot that
+    restores an earlier snapshot's full state — manifests, delete
+    manifests, schema, partition spec, properties, field ids. History
+    is preserved: the bad commits stay time-travelable, and the
+    rollback is itself one atomic commit (a concurrent writer loses
+    or wins the id race as usual). Data files are untouched and keep
+    their original sequence numbers, so merge-on-read delete
+    semantics replay exactly as they did at the target snapshot.
+
+    The stream sources treat a rollback as a replace-type snapshot
+    (raise or skip — rolled-back rows cannot be un-emitted);
+    ``table_changes(replace_mode="net")`` renders its exact row diff.
+    """
+    if (snapshot_id is None) == (tag is None):
+        raise ValueError("pass snapshot_id OR tag")
+    if tag is not None:
+        snapshot_id = resolve_tag(path, tag)
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    if snapshot_id == parent["snapshot_id"]:
+        return snapshot_id  # already there
+    target = _load_snapshot(path, snapshot_id)
+    # field ids: restore the target's mapping, but never rewind the
+    # id counter — ids minted after the target stay retired forever
+    next_id = max(parent.get("next_field_id") or 0,
+                  target.get("next_field_id") or 0) or None
+    snap = _child_snap(
+        parent, "rollback", list(target["manifests"]), [],
+        {"added_files": 0, "removed_files": 0,
+         "rolled_back_to": snapshot_id},
+        delete_manifests=list(target.get("delete_manifests") or []),
+        schema=target["schema"],
+        partition_spec=target.get("partition_spec") or [],
+        properties=target.get("properties") or {},
+        field_ids=target.get("field_ids"),
+        next_field_id=next_id)
     return _commit_snapshot(path, snap)
 
 

@@ -248,10 +248,24 @@ def table_changes(spark: SparkSession, path: str,
                 "replace_mode='net' to compute its row changes or "
                 "'skip' to ignore it")
         parent = _parent(sid)
-        snap_paths = {e["path"] for e in _snapshot_entries(path, snap)}
-        removed = [e for e in _snapshot_entries(path, parent)
-                   if e["path"] not in snap_paths]
-        added = _added_entries(path, snap)
+        snap_entries = _snapshot_entries(path, snap)
+        parent_entries = _snapshot_entries(path, parent)
+        snap_paths = {e["path"] for e in snap_entries}
+        parent_paths = {e["path"] for e in parent_entries}
+        if ((snap.get("delete_manifests") or [])
+                != (parent.get("delete_manifests") or [])):
+            # the applicable MOR delete set changed (e.g. a rollback
+            # past a row-level delete): shared files can differ in
+            # LIVE rows, so diff the full live views — exceptAll
+            # cancels the identical rows
+            removed, added = parent_entries, snap_entries
+        else:
+            # symmetric difference by path, NOT added_manifests: a
+            # rollback restores files by reference without "adding"
+            removed = [e for e in parent_entries
+                       if e["path"] not in snap_paths]
+            added = [e for e in snap_entries
+                     if e["path"] not in parent_paths]
         before = _live(spark, path, parent, removed, to_schema, fids)
         after = _live(spark, path, snap, added, to_schema, fids)
         empty = spark.createDataFrame([], to_schema)

@@ -69,7 +69,8 @@ from .icelite import _entry_names
 # (merge-mor adds rows AND an equality delete; "delete" may be a
 # positional-delete-only commit). Iceberg's streaming read has the
 # same contract: fail by default, skip when told to.
-_REPLACE_OPS = {"merge", "overwrite", "compact", "merge-mor", "delete"}
+_REPLACE_OPS = {"merge", "overwrite", "compact", "merge-mor", "delete",
+                "rollback"}
 
 
 class _FilePartition(InputPartition):

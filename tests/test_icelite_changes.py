@@ -246,3 +246,77 @@ def test_cdc_stream_raises_on_cow_without_skip(spark, tmp_path):
 
     with pytest.raises(Exception, match="rewrite"):
         available_now_drain(_go, tbl, timeout_s=60)
+
+
+def test_rollback_restores_state_and_diffs(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        create_tag,
+        rollback_to,
+        snapshots,
+    )
+
+    df = _base(spark)
+    tbl = str(tmp_path / "t")
+    create_table(tbl, df.schema)
+    append(df.filter("k < 50"), tbl)                       # snap 2
+    create_tag(tbl, "good")
+    append(df.filter("k >= 50"), tbl)                      # snap 3 (bad)
+    delete_where(spark, tbl, [("k", "<", 10)],
+                 strategy="merge-on-read")                 # snap 4 (bad)
+    rollback_to(tbl, tag="good")                           # snap 5
+    got = read_table(spark, tbl)
+    want = read_table(spark, tbl, version=2)
+    assert _multiset_equal(got.select("k", "g", "v"),
+                           want.select("k", "g", "v"))
+    assert got.count() == 50
+    # history preserved: the bad commits still time-travel
+    assert read_table(spark, tbl, version=4).count() == 90
+    assert [s["operation"] for s in snapshots(tbl)][-1] == "rollback"
+
+    # changelog net diff of the rollback: un-inserts the bad append,
+    # restores the MOR-deleted rows
+    ch = table_changes(spark, tbl, 4, 5)
+    by = {r["_change_type"]: r["count"]
+          for r in ch.groupBy("_change_type").count().collect()}
+    assert by.get("delete", 0) == 50   # the k>=50 rows leave
+    assert by.get("insert", 0) == 10   # the MOR-deleted k<10 rows return
+
+    # apply property across the whole history including the rollback
+    full = table_changes(spark, tbl)
+    ins = full.filter("_change_type = 'insert'").select("k", "g", "v")
+    dele = full.filter("_change_type = 'delete'").select("k", "g", "v")
+    assert _multiset_equal(ins.exceptAll(dele),
+                           got.select("k", "g", "v"))
+
+    # appends continue cleanly after a rollback
+    append(df.filter("k >= 90"), tbl)
+    assert read_table(spark, tbl).count() == 60
+
+
+def test_rollback_is_replace_type_for_streams(spark, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        rollback_to,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite_source import (
+        IceliteDataSource,
+        available_now_drain,
+    )
+
+    spark.dataSource.register(IceliteDataSource)
+    df = _base(spark)
+    tbl = str(tmp_path / "t")
+    create_table(tbl, df.schema)
+    append(df.filter("k < 50"), tbl)
+    append(df.filter("k >= 50"), tbl)
+    rollback_to(tbl, snapshot_id=2)
+
+    def _go():
+        s = (spark.readStream.format("icelite")
+             .option("mode", "cdc").load(tbl))
+        return (s.writeStream.format("parquet")
+                .option("path", str(tmp_path / "o"))
+                .option("checkpointLocation", str(tmp_path / "c"))
+                .trigger(processingTime="1 seconds").start())
+
+    with pytest.raises(Exception, match="rewrite"):
+        available_now_drain(_go, tbl, timeout_s=60)
