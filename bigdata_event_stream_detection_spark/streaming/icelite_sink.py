@@ -277,6 +277,65 @@ def start_apply_changes_icelite(
     return writer.start()
 
 
+def start_cdc_mirror(
+    spark: SparkSession,
+    source_table: str,
+    target_table: str,
+    checkpoint_path: str,
+    key_col: str,
+    mode: str = "delta",
+    partition_spec: list | None = None,
+    skip_replace: bool = False,
+):
+    """Incremental table-to-table replication: the source table's
+    row-level changes (the ``mode="cdc"`` stream — appends and
+    merge-on-read merges/deletes rendered as exact insert/delete
+    rows) continuously applied to a target CDC table. After a drain,
+    ``read_cdc_snapshot(target)`` equals the source's live rows —
+    exactly-once under replay, resumable from checkpoint, and the
+    target carries the full latest-wins machinery (tombstones,
+    ``compact_cdc_delta`` maintenance, snapshot audit trail).
+
+    Change rows map onto the changelog contract by commit order:
+    ``last_ts = _commit_snapshot_id`` and, within one commit,
+    ``last_id`` ranks inserts above deletes — so an update
+    (delete(old) + insert(new) at the same snapshot) nets to the new
+    row, a pure delete nets to a tombstone, and out-of-order trigger
+    replays resolve order-blind exactly like any CDC ingest.
+
+    Source compactions/metadata commits replicate nothing (they
+    change no rows). Source COW rewrites raise — keep a mirrored
+    source on merge-on-read writes, or pass ``skip_replace=True`` to
+    skip them (their rewrites are NOT replicated; batch-diff via
+    ``icelite_changes.table_changes(replace_mode='net')`` instead).
+
+    Returns the streaming query; drain with
+    ``icelite_source.available_now_drain(lambda: start_cdc_mirror(
+    ...), source_table)``.
+    """
+    from pyspark.sql import functions as F
+
+    schema = icelite.table_schema(source_table)
+    if key_col not in [f.name for f in schema.fields]:
+        raise ValueError(f"source table has no column {key_col!r}")
+    attrs = [f.name for f in schema.fields if f.name != key_col]
+    stream = (spark.readStream.format("icelite").option("mode", "cdc")
+              .option("skip-replace-snapshots", str(skip_replace).lower())
+              .load(source_table))
+    changelog = (
+        stream
+        .withColumn("_mts", F.col("_commit_snapshot_id"))
+        .withColumn("_mid", F.when(F.col("_change_type") == "insert",
+                                   F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("_mop", F.when(F.col("_change_type") == "insert",
+                                   F.lit("U")).otherwise(F.lit(DELETE_OP)))
+        .drop("_change_type", "_commit_snapshot_id", "_change_ordinal"))
+    return start_apply_changes_icelite(
+        changelog, target_table, checkpoint_path, key_col=key_col,
+        time_col="_mts", id_col="_mid", op_col="_mop", attrs=attrs,
+        mode=mode, partition_spec=partition_spec)
+
+
 def compact_cdc_delta(spark: SparkSession, table_path: str,
                       key_col: str | None = None) -> int:
     """Fold a ``mode="delta"`` CDC table back to ONE row per key
