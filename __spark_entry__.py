@@ -1997,6 +1997,41 @@ def _q_icelite_rename_evolution(spark, sf_dir):
                  F.round(F.sum("price"), 2).alias("total")))
 
 
+def _q_icelite_files_metadata(spark, sf_dir):
+    # Iceberg-style metadata tables (sources/icelite_meta.py): the
+    # `files` relation of a status-partitioned table, aggregated per
+    # partition tuple, must equal the DATA-side truth — record counts
+    # from count(*), stats bounds from min/max(o_orderkey), and
+    # exactly one file per tuple per append (hash write distribution),
+    # two appends. A wrong manifest row, stats bound, or partition
+    # tuple diverges from the plain-orders oracle.
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite_meta import (
+        read_metadata_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _icelite_fresh("meta")
+    create_table(path, orders.schema,
+                 partition_spec=[("o_orderstatus", "identity")])
+    append(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+    append(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+    files = read_metadata_table(spark, path, "files")
+    return (files
+            .groupBy(F.col("partition")["o_orderstatus"]
+                     .alias("o_orderstatus"))
+            .agg(F.sum("record_count").alias("n_rows"),
+                 F.count("*").alias("n_files"),
+                 F.min(F.col("lower_bounds")["o_orderkey"]
+                       .cast("long")).alias("min_key"),
+                 F.max(F.col("upper_bounds")["o_orderkey"]
+                       .cast("long")).alias("max_key")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -2027,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_delta_cdc_snapshot": _q_icelite_delta_cdc_snapshot,
         "icelite_table_changes": _q_icelite_table_changes,
         "icelite_rename_evolution": _q_icelite_rename_evolution,
+        "icelite_files_metadata": _q_icelite_files_metadata,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2644,6 +2680,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05'
               AND ts < TIMESTAMP '2024-01-08'
             GROUP BY 2
+        """,
+        "icelite_files_metadata": """
+            SELECT o_orderstatus,
+                   count(*) AS n_rows,
+                   CAST(2 AS BIGINT) AS n_files,
+                   CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_key
+            FROM orders GROUP BY o_orderstatus
         """,
         "icelite_mor_merge_snapshot": """
             WITH merged AS (
