@@ -2032,6 +2032,52 @@ def _q_icelite_files_metadata(spark, sf_dir):
                        .cast("long")).alias("max_key")))
 
 
+def _q_icelite_mv_refresh(spark, sf_dir):
+    # incremental materialized view (sources/icelite_mv.py): the MV is
+    # created over the even-key half, then an append (odd keys) and a
+    # COW merge (price bump / %9 deletes / shifted inserts — the
+    # icelite_merge_snapshot workload) land on the SOURCE; one refresh
+    # applies their changelog as signed increments. Result = the
+    # refreshed view, which must equal a direct aggregation of the
+    # merged table (integer measures — exact under increments).
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        merge_into,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite_mv import (
+        create_materialized_view,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    src = _icelite_fresh("mvsrc")
+    mv = _icelite_fresh("mv")
+    create_table(src, orders.schema)
+    append(orders.filter(F.col("o_orderkey") % 2 == 0), src)
+    create_materialized_view(
+        spark, src, mv, ["o_orderstatus"],
+        {"n": ("count", None), "sum_key": ("sum", "o_orderkey")})
+    append(orders.filter(F.col("o_orderkey") % 2 == 1), src)
+    upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+           .withColumn("is_delete", F.col("o_orderkey") % 9 == 0))
+    ins = (orders.filter(F.col("o_orderkey") % 1000 == 0)
+           .select((F.col("o_orderkey") + F.lit(100000000)
+                    ).alias("o_orderkey"),
+                   F.lit("Z").alias("o_orderstatus"),
+                   F.col("o_totalprice"),
+                   F.lit(False).alias("is_delete")))
+    merge_into(spark, src, upd.unionByName(ins), key="o_orderkey",
+               delete_col="is_delete")
+    refresh_materialized_view(spark, mv)
+    return (read_materialized_view(spark, mv)
+            .select("o_orderstatus", "n",
+                    F.col("sum_key").cast("long").alias("sum_key")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -2063,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_table_changes": _q_icelite_table_changes,
         "icelite_rename_evolution": _q_icelite_rename_evolution,
         "icelite_files_metadata": _q_icelite_files_metadata,
+        "icelite_mv_refresh": _q_icelite_mv_refresh,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2680,6 +2727,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05'
               AND ts < TIMESTAMP '2024-01-08'
             GROUP BY 2
+        """,
+        "icelite_mv_refresh": """
+            WITH merged AS (
+              SELECT o_orderkey, o_orderstatus
+              FROM orders WHERE o_orderkey % 9 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'Z'
+              FROM orders WHERE o_orderkey % 1000 = 0
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+            FROM merged GROUP BY 1
         """,
         "icelite_files_metadata": """
             SELECT o_orderstatus,

@@ -1329,17 +1329,27 @@ def table_properties(path: str) -> dict:
     return dict(snap.get("properties") or {})
 
 
-def set_properties(path: str, props: dict) -> int:
-    """Merge ``props`` into the table properties (metadata-only
-    commit; a None value removes the key). Iceberg's
-    ``ALTER TABLE ... SET TBLPROPERTIES``."""
-    parent = _load_snapshot(path, current_snapshot_id(path))
+def _merged_props(parent: dict, props: dict | None) -> dict | None:
+    """Parent properties merged with ``props`` (None values remove
+    keys); None when there is nothing to change (the commit then
+    carries the parent's properties untouched)."""
+    if props is None:
+        return None
     merged = dict(parent.get("properties") or {})
     for k, v in props.items():
         if v is None:
             merged.pop(k, None)
         else:
             merged[k] = v
+    return merged
+
+
+def set_properties(path: str, props: dict) -> int:
+    """Merge ``props`` into the table properties (metadata-only
+    commit; a None value removes the key). Iceberg's
+    ``ALTER TABLE ... SET TBLPROPERTIES``."""
+    parent = _load_snapshot(path, current_snapshot_id(path))
+    merged = _merged_props(parent, props)
     snap = _child_snap(parent, "properties", parent["manifests"], [],
                        {"added_files": 0, "removed_files": 0},
                        properties=merged)
@@ -1360,8 +1370,16 @@ def merge_into(
     summary_extra: dict | None = None,
     strategy: str = "copy-on-write",
     max_retries: int = 10,
+    properties: dict | None = None,
 ) -> int:
     """Upsert ``source`` into the table by ``key`` (copy-on-write).
+
+    ``properties`` merges into the table properties IN the merge
+    commit (None values remove keys) — the single-commit analog of an
+    Iceberg Transaction combining MERGE with SET TBLPROPERTIES. The
+    materialized-view refresh stamps its applied-source-snapshot
+    watermark this way: the data change and the watermark are atomic,
+    so a crash can never double-apply a delta.
 
     Semantics = ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED
     [AND s.delete_col] THEN DELETE / WHEN MATCHED THEN UPDATE SET * /
@@ -1442,7 +1460,8 @@ def merge_into(
                 "(it never reads the base rows); use copy-on-write, or "
                 "read-time resolution via the delta CDC sink")
         return _merge_mor(spark, path, parent, source, key,
-                          delete_col, summary_extra, max_retries)
+                          delete_col, summary_extra, max_retries,
+                          properties=properties)
 
     # bucket-partition prefilter: when the merge key has a bucket
     # transform, every file whose bucket is absent from the source is
@@ -1559,13 +1578,15 @@ def merge_into(
                        kept_manifests + [new_manifest], [new_manifest],
                        {"added_files": len(new_entries),
                         "removed_files": len(touched),
-                        **(summary_extra or {})})
+                        **(summary_extra or {})},
+                       properties=_merged_props(parent, properties))
     return _commit_snapshot(path, snap)
 
 
 def _merge_mor(spark: SparkSession, path: str, parent: dict,
                source: DataFrame, key: str, delete_col: str | None,
-               summary_extra: dict | None, max_retries: int) -> int:
+               summary_extra: dict | None, max_retries: int,
+               properties: dict | None = None) -> int:
     """Merge-on-read upsert: new data files (the non-delete source
     rows) + one equality delete file (the distinct source keys),
     committed append-style. See :func:`merge_into`."""
@@ -1597,7 +1618,8 @@ def _merge_mor(spark: SparkSession, path: str, parent: dict,
              "added_delete_files": len(del_entries),
              "removed_files": 0, **(summary_extra or {})},
             delete_manifests=(cur.get("delete_manifests") or [])
-            + [del_manifest])
+            + [del_manifest],
+            properties=_merged_props(cur, properties))
         try:
             return _commit_snapshot(path, snap)
         except CommitConflict:
