@@ -34,9 +34,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import json, sys, time
-mode, cores, in_dir, out_root, partitions = (
+mode, cores, in_dir, out_root, partitions, io_codec = (
     sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
-    int(sys.argv[5]))
+    int(sys.argv[5]), sys.argv[6])
 from bigdata_event_stream_detection_spark.session import get_spark
 from bigdata_event_stream_detection_spark.plans.pipeline import (
     detect_event_stream, small_params)
@@ -52,11 +52,15 @@ from pyspark.sql import functions as F
 # the 1M-doc probe vs partitions == cores).
 # AQE partition coalescing merges the kernel shuffle back to
 # bytes-balanced (not CPU-balanced) partitions — off for this job
+_extra = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+if io_codec != "default":
+    # shuffle/spill/RocksDB-changelog block codec: zstd trades worker
+    # CPU for bytes over the shared memory bus — measured faster in
+    # absolute terms from 8 cores up on this job (the bandwidth-bound
+    # regime), slightly slower at 2-4 cores (the CPU-bound regime)
+    _extra["spark.io.compression.codec"] = io_codec
 spark = get_spark("scale-%s-%d" % (mode, cores), cores=cores,
-                  shuffle_partitions=partitions,
-                  extra_conf={
-                      "spark.sql.adaptive.coalescePartitions.enabled":
-                      "false"})
+                  shuffle_partitions=partitions, extra_conf=_extra)
 # reference-strength compute (25 EM iters like Parameters.java:40) and
 # fat windows (~720 docs / ~100k tokens per 24h window on the synthetic
 # fixture) so the measurement is kernel-dominated, not fixed-overhead-
@@ -103,7 +107,8 @@ print("RESULT " + json.dumps({
 
 
 def run_worker(mode: str, cores: int, in_dir: str, out_root: str,
-               partitions: int, local_dir: str | None = None) -> dict:
+               partitions: int, local_dir: str | None = None,
+               io_codec: str = "default") -> dict:
     # Pin BLAS to one thread per task: otherwise the low-core run's
     # workers silently fan numpy matmuls across ALL machine cores and
     # the comparison measures nothing (also the correct per-executor
@@ -123,7 +128,7 @@ def run_worker(mode: str, cores: int, in_dir: str, out_root: str,
     # workers) to `cores` CPUs — emulating an actual `cores`-CPU host
     # rather than a `cores`-thread scheduler on a 4x-larger machine.
     cmd = [sys.executable, "-c", WORKER, mode, str(cores), in_dir, out_root,
-           str(partitions)]
+           str(partitions), io_codec]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     p = subprocess.run(
@@ -151,6 +156,9 @@ def main() -> int:
                          "local disks)")
     ap.add_argument("--modes", default="stream,batch",
                     help="comma-separated subset of {stream,batch}")
+    ap.add_argument("--io-codec", default="default",
+                    help="spark.io.compression.codec override (e.g. "
+                         "zstd); 'default' keeps Spark's lz4")
     ap.add_argument("--partitions", type=int, default=None,
                     help="shuffle/state partition count, FIXED across core "
                          "counts (default 6 x 4N). Finer partitions shrink "
@@ -204,7 +212,8 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
                 r = run_worker(mode, cores, in_dir,
                                os.path.join(work, f"rep{rep}"),
                                partitions=args.partitions or 6 * 4 * args.n,
-                               local_dir=args.local_dir)
+                               local_dir=args.local_dir,
+                               io_codec=args.io_codec)
                 raw.setdefault((mode, cores), []).append(r)
                 print(json.dumps(r))
     results = [min(v, key=lambda r: r["wall_sec"]) for v in raw.values()]
@@ -217,7 +226,7 @@ df = generate_sequences(spark, {args.docs}, late_fraction=0.0, partitions={args.
         f"({results[0]['n_tokens']} tokens), planted-HMM fixture; "
         "24h tumbling windows (~720 docs/window); identical job + data "
         f"at both levels (fresh JVM per run; min of {args.repeats} "
-        "interleaved sweeps).",
+        f"interleaved sweeps; io codec {args.io_codec}).",
         "",
         "| job | cores | best wall (s) | docs/s | tokens/s | all walls (s) |",
         "|---|---|---|---|---|---|",
