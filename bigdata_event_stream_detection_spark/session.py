@@ -79,6 +79,17 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # operator-level conf knob: BESD_EXTRA_CONF='{"spark.io.compression
+    # .codec": "zstd", ...}' overrides everything above without code
+    # changes — the local analog of spark-submit --conf flags (e.g. the
+    # zstd codec measured faster for the bandwidth-bound stream at high
+    # core counts, BENCH.md "IO codec under the shared memory bus")
+    env_extra = os.environ.get("BESD_EXTRA_CONF")
+    if env_extra:
+        import json
+
+        for k, v in json.loads(env_extra).items():
+            builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

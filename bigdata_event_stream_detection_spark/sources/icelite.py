@@ -1769,7 +1769,8 @@ def compact_files(spark: SparkSession, path: str,
                   small_mb: float | None = None,
                   cluster_by: tuple[str, ...] = (),
                   zorder_by: tuple[str, ...] = (),
-                  n_files: int | None = None) -> int | None:
+                  n_files: int | None = None,
+                  where: list[tuple] | None = None) -> int | None:
     """Rewrite data files into ~``target_mb`` ones (replace snapshot).
 
     Iceberg's ``rewrite_data_files``: a streaming sink that commits
@@ -1778,6 +1779,15 @@ def compact_files(spark: SparkSession, path: str,
     ``small_mb`` (default ``target_mb/2``) are rewritten; big files are
     carried by reference. Returns the new snapshot id, or None if
     there is nothing to do.
+
+    ``where`` scopes the rewrite (Iceberg's ``rewrite_data_files``
+    filter): only files whose partition tuple / footer stats may match
+    every predicate are candidates — at warehouse scale maintenance
+    compacts the partitions the sink touched, never the table. The
+    predicate selects whole FILES, it never drops rows: a partially-
+    matching file is rewritten in full, so compaction stays
+    content-preserving by construction (a ``compact`` snapshot always
+    reads back identical rows, and the changelog nets it to zero).
 
     ``cluster_by`` / ``zorder_by`` (mutually exclusive) turn the
     compaction into a LAYOUT rewrite of ALL current files: one range
@@ -1795,9 +1805,16 @@ def compact_files(spark: SparkSession, path: str,
     small = (small_mb if small_mb is not None else target_mb / 2) * (1 << 20)
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
+    spec_w = parent.get("partition_spec") or []
+    fids_w = _field_ids(parent)
     entries = _snapshot_entries(path, parent)
-    victims = (entries if layout
-               else [e for e in entries if e["bytes"] < small])
+    scoped = entries
+    if where:
+        scoped = [e for e in entries
+                  if all(_entry_may_match(e, p, spec_w, schema, fids_w)
+                         for p in where)]
+    victims = (scoped if layout
+               else [e for e in scoped if e["bytes"] < small])
     if len(victims) < (1 if layout else 2):
         return None
     total = sum(e["bytes"] for e in victims)

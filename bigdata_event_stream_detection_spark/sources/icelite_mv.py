@@ -205,6 +205,31 @@ def _mv_spec(mv_path: str) -> tuple[str, list[str], dict, int]:
     return src, d["group_by"], measures, applied
 
 
+def _apply_change_rows(spark: SparkSession, mv_path: str,
+                       ch: DataFrame, group_by: list[str],
+                       measures: dict[str, tuple[str, str | None]],
+                       watermark: int) -> int:
+    """Apply a frame of change rows (``_change_type`` insert/delete)
+    as signed increments and advance the applied watermark to
+    ``watermark`` — atomically when data changes (the MERGE commit),
+    as a metadata-only commit when the changes net to nothing. Shared
+    by batch refresh and the streaming maintainer."""
+    sign = F.when(F.col("_change_type") == "insert",
+                  F.lit(1)).otherwise(F.lit(-1))
+    delta = (ch.groupBy(*group_by)
+             .agg(*_delta_aggs(measures, sign))
+             .withColumn("_gkey", _gkey_expr(group_by)))
+    if not delta.head(1):
+        # nothing but rewrites in the range (e.g. compaction):
+        # advance the watermark without touching data
+        return set_properties(mv_path, {"mv.applied_to": str(watermark)})
+    old = read_table(spark, mv_path)
+    new_state = _merge_new_state(delta, old, group_by, measures)
+    return merge_into(spark, mv_path, new_state, key="_gkey",
+                      delete_col="_delete",
+                      properties={"mv.applied_to": str(watermark)})
+
+
 def refresh_materialized_view(spark: SparkSession,
                               mv_path: str) -> int | None:
     """Apply all source changes since the last refresh; returns the
@@ -218,20 +243,8 @@ def refresh_materialized_view(spark: SparkSession,
         return None
     ch = table_changes(spark, src, applied, src_snap,
                        replace_mode="net")
-    sign = F.when(F.col("_change_type") == "insert",
-                  F.lit(1)).otherwise(F.lit(-1))
-    delta = (ch.groupBy(*group_by)
-             .agg(*_delta_aggs(measures, sign))
-             .withColumn("_gkey", _gkey_expr(group_by)))
-    if not delta.head(1):
-        # nothing but rewrites in the range (e.g. compaction):
-        # advance the watermark without touching data
-        return set_properties(mv_path, {"mv.applied_to": str(src_snap)})
-    old = read_table(spark, mv_path)
-    new_state = _merge_new_state(delta, old, group_by, measures)
-    return merge_into(spark, mv_path, new_state, key="_gkey",
-                      delete_col="_delete",
-                      properties={"mv.applied_to": str(src_snap)})
+    return _apply_change_rows(spark, mv_path, ch, group_by, measures,
+                              src_snap)
 
 
 def read_materialized_view(spark: SparkSession,
