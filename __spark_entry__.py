@@ -2051,15 +2051,31 @@ def _q_icelite_mv_refresh(spark, sf_dir):
         refresh_materialized_view,
     )
 
+    return _mv_workload(spark, sf_dir, "mv", filter_sql=None)
+
+
+def _mv_workload(spark, sf_dir, name, filter_sql):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        append,
+        create_table,
+        merge_into,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite_mv import (
+        create_materialized_view,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice")
-    src = _icelite_fresh("mvsrc")
-    mv = _icelite_fresh("mv")
+    src = _icelite_fresh(name + "src")
+    mv = _icelite_fresh(name)
     create_table(src, orders.schema)
     append(orders.filter(F.col("o_orderkey") % 2 == 0), src)
     create_materialized_view(
         spark, src, mv, ["o_orderstatus"],
-        {"n": ("count", None), "sum_key": ("sum", "o_orderkey")})
+        {"n": ("count", None), "sum_key": ("sum", "o_orderkey")},
+        filter_sql=filter_sql)
     append(orders.filter(F.col("o_orderkey") % 2 == 1), src)
     upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
@@ -2076,6 +2092,17 @@ def _q_icelite_mv_refresh(spark, sf_dir):
     return (read_materialized_view(spark, mv)
             .select("o_orderstatus", "n",
                     F.col("sum_key").cast("long").alias("sum_key")))
+
+
+def _q_icelite_mv_filtered(spark, sf_dir):
+    # filtered materialized view: WHERE o_totalprice > 1000 in the
+    # view definition. The COW merge bumps %3 keys' price by +100,
+    # moving boundary rows INTO the predicate — the symmetric delta
+    # filter (inserts and deletes filtered alike) must net each
+    # crossing correctly, or the counts diverge from the oracle's
+    # direct filtered aggregation of the merged table.
+    return _mv_workload(spark, sf_dir, "mvf",
+                        filter_sql="o_totalprice > 1000")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2110,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_rename_evolution": _q_icelite_rename_evolution,
         "icelite_files_metadata": _q_icelite_files_metadata,
         "icelite_mv_refresh": _q_icelite_mv_refresh,
+        "icelite_mv_filtered": _q_icelite_mv_filtered,
         "timeout_rule_alerts": _q_timeout_rule_alerts,
         "expectation_summary": _q_expectation_summary,
         "expectation_violations": _q_expectation_violations,
@@ -2739,6 +2767,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS sum_key
             FROM merged GROUP BY 1
+        """,
+        "icelite_mv_filtered": """
+            WITH merged AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 9 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'Z', o_totalprice
+              FROM orders WHERE o_orderkey % 1000 = 0
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+            FROM merged WHERE o_totalprice > 1000
+            GROUP BY 1
         """,
         "icelite_files_metadata": """
             SELECT o_orderstatus,

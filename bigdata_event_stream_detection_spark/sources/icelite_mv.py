@@ -146,6 +146,7 @@ def create_materialized_view(
     group_by: list[str],
     measures: dict,
     bucket: int | None = None,
+    filter_sql: str | None = None,
 ) -> int:
     """Create + initially populate a materialized view.
 
@@ -156,7 +157,11 @@ def create_materialized_view(
     applied watermark, so the first ``refresh`` starts exactly after
     it. ``bucket`` partitions the view by ``bucket(n)`` on the group
     key, giving refreshes exact bucket pruning when group keys are
-    uniform (the same lever the CDC sink uses)."""
+    uniform (the same lever the CDC sink uses). ``filter_sql`` is the
+    view's WHERE clause (a SQL boolean over source columns): applied
+    to the initial build AND to every change delta symmetrically, so
+    an update that moves a row across the predicate boundary nets to
+    the correct insert-only / delete-only increment."""
     measures = _normalize_measures(measures)
     src_snap = current_snapshot_id(source_path)
     base = read_table(spark, source_path, version=src_snap)
@@ -176,23 +181,28 @@ def create_materialized_view(
                     f"column, got {t} (decimals: cast to double first)")
     # initial state = the same signed aggregation with sign == +1 over
     # the full table — one code path for initial build and refresh
+    if filter_sql:
+        base = base.filter(F.expr(filter_sql))
     state = (base.groupBy(*group_by)
              .agg(*_delta_aggs(measures, F.lit(1)))
              .withColumn("_gkey", _gkey_expr(group_by)))
+    definition = {"group_by": group_by,
+                  "measures": {n: list(s) for n, s in measures.items()}}
+    if filter_sql:
+        definition["filter"] = filter_sql
     create_table(
         mv_path, state.schema,
         partition_spec=([("_gkey", "bucket", bucket)] if bucket else None),
         properties={
             "mv.source": source_path,
-            "mv.definition": json.dumps(
-                {"group_by": group_by,
-                 "measures": {n: list(s) for n, s in measures.items()}}),
+            "mv.definition": json.dumps(definition),
         })
     return merge_into(spark, mv_path, state, key="_gkey",
                       properties={"mv.applied_to": str(src_snap)})
 
 
-def _mv_spec(mv_path: str) -> tuple[str, list[str], dict, int]:
+def _mv_spec(mv_path: str) -> tuple[str, list[str], dict, int,
+                                    str | None]:
     props = table_properties(mv_path)
     try:
         src = props["mv.source"]
@@ -202,18 +212,24 @@ def _mv_spec(mv_path: str) -> tuple[str, list[str], dict, int]:
         raise ValueError(f"{mv_path!r} is not a materialized view "
                          f"(missing {e} property)")
     measures = {n: (s[0], s[1]) for n, s in d["measures"].items()}
-    return src, d["group_by"], measures, applied
+    return src, d["group_by"], measures, applied, d.get("filter")
 
 
 def _apply_change_rows(spark: SparkSession, mv_path: str,
                        ch: DataFrame, group_by: list[str],
                        measures: dict[str, tuple[str, str | None]],
-                       watermark: int) -> int:
+                       watermark: int,
+                       filter_sql: str | None = None) -> int:
     """Apply a frame of change rows (``_change_type`` insert/delete)
     as signed increments and advance the applied watermark to
     ``watermark`` — atomically when data changes (the MERGE commit),
     as a metadata-only commit when the changes net to nothing. Shared
-    by batch refresh and the streaming maintainer."""
+    by batch refresh and the streaming maintainer. ``filter_sql``
+    (the view's WHERE clause) applies to inserts and deletes alike —
+    the symmetry that keeps a filtered view consistent when updates
+    move rows across the predicate boundary."""
+    if filter_sql:
+        ch = ch.filter(F.expr(filter_sql))
     sign = F.when(F.col("_change_type") == "insert",
                   F.lit(1)).otherwise(F.lit(-1))
     delta = (ch.groupBy(*group_by)
@@ -237,14 +253,14 @@ def refresh_materialized_view(spark: SparkSession,
     scan + one delta aggregation + one stats/bucket-pruned MERGE;
     source compactions net to zero rows and only advance the
     watermark (a metadata-only commit)."""
-    src, group_by, measures, applied = _mv_spec(mv_path)
+    src, group_by, measures, applied, filter_sql = _mv_spec(mv_path)
     src_snap = current_snapshot_id(src)
     if src_snap <= applied:
         return None
     ch = table_changes(spark, src, applied, src_snap,
                        replace_mode="net")
     return _apply_change_rows(spark, mv_path, ch, group_by, measures,
-                              src_snap)
+                              src_snap, filter_sql=filter_sql)
 
 
 def read_materialized_view(spark: SparkSession,
@@ -253,7 +269,7 @@ def read_materialized_view(spark: SparkSession,
     """The view's user-facing result: group columns + measure columns
     with exact SQL semantics (sum/avg NULL when a group has no
     non-null values; avg rendered from its maintained sum/count)."""
-    _src, group_by, measures, _applied = _mv_spec(mv_path)
+    _src, group_by, measures, _applied, _filter = _mv_spec(mv_path)
     df = read_table(spark, mv_path, version=version)
     cols = [F.col(c) for c in group_by]
     for name, (agg, _col) in measures.items():

@@ -77,7 +77,7 @@ def start_mv_maintenance(
     table path); returns the started query."""
     from ..sources.icelite_source import IceliteDataSource
 
-    src, group_by, measures, _applied = _mv_spec(mv_path)
+    src, group_by, measures, _applied, _filter = _mv_spec(mv_path)
     spark.dataSource.register(IceliteDataSource)
     stream = (spark.readStream.format("icelite")
               .option("mode", "cdc")
@@ -88,7 +88,7 @@ def start_mv_maintenance(
         bspark = batch_df.sparkSession
         # re-read the watermark every trigger: restarts and replays
         # must observe the committed state, not a captured one
-        _s, gb, ms, applied = _mv_spec(mv_path)
+        _s, gb, ms, applied, fsql = _mv_spec(mv_path)
         if batch_df.isEmpty():
             # a skipped replace snapshot planned zero rows but still
             # advanced the offsets — net-refresh catches its diff
@@ -103,7 +103,8 @@ def start_mv_maintenance(
             refresh_materialized_view(bspark, mv_path)
             return
         ch = batch_df.filter(F.col("_commit_snapshot_id") > applied)
-        _apply_change_rows(bspark, mv_path, ch, gb, ms, hi)
+        _apply_change_rows(bspark, mv_path, ch, gb, ms, hi,
+                           filter_sql=fsql)
 
     writer = (stream.writeStream
               .foreachBatch(_apply)

@@ -201,6 +201,31 @@ def test_composite_group_keys(spark, tmp_path):
     assert got == want
 
 
+def test_filtered_view_tracks_boundary_crossings(spark, src, tmp_path):
+    # WHERE x < 600 in the definition; the merge bumps x by +1000 for
+    # a slice of keys, moving their rows OUT of the predicate — the
+    # symmetric delta filter must net each to a pure delete
+    mv = str(tmp_path / "mvf")
+    create_materialized_view(
+        spark, src, mv, ["grp"],
+        {"n": ("count", None), "sum_x": ("sum", "x")},
+        filter_sql="x < 600")
+    mrg = (_rows(spark, 100, 260)
+           .withColumn("x", F.col("x") + 1000)
+           .withColumn("is_delete", F.col("k") % 10 == 0))
+    merge_into(spark, src, mrg, key="k", delete_col="is_delete")
+    append(_rows(spark, 400, 520), src)
+    refresh_materialized_view(spark, mv)
+    got = {r["grp"]: (r["n"], r["sum_x"])
+           for r in read_materialized_view(spark, mv).collect()}
+    want = {r["grp"]: (r["n"], r["sum_x"])
+            for r in (read_table(spark, src).filter("x < 600")
+                      .groupBy("grp")
+                      .agg(F.count("*").alias("n"),
+                           F.sum("x").alias("sum_x"))).collect()}
+    assert got == want
+
+
 def test_rejects_min_max_and_bad_specs(spark, src, tmp_path):
     with pytest.raises(ValueError, match="not incrementally"):
         create_materialized_view(spark, src, str(tmp_path / "m1"),
