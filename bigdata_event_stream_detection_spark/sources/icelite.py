@@ -1024,13 +1024,16 @@ def append(df: DataFrame, path: str, max_retries: int = 10,
 
 
 def overwrite(df: DataFrame, path: str,
-              summary_extra: dict | None = None) -> int:
+              summary_extra: dict | None = None,
+              properties: dict | None = None) -> int:
     """Replace the table contents (single replace snapshot). The
     partition spec survives (re-validated against the new schema);
     outstanding merge-on-read delete files are dropped (nothing they
     reference survives). ``summary_extra`` lands in the snapshot
     summary (the CDC delta compactor carries its replay stamps
-    there)."""
+    there). ``properties`` merges into the table properties in the
+    same commit (like :func:`merge_into`'s — the MV rebuild resets
+    its watermark atomically with the recomputed content)."""
     spec = _table_spec(path)
     if spec:
         spec = _normalize_spec(spec, df.schema)
@@ -1062,7 +1065,8 @@ def overwrite(df: DataFrame, path: str,
                        schema=json.loads(df.schema.json()),
                        partition_spec=spec,
                        delete_manifests=[],
-                       field_ids=fids, next_field_id=next_id)
+                       field_ids=fids, next_field_id=next_id,
+                       properties=_merged_props(parent, properties))
     return _commit_snapshot(path, snap)
 
 

@@ -263,6 +263,32 @@ def refresh_materialized_view(spark: SparkSession,
                               src_snap, filter_sql=filter_sql)
 
 
+def rebuild_materialized_view(spark: SparkSession,
+                              mv_path: str) -> int:
+    """Full recompute: one aggregation over the source's current
+    snapshot replaces the view's content, with the applied watermark
+    reset in the SAME commit (``overwrite``'s atomic properties).
+
+    The recovery path when incremental refresh is impossible — the
+    source's changelog history has been expired past the view's
+    watermark (``refresh`` raises its cannot-replay error), or a
+    drifted float-sum view should be re-based. Also the documented
+    answer for min/max-style measures, which are not incrementally
+    maintainable under deletes."""
+    from .icelite import overwrite
+
+    src, group_by, measures, _applied, filter_sql = _mv_spec(mv_path)
+    src_snap = current_snapshot_id(src)
+    base = read_table(spark, src, version=src_snap)
+    if filter_sql:
+        base = base.filter(F.expr(filter_sql))
+    state = (base.groupBy(*group_by)
+             .agg(*_delta_aggs(measures, F.lit(1)))
+             .withColumn("_gkey", _gkey_expr(group_by)))
+    return overwrite(state, mv_path,
+                     properties={"mv.applied_to": str(src_snap)})
+
+
 def read_materialized_view(spark: SparkSession,
                            mv_path: str,
                            version: int | None = None) -> DataFrame:
@@ -286,4 +312,4 @@ def read_materialized_view(spark: SparkSession,
 
 
 __all__ = ["create_materialized_view", "refresh_materialized_view",
-           "read_materialized_view"]
+           "rebuild_materialized_view", "read_materialized_view"]

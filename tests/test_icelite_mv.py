@@ -33,6 +33,7 @@ from bigdata_event_stream_detection_spark.sources.icelite import (
 from bigdata_event_stream_detection_spark.sources.icelite_mv import (
     create_materialized_view,
     read_materialized_view,
+    rebuild_materialized_view,
     refresh_materialized_view,
 )
 
@@ -224,6 +225,26 @@ def test_filtered_view_tracks_boundary_crossings(spark, src, tmp_path):
                       .agg(F.count("*").alias("n"),
                            F.sum("x").alias("sum_x"))).collect()}
     assert got == want
+
+
+def test_rebuild_recovers_from_expired_history(spark, src, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        expire_snapshots,
+    )
+
+    mv = str(tmp_path / "mvr")
+    create_materialized_view(spark, src, mv, ["grp"], MEASURES)
+    append(_rows(spark, 400, 500), src)
+    append(_rows(spark, 500, 560), src)
+    expire_snapshots(src, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        refresh_materialized_view(spark, mv)
+    rebuild_materialized_view(spark, mv)
+    _assert_matches(spark, src, mv)
+    # incremental refresh resumes from the rebuilt watermark
+    append(_rows(spark, 560, 620), src)
+    assert refresh_materialized_view(spark, mv) is not None
+    _assert_matches(spark, src, mv)
 
 
 def test_rejects_min_max_and_bad_specs(spark, src, tmp_path):
