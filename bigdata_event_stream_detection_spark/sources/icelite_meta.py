@@ -289,6 +289,23 @@ def read_metadata_table(
         _PROPERTIES_SCHEMA)
 
 
+def register_metadata_views(spark: SparkSession, path: str,
+                            prefix: str) -> list[str]:
+    """Register every metadata relation as a temp view
+    ``{prefix}_{kind}`` so plain ``spark.sql`` can query table
+    metadata (Iceberg's ``SELECT * FROM tbl.files`` surface, spelled
+    through the view catalog). Views are built eagerly from the
+    CURRENT state — re-register after commits to refresh. Returns the
+    created view names."""
+    names = []
+    for kind in _KINDS:
+        name = f"{prefix}_{kind}"
+        read_metadata_table(spark, path, kind).createOrReplaceTempView(
+            name)
+        names.append(name)
+    return names
+
+
 def live_files(path: str, version: int | None = None) -> set[str]:
     """Relative paths of every data + delete file a snapshot references
     (the set maintenance jobs treat as live)."""
@@ -306,4 +323,5 @@ def table_size_bytes(path: str, version: int | None = None) -> int:
     return sum(int(e["bytes"]) for e in _snapshot_entries(path, snap))
 
 
-__all__ = ["read_metadata_table", "live_files", "table_size_bytes"]
+__all__ = ["read_metadata_table", "register_metadata_views",
+           "live_files", "table_size_bytes"]

@@ -289,6 +289,25 @@ def rebuild_materialized_view(spark: SparkSession,
                      properties={"mv.applied_to": str(src_snap)})
 
 
+def materialized_view_status(mv_path: str) -> dict:
+    """Freshness/observability snapshot of a view: its definition,
+    the applied source snapshot, the source's current snapshot, and
+    ``lag`` (commits not yet applied — what a monitoring loop alerts
+    on). Metadata-only: two snapshot-log reads, no Spark job."""
+    src, group_by, measures, applied, filter_sql = _mv_spec(mv_path)
+    current = current_snapshot_id(src)
+    return {
+        "source": src,
+        "group_by": list(group_by),
+        "measures": {n: list(s) for n, s in measures.items()},
+        "filter": filter_sql,
+        "applied_source_snapshot": applied,
+        "current_source_snapshot": current,
+        "lag": max(0, current - applied),
+        "fresh": current <= applied,
+    }
+
+
 def read_materialized_view(spark: SparkSession,
                            mv_path: str,
                            version: int | None = None) -> DataFrame:
@@ -312,4 +331,5 @@ def read_materialized_view(spark: SparkSession,
 
 
 __all__ = ["create_materialized_view", "refresh_materialized_view",
-           "rebuild_materialized_view", "read_materialized_view"]
+           "rebuild_materialized_view", "read_materialized_view",
+           "materialized_view_status"]

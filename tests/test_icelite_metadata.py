@@ -172,6 +172,21 @@ def test_log_kinds_reject_pins_and_unknown_kind(spark, table):
         read_metadata_table(spark, table, "nope")
 
 
+def test_register_metadata_views_sql(spark, table):
+    from bigdata_event_stream_detection_spark.sources.icelite_meta \
+        import register_metadata_views
+
+    names = register_metadata_views(spark, table, "t")
+    assert "t_files" in names and "t_snapshots" in names
+    n = spark.sql(
+        "SELECT sum(record_count) FROM t_files").first()[0]
+    assert n == 600
+    ops = [r[0] for r in spark.sql(
+        "SELECT operation FROM t_snapshots ORDER BY snapshot_id"
+    ).collect()]
+    assert ops[0] == "create" and "append" in ops
+
+
 def test_live_files_and_size(spark, table):
     live = live_files(table)
     assert live == {e["path"] for e in table_files(table)}

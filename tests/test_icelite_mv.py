@@ -102,11 +102,22 @@ def src(spark, tmp_path):
 
 
 def test_initial_build_matches_direct(spark, src, tmp_path):
+    from bigdata_event_stream_detection_spark.sources.icelite_mv import (
+        materialized_view_status,
+    )
+
     mv = str(tmp_path / "mv")
     create_materialized_view(spark, src, mv, ["grp"], MEASURES)
     _assert_matches(spark, src, mv)
     # already current: refresh is a no-op returning None
     assert refresh_materialized_view(spark, mv) is None
+    st = materialized_view_status(mv)
+    assert st["fresh"] and st["lag"] == 0 and st["source"] == src
+    append(_rows(spark, 400, 410), src)
+    st = materialized_view_status(mv)
+    assert not st["fresh"] and st["lag"] == 1
+    refresh_materialized_view(spark, mv)
+    assert materialized_view_status(mv)["fresh"]
 
 
 def test_refresh_tracks_appends_and_cow_merge(spark, src, tmp_path):
