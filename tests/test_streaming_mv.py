@@ -125,6 +125,30 @@ def test_cow_merge_falls_back_to_net_refresh(spark, setup):
     assert _view(spark, mv) == _direct(spark, src)
 
 
+def test_stream_maintains_filtered_view(spark, tmp_path):
+    src = str(tmp_path / "fsrc")
+    mv = str(tmp_path / "fmv")
+    ckpt = str(tmp_path / "fckpt")
+    create_table(src, SCHEMA)
+    append(_rows(spark, 0, 100), src)
+    create_materialized_view(spark, src, mv, ["grp"], MEASURES,
+                             filter_sql="x < 500")
+    # MOR merge bumps x for a slice: those rows LEAVE the predicate
+    # through the stream's delta path
+    mrg = (_rows(spark, 30, 90)
+           .withColumn("x", F.col("x") + 1000)
+           .withColumn("is_delete", F.col("k") % 6 == 0))
+    merge_into(spark, src, mrg, key="k", delete_col="is_delete",
+               strategy="merge-on-read")
+    append(_rows(spark, 100, 140), src)
+    _drain(spark, src, mv, ckpt)
+    want = {r["grp"]: (r["n"], r["sum_x"])
+            for r in read_table(spark, src).filter("x < 500")
+            .groupBy("grp").agg(F.count("*").alias("n"),
+                                F.sum("x").alias("sum_x")).collect()}
+    assert _view(spark, mv) == want
+
+
 def test_compaction_is_content_noop(spark, setup):
     src, mv, ckpt = setup
     append(_rows(spark, 120, 160), src)
