@@ -2040,17 +2040,6 @@ def _q_icelite_mv_refresh(spark, sf_dir):
     # applies their changelog as signed increments. Result = the
     # refreshed view, which must equal a direct aggregation of the
     # merged table (integer measures — exact under increments).
-    from bigdata_event_stream_detection_spark.sources.icelite import (
-        append,
-        create_table,
-        merge_into,
-    )
-    from bigdata_event_stream_detection_spark.sources.icelite_mv import (
-        create_materialized_view,
-        read_materialized_view,
-        refresh_materialized_view,
-    )
-
     return _mv_workload(spark, sf_dir, "mv", filter_sql=None)
 
 

@@ -81,9 +81,10 @@ def get_spark(
         builder = builder.config(k, v)
     # operator-level conf knob: BESD_EXTRA_CONF='{"spark.io.compression
     # .codec": "zstd", ...}' overrides everything above without code
-    # changes — the local analog of spark-submit --conf flags (e.g. the
-    # zstd codec measured faster for the bandwidth-bound stream at high
-    # core counts, BENCH.md "IO codec under the shared memory bus")
+    # changes — the local analog of spark-submit --conf flags.  NB the
+    # zstd codec A/B was REJECTED as host noise (BENCH.md "IO codec
+    # under the shared memory bus"; keep lz4) — the knob exists for
+    # deployments that re-measure on their own hardware.
     env_extra = os.environ.get("BESD_EXTRA_CONF")
     if env_extra:
         import json

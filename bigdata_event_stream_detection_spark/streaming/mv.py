@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.icelite import _load_snapshot
+from ..sources.icelite import _load_snapshot, current_snapshot_id
 from ..sources.icelite_mv import (
     _apply_change_rows,
     _mv_spec,
@@ -99,7 +99,17 @@ def start_mv_maintenance(
             F.max("_commit_snapshot_id").alias("m")).first()["m"]
         if hi <= applied:
             return  # replayed batch: already applied, exactly-once
-        if _range_needs_net_refresh(src, applied, hi):
+        # The replace check must cover the batch's PLANNED range, not
+        # just the rows' range: a replace-type commit AFTER the last
+        # row-producing snapshot in the same trigger plans zero rows
+        # (skip-replace-snapshots), yet the offsets advance past it —
+        # bounding by the rows' max snapshot id would drop its diff
+        # forever.  current_snapshot_id(src) is a conservative upper
+        # bound for the end offset; over-refreshing is idempotent
+        # because the net refresh stamps its own watermark and any
+        # later-arriving rows for that range no-op on `hi <= applied`.
+        if _range_needs_net_refresh(
+                src, applied, max(hi, current_snapshot_id(src))):
             refresh_materialized_view(bspark, mv_path)
             return
         ch = batch_df.filter(F.col("_commit_snapshot_id") > applied)

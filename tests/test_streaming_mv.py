@@ -125,6 +125,26 @@ def test_cow_merge_falls_back_to_net_refresh(spark, setup):
     assert _view(spark, mv) == _direct(spark, src)
 
 
+def test_append_then_cow_merge_single_drain(spark, setup):
+    """Replace-type commit AFTER an append in the SAME trigger range:
+    the batch carries only the append's rows, so a rows-bounded
+    replace check would miss the trailing COW merge and leave the
+    view stale forever.  The guard must cover the planned range."""
+    src, mv, ckpt = setup
+    _drain(spark, src, mv, ckpt)
+    append(_rows(spark, 240, 300), src)  # row-producing commit first
+    mrg = (_rows(spark, 0, 90)
+           .withColumn("x", F.col("x") + 5)
+           .withColumn("is_delete", F.col("k") % 9 == 0))
+    merge_into(spark, src, mrg, key="k", delete_col="is_delete")
+    _drain(spark, src, mv, ckpt)  # ONE drain over append -> merge
+    assert _view(spark, mv) == _direct(spark, src)
+    # and the stream stays consistent afterwards (no double-apply)
+    append(_rows(spark, 300, 330), src)
+    _drain(spark, src, mv, ckpt)
+    assert _view(spark, mv) == _direct(spark, src)
+
+
 def test_stream_maintains_filtered_view(spark, tmp_path):
     src = str(tmp_path / "fsrc")
     mv = str(tmp_path / "fmv")

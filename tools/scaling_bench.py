@@ -54,10 +54,11 @@ from pyspark.sql import functions as F
 # bytes-balanced (not CPU-balanced) partitions — off for this job
 _extra = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
 if io_codec != "default":
-    # shuffle/spill/RocksDB-changelog block codec: zstd trades worker
-    # CPU for bytes over the shared memory bus — measured faster in
-    # absolute terms from 8 cores up on this job (the bandwidth-bound
-    # regime), slightly slower at 2-4 cores (the CPU-bound regime)
+    # shuffle/spill/RocksDB-changelog block codec knob.  The zstd A/B
+    # on this job was REJECTED as host noise (the 8-core win did not
+    # reproduce; best-vs-best at 16c tied — BENCH.md "IO codec under
+    # the shared memory bus"; session default stays lz4).  Kept as a
+    # sweep axis for environments that re-measure.
     _extra["spark.io.compression.codec"] = io_codec
 spark = get_spark("scale-%s-%d" % (mode, cores), cores=cores,
                   shuffle_partitions=partitions, extra_conf=_extra)
