@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..util import pin_partitions
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -469,7 +471,10 @@ def match_seq(
                      _step_code_expr(tid_of, classify, type_col)
                      .alias("_tid"))
              .filter(F.col("_tid").isNotNull()))
-    return coded.groupBy(key_col).applyInPandas(kernel, out_schema)
+    # CPU-bound scan kernel: pin the shuffle's partition count so AQE
+    # byte-coalescing can't serialize the stage (CLAUDE.md invariant)
+    return (pin_partitions(coded, key_col)
+            .groupBy(key_col).applyInPandas(kernel, out_schema))
 
 
 def _parse_steps_spec(spec: str) -> list[tuple[str, str, str]]:
@@ -603,8 +608,11 @@ def match_seq_rules(
               .join(F.broadcast(r), "rule_id")
               .select(key_col, "rule_id", time_col, id_col, type_col,
                       "_steps", "_horizon_us"))
-    return tagged.groupBy(key_col, "rule_id").applyInPandas(
-        kernel, out_schema)
+    # CPU-bound scan kernel: pin the shuffle's partition count so AQE
+    # byte-coalescing can't serialize the stage (CLAUDE.md invariant)
+    return (pin_partitions(tagged, key_col, "rule_id")
+            .groupBy(key_col, "rule_id").applyInPandas(
+                kernel, out_schema))
 
 
 def match_timeout_rules(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import ascii_words, hash60, shingles
-from ..util import fan_out
+from ..util import fan_out, pin_partitions
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -674,7 +674,10 @@ def semantic_dedup(
                     "centroid_cos", F.lit(tag).alias("_side"))
         )
 
-    both = fan("b1", 0).unionByName(fan("b2", 1))
+    # CPU-bound GEMM kernel shuffle: pin the partition count or AQE's
+    # byte-based coalescer can serialize the stage (CLAUDE.md invariant)
+    both = pin_partitions(fan("b1", 0).unionByName(fan("b2", 1)),
+                          "cluster", "b1", "b2")
 
     def losers_fn(key, pdf):
         out_cols = ["loser"]

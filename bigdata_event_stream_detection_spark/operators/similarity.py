@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import pin_partitions
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -206,7 +208,10 @@ def embedding_all_pairs(
                 .select("b1", "b2", id_col, vec_col,
                         F.lit(tag).alias("_side")))
 
-    both = side("b1", 0).unionByName(side("b2", 1))
+    # CPU-bound GEMM kernel shuffle: pin the partition count or AQE's
+    # byte-based coalescer can serialize the stage (CLAUDE.md invariant)
+    both = pin_partitions(side("b1", 0).unionByName(side("b2", 1)),
+                          "b1", "b2")
 
     def score(key, pdf):
         cols = ["id1", "id2", "cos_raw"]

@@ -46,6 +46,8 @@ HEADLINE = [
     # round 3: icelite table-format queries (build tables then read)
     "icelite_merge_snapshot", "icelite_time_travel",
     "icelite_pruned_scan",
+    # round 5: block-GEMM kernel stages (pin_partitions invariant)
+    "embedding_near_dups", "semantic_dedup",
 ]
 
 
@@ -88,6 +90,55 @@ def test_fact_scans_prune_columns(plans):
                 ncols = schema.group(1).count(":")
                 assert ncols < widths[table], (
                     f"{name}: scan of {table} reads all {ncols} columns")
+
+
+def _tree_nodes(plan: str):
+    """(depth, op, id) for each node line of the formatted-plan tree.
+
+    Tree lines look like ``   +- FlatMapGroupsInPandas (21)`` /
+    ``   :     +- Exchange (18)``; depth is the column where the
+    operator name starts (strictly increases child-ward)."""
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+*-]*)([A-Za-z][A-Za-z ]*) \((\d+)\)\s*$",
+                     line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(),
+                          int(m.group(3))))
+    return nodes
+
+
+def test_kernel_exchanges_are_pinned(plans):
+    """The CLAUDE.md round-4 invariant, enforced engine-wide: every
+    Exchange feeding an ``applyInPandas``/cogroup kernel stage must
+    carry an EXPLICIT partition count (``REPARTITION_BY_NUM``) —
+    AQE's byte-based coalescing otherwise serializes CPU-bound kernel
+    stages onto one task.  ``ENSURE_REQUIREMENTS`` under a kernel node
+    means someone forgot ``util.pin_partitions``."""
+    kernel_ops = ("FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas")
+    offenders = []
+    for name, plan in plans.items():
+        nodes = _tree_nodes(plan)
+        for i, (depth, op, _nid) in enumerate(nodes):
+            if not any(op.startswith(k) for k in kernel_ops):
+                continue
+            # first Exchange in this node's subtree = the kernel's
+            # input shuffle (ReusedExchange reuses a checked one)
+            for d2, op2, nid2 in nodes[i + 1:]:
+                if d2 <= depth:
+                    break
+                if op2 == "ReusedExchange":
+                    break
+                if op2 == "Exchange":
+                    detail = re.search(
+                        r"\(%d\) Exchange\n(?:.+\n)*?Arguments: (.*)"
+                        % nid2, plan)
+                    if detail and "REPARTITION_BY_NUM" not in detail.group(1):
+                        offenders.append(
+                            f"{name}: {op} fed by unpinned Exchange "
+                            f"({nid2}): {detail.group(1)}")
+                    break
+    assert offenders == []
 
 
 def test_broadcast_join_on_small_dims(plans):
