@@ -131,6 +131,25 @@ def png_decode(payload: bytes) -> np.ndarray:
     if raw.size != h * (1 + stride):
         raise ValueError("png_decode: truncated pixel data")
     raw = raw.reshape(h, 1 + stride)
+    return _png_defilter(raw, ch).reshape(h, w, ch)
+
+
+def _png_defilter(raw: np.ndarray, ch: int) -> np.ndarray:
+    """Reconstruct filtered scanlines (filters 0-4).  The x recurrence
+    of Sub/Average/Paeth is sequential, so the hot path is the C kernel
+    in ``kernels_native`` (bit-identical integer math — uint8 wrap ==
+    & 0xFF, (a+b)>>1 == //2, same Paeth tie-break; A/B-tested in
+    tests/test_codecs.py); the Python loop below is the
+    compiler-less fallback."""
+    from . import kernels_native
+
+    if kernels_native.available:
+        return kernels_native.png_defilter(raw, ch)
+    return _png_defilter_py(raw, ch)
+
+
+def _png_defilter_py(raw: np.ndarray, ch: int) -> np.ndarray:
+    h, stride = raw.shape[0], raw.shape[1] - 1
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
@@ -168,7 +187,7 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"png_decode: bad filter byte {f}")
         out[y] = rec.astype(np.uint8)
         prev = out[y].astype(np.int16)
-    return out.reshape(h, w, ch)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,68 @@ void viterbi_small(const int64_t *obs, const double *log_pi,
     for (t = T - 2; t >= 0; t--)
         path[t] = back[(t + 1) * n + path[t + 1]];
 }
+
+/* PNG scanline defilter (RFC 2083 filters 0-4), replicating
+   codecs.png_decode's per-row reconstruction exactly: uint8 wraparound
+   == the Python path's & 0xFF, Average's (a+b)>>1 == //2 on the
+   non-negative 0..510 sum, Paeth tie-break (pa<=pb && pa<=pc) -> a,
+   else (pb<=pc) -> b, else c.  The x recurrence (left dependency) is
+   inherently sequential, which is why this lives in C and not numpy.
+   raw is h rows of (1 filter byte + stride bytes); out is h*stride.
+   *bad_row reports the first row with an unknown filter byte (else -1),
+   and its filter value is left for the caller to re-read. */
+void png_defilter(const uint8_t *raw, int64_t h, int64_t stride,
+                  int64_t ch, uint8_t *out, int64_t *bad_row)
+{
+    int64_t y, x;
+    int a, b, c, p, pa, pb, pc, pred;
+    *bad_row = -1;
+    for (y = 0; y < h; y++) {
+        const uint8_t *src = raw + y * (stride + 1) + 1;
+        const uint8_t *up = (y > 0) ? out + (y - 1) * stride : 0;
+        uint8_t *o = out + y * stride;
+        switch (raw[y * (stride + 1)]) {
+        case 0:
+            for (x = 0; x < stride; x++) o[x] = src[x];
+            break;
+        case 1:
+            for (x = 0; x < stride; x++) {
+                a = (x >= ch) ? o[x - ch] : 0;
+                o[x] = (uint8_t)(src[x] + a);
+            }
+            break;
+        case 2:
+            for (x = 0; x < stride; x++) {
+                b = up ? up[x] : 0;
+                o[x] = (uint8_t)(src[x] + b);
+            }
+            break;
+        case 3:
+            for (x = 0; x < stride; x++) {
+                a = (x >= ch) ? o[x - ch] : 0;
+                b = up ? up[x] : 0;
+                o[x] = (uint8_t)(src[x] + ((a + b) >> 1));
+            }
+            break;
+        case 4:
+            for (x = 0; x < stride; x++) {
+                a = (x >= ch) ? o[x - ch] : 0;
+                b = up ? up[x] : 0;
+                c = (up && x >= ch) ? up[x - ch] : 0;
+                p = a + b - c;
+                pa = p - a; if (pa < 0) pa = -pa;
+                pb = p - b; if (pb < 0) pb = -pb;
+                pc = p - c; if (pc < 0) pc = -pc;
+                pred = (pa <= pb && pa <= pc) ? a : ((pb <= pc) ? b : c);
+                o[x] = (uint8_t)(src[x] + pred);
+            }
+            break;
+        default:
+            *bad_row = y;
+            return;
+        }
+    }
+}
 """
 
 
@@ -237,6 +299,10 @@ def _build() -> "ctypes.CDLL | None":
                              ctypes.c_int64, ctypes.c_double,
                              ctypes.c_double, dp, dp, dp, dp, i64p]
     lib.bw_small.restype = None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.png_defilter.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64, u8p, i64p]
+    lib.png_defilter.restype = None
     return lib
 
 
@@ -315,3 +381,25 @@ def viterbi_small(obs: np.ndarray, log_pi: np.ndarray, log_a: np.ndarray,
         ctypes.c_int64(T), ctypes.c_int64(n), ctypes.c_int64(W),
         back.ctypes.data_as(_I32P), path.ctypes.data_as(_I32P))
     return path
+
+
+def png_defilter(raw: np.ndarray, ch: int) -> np.ndarray:
+    """C-accelerated PNG scanline defilter (bit-identical to the
+    Python loop in ``codecs.png_decode``).  ``raw`` is the (h,
+    1+stride) uint8 array of filter-byte-prefixed scanlines; returns
+    the (h, stride) reconstructed pixel bytes.  Raises ValueError on
+    an unknown filter byte, matching the Python path."""
+    h, w1 = raw.shape
+    stride = w1 - 1
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty((h, stride), dtype=np.uint8)
+    bad = np.empty(1, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.png_defilter(raw.ctypes.data_as(u8p), ctypes.c_int64(h),
+                      ctypes.c_int64(stride), ctypes.c_int64(ch),
+                      out.ctypes.data_as(u8p),
+                      bad.ctypes.data_as(_I64P))
+    if bad[0] >= 0:
+        raise ValueError(
+            f"png_decode: bad filter byte {raw[bad[0], 0]}")
+    return out

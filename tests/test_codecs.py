@@ -80,6 +80,43 @@ def test_png_roundtrip_fuzz(h, w, ch, ft, seed):
     assert np.array_equal(c.png_decode(c.png_encode(a, filter_type=ft)), a)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(1, 4),
+       st.integers(0, 2 ** 32 - 1))
+def test_png_defilter_native_matches_python(h, w, ch, seed):
+    """The C defilter (kernels_native.png_defilter) must be
+    BIT-IDENTICAL to the pure-Python loop on every filter type,
+    including mixed per-row filters (encode is uniform, so build the
+    mixed raw stream directly)."""
+    from bigdata_event_stream_detection_spark.operators import (
+        kernels_native,
+    )
+    if not kernels_native.available:
+        pytest.skip("no C compiler")
+    if ch == 2:
+        ch = 3
+    rng = np.random.default_rng(seed)
+    stride = w * ch
+    raw = rng.integers(0, 256, size=(h, 1 + stride), dtype=np.uint8)
+    raw[:, 0] = rng.integers(0, 5, size=h)  # mixed filters per row
+    assert np.array_equal(kernels_native.png_defilter(raw, ch),
+                          c._png_defilter_py(raw, ch))
+
+
+def test_png_defilter_native_bad_filter_raises():
+    from bigdata_event_stream_detection_spark.operators import (
+        kernels_native,
+    )
+    if not kernels_native.available:
+        pytest.skip("no C compiler")
+    raw = np.zeros((3, 7), dtype=np.uint8)
+    raw[1, 0] = 9
+    with pytest.raises(ValueError, match="bad filter byte 9"):
+        kernels_native.png_defilter(raw, 3)
+    with pytest.raises(ValueError, match="bad filter byte 9"):
+        c._png_defilter_py(raw, 3)
+
+
 def test_registry_exotic_codec_raises():
     with pytest.raises(NotImplementedError, match="jpeg"):
         c.decode_payload(b"\xff\xd8\xff", "jpeg")
