@@ -47,6 +47,29 @@ def test_bpe_ties_break_lexicographically(spark):
     assert (merges[0]["left"], merges[0]["right"]) == ("x", "y")
 
 
+def test_bpe_delta_strategy_matches_recount(spark):
+    """The delta-maintained pair table must yield the EXACT same merge
+    sequence (ranks, pairs, counts) as the per-round recount, at both
+    batch sizes, on a corpus that exercises pair creation, destruction,
+    deferral, and merged-string collisions ('abc' reachable via
+    ab+c and a+bc once both halves merge)."""
+    texts = [
+        "abab abab abab", "abc abc abc abc", "bca bca", "aabb ccdd",
+        "the theme there then", "cat cats catalog", "dog dogs",
+        "xy xy xz xz", "mississippi mississippi",
+    ]
+    docs = _docs(spark, texts * 3)
+    for m in (1, 3):
+        rec = bpe_train(docs, num_merges=25, min_word_count=1,
+                        batch_size=m, pair_strategy="recount").collect()
+        dlt = bpe_train(docs, num_merges=25, min_word_count=1,
+                        batch_size=m, pair_strategy="delta").collect()
+        key = lambda rows: [(r["rank"], r["left"], r["right"],
+                             r["pair_count"]) for r in
+                            sorted(rows, key=lambda r: r["rank"])]
+        assert key(rec) == key(dlt)
+
+
 def test_bpe_encode_fingerprint_and_counts(spark):
     docs = _docs(spark, ["abab abc", "zzz"])
     # round 1: (a,b)=3 wins; round 2: (z,z)=2 beats (ab,ab)=1/(ab,c)=1
