@@ -48,7 +48,9 @@ real implementation rather than a pointer at a dependency:
   null-fill), a dropped-then-re-added name gets a fresh id (no data
   resurrection), and stats/merge pruning translates predicate names
   per file so it stays exact across renames. Partition-spec sources
-  and live equality-delete keys cannot evolve (compact first).
+  cannot evolve; live equality-delete keys can be RENAMED (entries
+  carry the key's field id since r5 — read paths resolve it) but not
+  dropped, and legacy kid-less entries still require compact-first.
 * **Merge-on-read deletes (Iceberg v2).** Every data/delete file
   carries a *data sequence number* (the committing snapshot id, spec
   §Sequence Numbers). ``delete_where(..., strategy="merge-on-read")``
@@ -419,6 +421,20 @@ def _read_mapped(spark: SparkSession, path: str, schema: StructType,
     return out
 
 
+def _declared_eq_key(d: dict, fids: dict) -> str:
+    """Current declared column name for an equality-delete entry:
+    resolve its stamped field id (``kid``) against the live schema, so
+    the key column can be renamed after the delete was committed.
+    Legacy entries without ``kid`` keep their write-time name (renames
+    of such keys stay blocked by :func:`_check_evolvable`)."""
+    kid = d.get("kid")
+    if kid is not None:
+        for n, i in (fids or {}).items():
+            if i == kid:
+                return n
+    return d["key"]
+
+
 def _apply_deletes(spark: SparkSession, path: str, snap: dict,
                    data_entries: list[dict], df: DataFrame) -> DataFrame:
     """Merge-on-read delete application (Iceberg v2 read path).
@@ -469,15 +485,20 @@ def _apply_deletes(spark: SparkSession, path: str, snap: dict,
         seq_map = spark.createDataFrame(
             sorted(live.items()), ["_fname", "_dseq"])
         out = out.join(F.broadcast(seq_map), "_fname", "left")
+        # group by the key's CURRENT declared name (entries carry the
+        # write-time name + field id, so renames since the delete was
+        # committed resolve here); each delete file is read by its own
+        # recorded write-time column name
+        fids = _field_ids(snap)
         by_key: dict[str, list[dict]] = {}
         for d in eq:
-            by_key.setdefault(d["key"], []).append(d)
+            by_key.setdefault(_declared_eq_key(d, fids), []).append(d)
         for key, group in sorted(by_key.items()):
             kdel = None
             for d in group:
                 part = (spark.read
                         .parquet(os.path.join(path, d["path"]))
-                        .select(F.col(key).alias("_ekey"),
+                        .select(F.col(d["key"]).alias("_ekey"),
                                 F.lit(d["seq"]).alias("_eseq")))
                 kdel = part if kdel is None else kdel.unionByName(part)
             kdel = kdel.groupBy("_ekey").agg(F.max("_eseq").alias("_eseq"))
@@ -1255,17 +1276,26 @@ def add_columns(path: str, new_fields: StructType) -> int:
 
 def _check_evolvable(path: str, parent: dict, name: str,
                      verb: str) -> None:
-    """Shared guards for rename/drop: partition-spec sources and the
-    key of a LIVE equality-delete file keep their names (the spec and
-    the delete entries reference them by name; compact first)."""
+    """Shared guards for rename/drop: partition-spec sources keep
+    their names (the spec references them by name); the key of a LIVE
+    equality-delete file cannot be DROPPED (the deletes would become
+    meaningless). RENAME of a live eq-delete key is allowed for
+    entries stamped with a field id (``kid`` — every entry written
+    since round 5): read paths resolve the id against the live schema,
+    so the rename stays metadata-only. Only legacy kid-less entries
+    still require compact_files + remove_dangling_deletes first."""
     spec = parent.get("partition_spec") or []
     if any(f["source"] == name for f in spec):
         raise ValueError(
             f"cannot {verb} {name!r}: it is a partition-spec source "
             "column (the spec is fixed at create time)")
+    fids = _field_ids(parent)
     for m in parent.get("delete_manifests") or []:
         for d in _load_manifest(path, m):
-            if d.get("type") == "eq" and d.get("key") == name:
+            if (d.get("type") == "eq"
+                    and _declared_eq_key(d, fids) == name):
+                if verb == "rename" and d.get("kid") is not None:
+                    continue  # id-resolved: rename is metadata-only
                 raise ValueError(
                     f"cannot {verb} {name!r}: live equality-delete "
                     "files reference it as their key; run "
@@ -1610,8 +1640,13 @@ def _merge_mor(spark: SparkSession, path: str, parent: dict,
         cur = _load_snapshot(path, current_snapshot_id(path))
         seq = cur["snapshot_id"] + 1
         data_manifest = _write_manifest(path, _stamped(data_entries, seq))
+        # kid = the key column's field id at commit time: eq entries
+        # are self-describing across later renames (read paths resolve
+        # kid -> the current declared name; the parquet column keeps
+        # its write-time name)
         del_manifest = _write_manifest(
-            path, [{**e, "type": "eq", "key": key, "seq": seq}
+            path, [{**e, "type": "eq", "key": key,
+                    "kid": _field_ids(cur).get(key), "seq": seq}
                    for e in del_entries])
         _unlink_quiet(path, *[os.path.join(_META, m) for m in prev])
         prev = [data_manifest, del_manifest]

@@ -200,11 +200,13 @@ def table_changes(spark: SparkSession, path: str,
                          fids)
             if eq and live is not None:
                 # the delete file's key column carries its COMMIT-TIME
-                # name; if the key was renamed since (deletes since
-                # compacted away — live eq keys block renames), the
+                # name; the key may have been renamed since (allowed
+                # as of r5 — entries resolve by field id), and the
                 # live view is in the to-schema: translate by field id
                 key_w = eq[0]["key"]
-                kid = _field_ids(parent).get(key_w)
+                kid = eq[0].get("kid")
+                if kid is None:
+                    kid = _field_ids(parent).get(key_w)
                 key = next((n for n, i in fids.items() if i == kid),
                            key_w)
                 keys = (spark.read.parquet(
@@ -348,12 +350,18 @@ def cdc_plan_snapshot(table_path: str, snap: dict, parent: dict,
         pos_refs = {r for e in new_pos for r in e.get("refs", [])}
         pfids = _field_ids(parent) if parent.get("schema") else {}
 
-        def _declared_key(key_w: str) -> str:
-            # commit-time key name -> declared-schema name by field id
+        def _declared_key(d: dict) -> str:
+            # commit-time key name -> declared-schema name by field
+            # id: prefer the entry's stamped kid (survives renames
+            # older than this commit's parent), fall back to the
+            # parent-schema lookup for legacy kid-less entries
             if not fids:
-                return key_w
-            kid = pfids.get(key_w)
-            return next((n for n, i in fids.items() if i == kid), key_w)
+                return d["key"]
+            kid = d.get("kid")
+            if kid is None:
+                kid = pfids.get(d["key"])
+            return next((n for n, i in fids.items() if i == kid),
+                        d["key"])
 
         for e in parent_entries:
             fname = os.path.basename(e["path"])
@@ -366,12 +374,12 @@ def cdc_plan_snapshot(table_path: str, snap: dict, parent: dict,
                 "kind": "mor-delete", "path": e["path"], "sid": sid,
                 "names": _entry_names(e, fids),
                 "file_seq": fseq,
-                "key": (_declared_key(eq_hits[0]["key"])
+                "key": (_declared_key(eq_hits[0])
                         if eq_hits else None),
                 "key_file": eq_hits[0]["key"] if eq_hits else None,
                 "new_eq": [(d["path"], d["seq"]) for d in eq_hits],
                 "new_pos": [d["path"] for d in pos_hits],
-                "parent_eq": [(_declared_key(d["key"]), d["key"],
+                "parent_eq": [(_declared_key(d), d["key"],
                                d["path"], d["seq"])
                               for d in parent_dels
                               if d["type"] == "eq" and d["seq"] > fseq],

@@ -7,6 +7,8 @@ codecs)."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -186,6 +188,58 @@ def test_real_sample_frames_are_pngs_of_y4m(enc_media):
     for doc_id, n in per_doc.items():
         i = int(doc_id.split("-")[1])
         assert n == -(-(3 + i % 4) // 2)
+
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason=(
+    "pillow not installed (this sandbox has no network to fetch it); "
+    "on any machine with pillow this proves the documented JPEG "
+    "injection seam end-to-end over real JPEG bytes"))
+def test_pil_jpeg_injection_decodes_real_jpegs(spark):
+    """The codecs.decode_payload NotImplementedError seam says: inject
+    decode_fn (e.g. PIL for JPEG). Register exactly that and run
+    extract_features over REAL JPEG payloads, asserting the Spark-side
+    features equal the local PIL-decode + image_features kernel."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    rows, local = [], {}
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(12 + i, 10 + i, 3),
+                           dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format="JPEG", quality=95)
+        payload = buf.getvalue()
+        assert payload[:2] == b"\xff\xd8"  # genuine JPEG container
+        rows.append((f"jpg-{i}", "image", bytearray(payload),
+                     (arr.shape[1], arr.shape[0], None, None, "jpeg")))
+        local[f"jpg-{i}"] = payload
+    media = spark.createDataFrame(
+        rows, schema=(
+            "doc_id string, kind string, payload binary, "
+            "meta struct<width:int, height:int, sample_rate:int, "
+            "n_frames:int, codec:string>"))
+
+    # built-in registry must refuse JPEG with the injection pointer
+    with pytest.raises(NotImplementedError, match="decode_fn"):
+        c.decode_payload(local["jpg-0"], "jpeg")
+
+    def pil_decode_fn(payload, meta):
+        arr = np.asarray(Image.open(_io.BytesIO(bytes(payload))))
+        return c.image_features(arr, 16)
+
+    got = {r["doc_id"]: r["feature"]
+           for r in extract_features(media, decoder="real",
+                                     decode_fn=pil_decode_fn).collect()}
+    assert len(got) == 6
+    for doc_id, payload in local.items():
+        want = c.image_features(
+            np.asarray(Image.open(_io.BytesIO(payload))), 16)
+        assert np.allclose(got[doc_id], want), doc_id
 
 
 def test_injected_fn_still_wins_over_registry(enc_media):

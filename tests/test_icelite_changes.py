@@ -320,3 +320,36 @@ def test_rollback_is_replace_type_for_streams(spark, tmp_path):
 
     with pytest.raises(Exception, match="rewrite"):
         available_now_drain(_go, tbl, timeout_s=60)
+
+
+def test_changes_span_rename_of_live_eq_key(spark, tmp_path):
+    """r5: the eq-delete key can be renamed while delete files are
+    live; a changes scan spanning the rename must still resolve every
+    mor-delete task's key (entries carry the key's field id) and the
+    apply property must hold in the post-rename schema."""
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        rename_column,
+    )
+
+    df = _base(spark)
+    tbl = str(tmp_path / "t")
+    create_table(tbl, df.schema)
+    append(df.repartition(2), tbl)
+    # live eq deletes under the OLD name
+    src = (df.filter("k % 10 = 0").withColumn("v", F.col("v") + 1000)
+           .withColumn("is_delete", F.col("k") % 20 == 0))
+    merge_into(spark, tbl, src, key="k", delete_col="is_delete",
+               strategy="merge-on-read")
+    rename_column(tbl, "k", "key")  # deletes stay live
+    # more MOR work under the NEW name, intersecting the old deletes
+    src2 = (spark.range(5, 40, 5).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("g"),
+        F.lit(-2.0).alias("v"), (F.col("id") % 15 == 0).alias("dead")))
+    merge_into(spark, tbl, src2, key="key", delete_col="dead",
+               strategy="merge-on-read")
+    ch = table_changes(spark, tbl)
+    assert "key" in ch.columns and "k" not in ch.columns
+    ins = ch.filter("_change_type = 'insert'").select("key", "g", "v")
+    dele = ch.filter("_change_type = 'delete'").select("key", "g", "v")
+    now = read_table(spark, tbl).select("key", "g", "v")
+    assert _multiset_equal(ins.exceptAll(dele), now)

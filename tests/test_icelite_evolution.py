@@ -132,19 +132,87 @@ def test_evolution_guards(spark, tmp_path):
         rename_column(t, "k", "v")
     with pytest.raises(ValueError, match="no such column"):
         drop_column(t, "nope")
-    # live equality-delete key blocks rename/drop until compaction
+    # live equality-delete key: DROP stays blocked (the deletes would
+    # become meaningless); rename is allowed since r5 (kid-resolved,
+    # exercised in test_rename_live_eq_delete_key below)
     src = df.filter("k < 5").withColumn("v", F.col("v") + 1)
     merge_into(spark, t, src, key="k", strategy="merge-on-read")
     with pytest.raises(ValueError, match="equality-delete"):
-        rename_column(t, "k", "key")
+        drop_column(t, "k")
     compact_files(spark, t, target_mb=128)
     from bigdata_event_stream_detection_spark.sources.icelite import (
         remove_dangling_deletes,
     )
 
     remove_dangling_deletes(t)
-    rename_column(t, "k", "key")  # now allowed
+    rename_column(t, "k", "key")
     assert "key" in [f.name for f in table_schema(t).fields]
+
+
+def test_rename_live_eq_delete_key(spark, tmp_path):
+    """r4 verdict item 7: renaming the key of LIVE equality-delete
+    files is metadata-only — entries carry the key's field id, read
+    paths resolve it against the live schema, and the delete parquet
+    keeps its write-time column name. No compaction required."""
+    t = str(tmp_path / "t")
+    df = _df(spark)
+    create_table(t, df.schema)
+    append(df.repartition(2), t)
+    # MOR merge: updates k<10, deletes k%3==0 of those -> live eq file
+    src = (df.filter("k < 10")
+           .withColumn("v", F.col("v") + 100)
+           .withColumn("dead", F.col("k") % 3 == 0))
+    merge_into(spark, t, src, key="k", delete_col="dead",
+               strategy="merge-on-read")
+    before = {r["k"]: r["v"] for r in read_table(spark, t).collect()}
+    rename_column(t, "k", "key")  # allowed with live deletes
+    got = {r["key"]: r["v"] for r in read_table(spark, t).collect()}
+    assert got == before  # deletes still apply through the rename
+    assert 0 not in got and 3 not in got and got[1] == 101.0
+    # a further MOR merge under the NEW name composes with the old
+    # delete file (different write-time names, same field id)
+    src2 = (spark.range(4, 20).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("g"),
+        F.lit(-1.0).alias("v"),
+        (F.col("id") % 7 == 0).alias("dead")))
+    merge_into(spark, t, src2, key="key", delete_col="dead",
+               strategy="merge-on-read")
+    got2 = {r["key"]: r["v"] for r in read_table(spark, t).collect()}
+    assert 7 not in got2 and 14 not in got2
+    assert got2[4] == -1.0 and got2[5] == -1.0
+    assert 0 not in got2 and 3 not in got2  # old deletes still live
+    assert got2[1] == 101.0  # old MOR update visible under new name
+    # dropping the (renamed) key remains blocked
+    with pytest.raises(ValueError, match="equality-delete"):
+        drop_column(t, "key")
+
+
+def test_rename_blocked_for_legacy_kidless_eq_entries(spark, tmp_path):
+    """Entries written before the kid stamp (simulated by stripping it
+    from the delete manifest) still require compact-first."""
+    import json
+    import os
+
+    t = str(tmp_path / "t")
+    df = _df(spark)
+    create_table(t, df.schema)
+    append(df, t)
+    merge_into(spark, t, df.filter("k < 5")
+               .withColumn("v", F.col("v") + 1),
+               key="k", strategy="merge-on-read")
+    from bigdata_event_stream_detection_spark.sources import icelite
+    snap = icelite._load_snapshot(
+        t, icelite.current_snapshot_id(t))
+    for m in snap["delete_manifests"]:
+        p = os.path.join(t, icelite._META, m)
+        with open(p) as f:
+            doc = json.load(f)
+        for e in doc["files"]:
+            e.pop("kid", None)
+        with open(p, "w") as f:
+            json.dump(doc, f)
+    with pytest.raises(ValueError, match="equality-delete"):
+        rename_column(t, "k", "key")
 
 
 def test_stream_and_batch_source_resolve_renames(spark, tbl, tmp_path):
