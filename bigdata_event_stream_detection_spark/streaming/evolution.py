@@ -154,8 +154,23 @@ def evolution_edge_batch_writer(
                   .drop("batch"))
         new_windows = [r["window_start"] for r in
                        batch_df.select("window_start").distinct().collect()]
+        # Bound the per-trigger join to the windows an edge touching a
+        # NEW window can involve: new ∪ new±gap·len. Without this the
+        # OR-filter below cannot push into either join side and every
+        # trigger would re-join the FULL theme history — a per-trigger
+        # cost that grows with stream lifetime. The isin also reaches
+        # the parquet scan (row-group stats prune the store read).
+        from datetime import timedelta
+
+        cand = set(new_windows)
+        for w in new_windows:
+            for g in range(1, max_gap_windows + 1):
+                step = timedelta(seconds=g * window_length_seconds)
+                cand.add(w - step)
+                cand.add(w + step)
         edges = theme_transitions(
-            themes, window_length_seconds,
+            themes.filter(F.col("window_start").isin(list(cand))),
+            window_length_seconds,
             max_gap_windows=max_gap_windows, threshold=threshold,
             divergence=divergence, eps=eps, log_max=log_max,
         ).filter(F.col("window1").isin(new_windows)
