@@ -353,3 +353,38 @@ def test_changes_span_rename_of_live_eq_key(spark, tmp_path):
     dele = ch.filter("_change_type = 'delete'").select("key", "g", "v")
     now = read_table(spark, tbl).select("key", "g", "v")
     assert _multiset_equal(ins.exceptAll(dele), now)
+
+
+def test_cdc_stream_plans_renamed_live_eq_key(spark, tmp_path,
+                                              cdc_stream_env):
+    """Streaming twin of the rename-with-live-deletes scan: the stream
+    starts AFTER the key rename, so every mor-delete task for the
+    pre-rename commits must resolve its key through the entry's kid
+    stamp into the post-rename schema."""
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        rename_column,
+    )
+    from bigdata_event_stream_detection_spark.sources.icelite_source import (
+        available_now_drain,
+    )
+
+    df = _base(spark)
+    tbl = str(tmp_path / "t")
+    create_table(tbl, df.schema)
+    append(df.repartition(2), tbl)
+    src = (df.filter("k % 10 = 0").withColumn("v", F.col("v") + 1000)
+           .withColumn("is_delete", F.col("k") % 20 == 0))
+    merge_into(spark, tbl, src, key="k", delete_col="is_delete",
+               strategy="merge-on-read")
+    rename_column(tbl, "k", "key")  # live eq deletes under old name
+    start, out = cdc_stream_env
+    available_now_drain(start(tbl), tbl)
+    got = spark.read.parquet(out).drop("_change_ordinal")
+    assert "key" in got.columns and "k" not in got.columns
+    want = table_changes(spark, tbl, replace_mode="skip") \
+        .drop("_change_ordinal")
+    assert _multiset_equal(got, want)
+    ins = got.filter("_change_type = 'insert'").select("key", "g", "v")
+    dele = got.filter("_change_type = 'delete'").select("key", "g", "v")
+    now = read_table(spark, tbl).select("key", "g", "v")
+    assert _multiset_equal(ins.exceptAll(dele), now)
