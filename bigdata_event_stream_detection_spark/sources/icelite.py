@@ -637,13 +637,20 @@ _HIDDEN = "_p_"  # prefix of the write-path partitionBy columns
 _NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _normalize_spec(partition_spec, schema: StructType) -> list[dict]:
+def _normalize_spec(partition_spec, schema: StructType,
+                    fids: dict | None = None) -> list[dict]:
     """Validate a user spec ``[(col, transform[, param]), ...]`` into
-    the stored form ``[{name, source, transform, param, result}]``."""
+    the stored form ``[{name, source, transform, param, result,
+    source_id}]``.  ``source_id`` (the source column's field id, when
+    ``fids`` is given or the item carries one) makes the spec
+    rename-tolerant: consumers resolve it to the CURRENT declared
+    column name via :func:`_spec_for`."""
     out: list[dict] = []
     for item in partition_spec:
+        sid = None
         if isinstance(item, dict):  # already stored form (re-validation)
             src, tr, param = item["source"], item["transform"], item["param"]
+            sid = item.get("source_id")
         elif len(item) == 2:
             (src, tr), param = item, None
         else:
@@ -681,11 +688,35 @@ def _normalize_spec(partition_spec, schema: StructType) -> list[dict]:
             name, result = f"{src}_{tr}", "long"
         else:
             raise ValueError(f"unknown partition transform {tr!r}")
+        if sid is None and fids:
+            sid = fids.get(src)
         out.append({"name": name, "source": src, "transform": tr,
-                    "param": param, "result": result})
+                    "param": param, "result": result,
+                    "source_id": sid})
     names = [f["name"] for f in out]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate partition fields: {names}")
+    return out
+
+
+def _spec_for(snap: dict) -> list[dict]:
+    """The snapshot's partition spec with each field's ``source``
+    resolved to its CURRENT declared column name via ``source_id`` —
+    how every consumer (write routing, transform exprs, pruning, merge
+    prefilter) must read the spec, so renaming a partition source
+    column stays metadata-only.  Legacy fields without ``source_id``
+    keep their stored name (their rename stays guarded)."""
+    spec = snap.get("partition_spec") or []
+    if not spec:
+        return spec
+    fids = _field_ids(snap) or {}
+    by_id = {i: n for n, i in fids.items()}
+    out = []
+    for f in spec:
+        sid = f.get("source_id")
+        cur = by_id.get(sid)
+        out.append({**f, "source": cur} if cur and cur != f["source"]
+                   else f)
     return out
 
 
@@ -694,7 +725,7 @@ def _table_spec(path: str) -> list[dict]:
         snap = _load_snapshot(path, current_snapshot_id(path))
     except FileNotFoundError:
         return []
-    return snap.get("partition_spec") or []
+    return _spec_for(snap)
 
 
 def table_partition_spec(path: str) -> list[dict]:
@@ -991,13 +1022,14 @@ def create_table(path: str, schema: StructType,
     :func:`set_properties`)."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+    fids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
     snap = {"snapshot_id": 1, "parent_id": None,
             "timestamp_ms": int(time.time() * 1000),
             "operation": "create", "schema": json.loads(schema.json()),
-            "field_ids": {f.name: i + 1
-                          for i, f in enumerate(schema.fields)},
+            "field_ids": fids,
             "next_field_id": len(schema.fields) + 1,
-            "partition_spec": (_normalize_spec(partition_spec, schema)
+            "partition_spec": (_normalize_spec(partition_spec, schema,
+                                               fids=fids)
                                if partition_spec else []),
             "properties": dict(properties or {}),
             "delete_manifests": [],
@@ -1113,7 +1145,7 @@ def table_files(path: str, version: int | None = None,
     (for partitioned tables) exact partition-transform pruning."""
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
     schema = StructType.fromJson(snap["schema"])
-    spec = snap.get("partition_spec") or []
+    spec = _spec_for(snap)
     entries = _snapshot_entries(path, snap)
     if where:
         fids = _field_ids(snap)
@@ -1231,7 +1263,7 @@ def read_table(
     snap = _resolve_snapshot(path, version=version, as_of_ms=as_of_ms)
     schema = StructType.fromJson(snap["schema"])
     fids = _field_ids(snap)
-    spec = snap.get("partition_spec") or []
+    spec = _spec_for(snap)
     entries = _snapshot_entries(path, snap)
     if where:
         entries = [e for e in entries
@@ -1284,11 +1316,16 @@ def _check_evolvable(path: str, parent: dict, name: str,
     since round 5): read paths resolve the id against the live schema,
     so the rename stays metadata-only. Only legacy kid-less entries
     still require compact_files + remove_dangling_deletes first."""
-    spec = parent.get("partition_spec") or []
-    if any(f["source"] == name for f in spec):
+    spec = _spec_for(parent)
+    for f in spec:
+        if f["source"] != name:
+            continue
+        if verb == "rename" and f.get("source_id") is not None:
+            continue  # id-resolved spec: rename is metadata-only
         raise ValueError(
             f"cannot {verb} {name!r}: it is a partition-spec source "
-            "column (the spec is fixed at create time)")
+            "column (drop is never allowed; rename needs a spec with "
+            "source ids — tables created before r5 predate them)")
     fids = _field_ids(parent)
     for m in parent.get("delete_manifests") or []:
         for d in _load_manifest(path, m):
@@ -1470,7 +1507,7 @@ def merge_into(
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
     fids = _field_ids(parent)
-    spec = parent.get("partition_spec") or []
+    spec = _spec_for(parent)
     entries = _snapshot_entries(path, parent)
     if strategy not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"unknown merge strategy {strategy!r}")
@@ -1625,7 +1662,7 @@ def _merge_mor(spark: SparkSession, path: str, parent: dict,
     rows) + one equality delete file (the distinct source keys),
     committed append-style. See :func:`merge_into`."""
     schema = StructType.fromJson(parent["schema"])
-    spec = parent.get("partition_spec") or []
+    spec = _spec_for(parent)
     src_cols = [f.name for f in schema.fields]
     keep_src = (source.filter(~F.col(delete_col))
                 if delete_col is not None else source).select(*src_cols)
@@ -1701,7 +1738,7 @@ def delete_where(spark: SparkSession, path: str, where: list[tuple],
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
     fids = _field_ids(parent)
-    spec = parent.get("partition_spec") or []
+    spec = _spec_for(parent)
     entries = _snapshot_entries(path, parent)
     victims = [e for e in entries
                if all(_entry_may_match(e, p, spec, schema, fids)
@@ -1844,7 +1881,7 @@ def compact_files(spark: SparkSession, path: str,
     small = (small_mb if small_mb is not None else target_mb / 2) * (1 << 20)
     parent = _load_snapshot(path, current_snapshot_id(path))
     schema = StructType.fromJson(parent["schema"])
-    spec_w = parent.get("partition_spec") or []
+    spec_w = _spec_for(parent)
     fids_w = _field_ids(parent)
     entries = _snapshot_entries(path, parent)
     scoped = entries
@@ -1879,7 +1916,7 @@ def compact_files(spark: SparkSession, path: str,
     # partitioned tables stay partition-aligned through compaction; a
     # layout rewrite keeps its range clustering (files split per tuple)
     new_entries = _write_data_files(out, path,
-                                    spec=parent.get("partition_spec") or [],
+                                    spec=_spec_for(parent),
                                     distribute=not layout, fids=fids)
     dead = {e["path"] for e in victims}
     kept_manifests = []

@@ -126,8 +126,10 @@ def test_evolution_guards(spark, tmp_path):
     df = _df(spark)
     create_table(t, df.schema, partition_spec=[("g", "identity")])
     append(df, t)
+    # partition-spec source: DROP stays blocked; rename is allowed
+    # since r5 (source_id-resolved spec — test_rename_partition_source)
     with pytest.raises(ValueError, match="partition-spec"):
-        rename_column(t, "g", "grp")
+        drop_column(t, "g")
     with pytest.raises(ValueError, match="already exists"):
         rename_column(t, "k", "v")
     with pytest.raises(ValueError, match="no such column"):
@@ -258,3 +260,51 @@ def test_table_changes_across_rename(spark, tbl):
     assert ch.filter("_change_type = 'insert'").agg(
         F.round(F.sum("val"), 2)).collect()[0][0] == round(
         sum(float(i) for i in range(120)), 2)
+
+
+def test_rename_partition_source(spark, tmp_path):
+    """r5: renaming a partition-spec source column is metadata-only —
+    the spec stamps the source's field id at create, and every
+    consumer (write routing, pruning, merge prefilter) resolves it to
+    the current declared name. Old files' partition tuples (stored
+    under the spec FIELD name, which never changes) keep pruning
+    exactly; post-rename appends route into the same layout."""
+    from bigdata_event_stream_detection_spark.sources.icelite import (
+        table_files,
+        table_partition_spec,
+    )
+
+    t = str(tmp_path / "t")
+    df = _df(spark)
+    create_table(t, df.schema,
+                 partition_spec=[("g", "identity"), ("k", "bucket", 4)])
+    append(df, t)
+    files_before = {e["path"] for e in table_files(t)}
+    rename_column(t, "g", "grp")
+    # metadata-only: no file rewritten
+    assert {e["path"] for e in table_files(t)} == files_before
+    # the spec surfaces the CURRENT name
+    assert [f["source"] for f in table_partition_spec(t)] == ["grp", "k"]
+    # pruning under the NEW predicate name is exact on OLD files
+    pruned = table_files(t, where=[("grp", "=", 2)])
+    assert 0 < len(pruned) < len(files_before)
+    # post-rename appends route into the same partition layout
+    df2 = (_df(spark, 100, 140).withColumnRenamed("g", "grp"))
+    append(df2, t)
+    got = read_table(spark, t).filter("grp = 2")
+    want_n = 100 // 5 + sum(1 for i in range(100, 140) if i % 5 == 2)
+    assert got.count() == want_n
+    # prune again across the old/new file mix
+    pruned2 = table_files(t, where=[("grp", "=", 2)])
+    assert len(pruned2) > len(pruned)  # new files joined the bucket
+    assert all(e["path"] in {x["path"] for x in table_files(t)}
+               for e in pruned2)
+    # a MOR merge keyed on the renamed BUCKET source still prefilters
+    src = (spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp"),
+        F.lit(7.5).alias("v")))
+    merge_into(spark, t, src, key="k")
+    assert read_table(spark, t).filter("k < 20 and v = 7.5").count() == 20
+    # drop of a partition source remains blocked
+    with pytest.raises(ValueError, match="partition-spec"):
+        drop_column(t, "grp")
