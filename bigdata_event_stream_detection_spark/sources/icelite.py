@@ -1016,10 +1016,12 @@ def create_table(path: str, schema: StructType,
 
     ``partition_spec`` is a list of ``(col, transform[, param])``
     tuples (e.g. ``[("doc_id", "bucket", 16), ("ts", "day")]``) — see
-    the hidden-partitioning section above. The spec is fixed at create
-    time and carried by every snapshot. ``properties`` is the initial
-    table-properties dict (string keys/values; see
-    :func:`set_properties`)."""
+    the hidden-partitioning section above. The spec's SHAPE is fixed
+    at create time and carried by every snapshot; its source columns
+    may later be renamed (fields stamp the source's field id, and
+    consumers resolve it via :func:`_spec_for`) but never dropped.
+    ``properties`` is the initial table-properties dict (string
+    keys/values; see :func:`set_properties`)."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     fids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
