@@ -1967,12 +1967,15 @@ def _q_icelite_rename_evolution(spark, sf_dir):
     # field-id schema evolution: append under the ORIGINAL column
     # names, rename o_totalprice -> price (metadata-only — zero files
     # rewritten, asserted), append more data under the NEW name, then
-    # run a predicate on the renamed column. Old files resolve by
-    # field id and their footer stats keep pruning the renamed
-    # predicate exactly (sources/icelite.py rename_column/_read_mapped)
+    # (r5) a MOR merge keyed on o_orderkey leaves LIVE equality-delete
+    # files and the KEY itself is renamed — entries carry the key's
+    # field id (kid), so the rename stays metadata-only and the
+    # deletes keep applying under the new name
+    # (sources/icelite.py rename_column/_read_mapped/_declared_eq_key)
     from bigdata_event_stream_detection_spark.sources.icelite import (
         append,
         create_table,
+        merge_into,
         read_table,
         rename_column,
         table_files,
@@ -1991,6 +1994,21 @@ def _q_icelite_rename_evolution(spark, sf_dir):
     append(orders.filter(F.col("o_orderkey") % 2 == 1)
            .withColumnRenamed("o_totalprice", "price")
            .repartitionByRange(4, "price"), path)
+    # MOR merge: delete o_orderkey%10==0, bump %10==5 by +1
+    src = (orders.filter(F.col("o_orderkey") % 10 == 5)
+           .withColumnRenamed("o_totalprice", "price")
+           .withColumn("price", F.col("price") + 1)
+           .withColumn("dead", F.lit(False))
+           .unionByName(
+               orders.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumnRenamed("o_totalprice", "price")
+               .withColumn("dead", F.lit(True))))
+    merge_into(spark, path, src, key="o_orderkey", delete_col="dead",
+               strategy="merge-on-read")
+    files_mor = {e["path"] for e in table_files(path)}
+    rename_column(path, "o_orderkey", "okey")  # LIVE eq deletes (kid)
+    assert {e["path"] for e in table_files(path)} == files_mor, \
+        "key rename over live eq deletes must rewrite no data files"
     return (read_table(spark, path, where=[("price", ">=", 100000.0)])
             .groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
@@ -2822,10 +2840,18 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 AND op <> 'D'
         """,
         "icelite_rename_evolution": """
+            WITH t AS (
+              SELECT o_orderstatus,
+                     CASE WHEN o_orderkey % 10 = 5
+                          THEN o_totalprice + 1
+                          ELSE o_totalprice END AS price
+              FROM orders
+              WHERE o_orderkey % 10 <> 0
+            )
             SELECT o_orderstatus, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
-            FROM orders
-            WHERE o_totalprice >= 100000.0
+                   round(sum(price), 2) AS total
+            FROM t
+            WHERE price >= 100000.0
             GROUP BY 1
         """,
         "icelite_table_changes": """
