@@ -784,6 +784,19 @@ def _q_ann_pq_topk(spark, sf_dir):
                    k=5, m=8, ksub=16)
 
 
+def _q_ann_binary_hamming(spark, sf_dir):
+    # 1-bit binary-quantized ANN: sign-pack -> bit_count(xor) Hamming
+    # shortlist (pure codegen) -> exact cosine rescore of the
+    # shortlist only (operators/similarity.py binary_hamming_topk)
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, emb.filter(F.col("vec_id") < 10),
+                               k=5, candidates=32)
+
+
 def _q_ann_pq_rescored(spark, sf_dir):
     # ADC shortlist -> exact cosine rerank (the accuracy knob)
     from bigdata_event_stream_detection_spark.operators.similarity import (
@@ -2181,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_binary_hamming": _q_ann_binary_hamming,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
@@ -3462,6 +3476,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
+            WHERE rank <= 5
+        """,
+        "ann_binary_hamming": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            h AS (
+              SELECT query_id, c.vec_id AS neighbor_id, qv, c.v AS cv,
+                     list_sum(list_transform(list_zip(qv, c.v),
+                       s -> CASE WHEN (s[1] > 0) <> (s[2] > 0)
+                            THEN 1 ELSE 0 END)) AS hamming
+              FROM q JOIN e c ON c.vec_id <> q.query_id),
+            short AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming ASC, neighbor_id ASC) AS hr
+                FROM h)
+              WHERE hr <= 32),
+            sc AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM short)
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM sc)
             WHERE rank <= 5
         """,
         "dsir_sample": """

@@ -142,6 +142,96 @@ def cosine_topk(
     )
 
 
+def _sign_pack_expr(vec_col: str) -> Column:
+    """Sign-bit packing: 64 dimensions per long word, bit j of word w
+    set iff ``vec[64w+j] > 0``. Pure Column expr — packing happens at
+    scan time inside codegen, no Python."""
+    return F.expr(
+        f"transform(sequence(0, int((size({vec_col}) - 1) / 64)), "
+        f"w -> aggregate(sequence(0, 63), 0L, (acc, j) -> "
+        f"CASE WHEN 64 * w + j < size({vec_col}) "
+        f"AND {vec_col}[64 * w + j] > 0 "
+        f"THEN acc + shiftleft(1L, j) ELSE acc END))")
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit binary-quantized ANN: sign-bit pack every vector (64
+    dims/long → 32x smaller than float32), shortlist the ``candidates``
+    nearest per query by Hamming distance (``bit_count(xor)`` — pure
+    whole-stage codegen, no float math, no Python), then exact-cosine
+    rescore ONLY the shortlist. Output (query_id, neighbor_id, rank,
+    cos) like :func:`cosine_topk`.
+
+    Determinism: both stages break ties by ``neighbor_id`` asc, so the
+    shortlist SET (not just the final ranking) is reproducible — the
+    oracle mirrors the exact two-stage semantics.
+
+    Scale shape (the 10^9-vector story): the packed corpus scan streams
+    d/64 longs per row; per-partition partial top-C (one hash agg with
+    map-side combine, ``array_sort``+``slice`` of per-partition
+    structs) bounds the only shuffle to #partitions x #queries x C tiny
+    rows; the rescore joins the broadcast shortlist back into the
+    corpus scan, so float vectors never shuffle. The Hamming stage is
+    the standard binary-quantization prefilter (a Faiss
+    ``IndexBinaryFlat`` shaped relationally); recall is tuned by
+    ``candidates``.
+    """
+    qp = (queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _sign_pack_expr(vec_col).alias("_qbits")))
+    packed = corpus.select(id_col, _sign_pack_expr(vec_col).alias("_bits"))
+    scored = (
+        packed.crossJoin(F.broadcast(qp.select("query_id", "_qbits")))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"),
+            F.expr("aggregate(zip_with(_bits, _qbits, "
+                   "(x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)")
+            .alias("hamming")))
+    # per-partition partial top-C (map-side bounded), then global top-C
+    part = (scored
+            .groupBy(F.spark_partition_id().alias("_p"), "query_id")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct("hamming", "neighbor_id"))), 1, candidates)
+                .alias("_top")))
+    pooled = (part.select("query_id", F.explode("_top").alias("t"))
+              .select("query_id", F.col("t.hamming").alias("hamming"),
+                      F.col("t.neighbor_id").alias("neighbor_id")))
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    shortlist = (pooled.withColumn("_hr", F.row_number().over(wh))
+                 .filter(F.col("_hr") <= candidates)
+                 .select("query_id", "neighbor_id"))
+    # exact rescore on the shortlist only: broadcast it INTO the corpus
+    # scan, broadcast the (query-set-sized) float query vectors
+    dot = ("aggregate(zip_with(_v, _qv, (x, y) -> "
+           "cast(x as double) * cast(y as double)), 0D, (a, b) -> a + b)")
+    rescored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_v"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qp.select("query_id", "_qv")), "query_id")
+        .withColumn("_cos", F.expr(
+            f"({dot}) / (sqrt(aggregate(transform(_v, x -> "
+            f"cast(x as double) * cast(x as double)), 0D, (a, b) -> a + b)) "
+            f"* sqrt(aggregate(transform(_qv, x -> "
+            f"cast(x as double) * cast(x as double)), 0D, (a, b) -> a + b)))")))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (rescored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_cos", 6).alias("cos")))
+
+
 def embedding_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -47,7 +47,7 @@ HEADLINE = [
     "icelite_merge_snapshot", "icelite_time_travel",
     "icelite_pruned_scan",
     # round 5: block-GEMM kernel stages (pin_partitions invariant)
-    "embedding_near_dups", "semantic_dedup",
+    "embedding_near_dups", "semantic_dedup", "ann_binary_hamming",
 ]
 
 

@@ -229,3 +229,82 @@ def test_ivfpq_recall_and_determinism(spark):
     approx2 = ivf_pq_topk(emb.repartition(7), q, k=5, n_centroids=4,
                           n_probe=2, m=8, ksub=16).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_sign_pack_expr_matches_numpy(spark):
+    """The scan-time sign-bit packing must equal a reference numpy
+    packing, including dims that are not a multiple of 64 (tail word)
+    and exact zeros (bit NOT set: strict > 0)."""
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        _sign_pack_expr,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i, d in enumerate((3, 64, 70, 128, 130)):
+        v = rng.standard_normal(d).astype(np.float32)
+        v[0] = 0.0  # exact zero -> bit 0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: list(r["bits"]) for r in df.select(
+        "vec_id", _sign_pack_expr("embedding").alias("bits")).collect()}
+    for i, vec in rows:
+        v = np.asarray(vec)
+        want = []
+        for w in range((len(v) + 63) // 64):
+            word = 0
+            for j in range(64):
+                idx = 64 * w + j
+                if idx < len(v) and v[idx] > 0:
+                    word |= 1 << j
+            # numpy-independent reference; emulate int64 wraparound
+            want.append(word - (1 << 64) if word >= (1 << 63) else word)
+        assert got[i] == want, i
+
+
+def test_binary_hamming_full_candidates_equals_exact(spark):
+    """With candidates >= corpus size the Hamming shortlist keeps
+    everything, so the rescore stage must reproduce cosine_topk
+    EXACTLY (ids, ranks, rounded cosines)."""
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        binary_hamming_topk,
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(24)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4")
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+            for r in cosine_topk(df, q, k=5).collect()}
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+           for r in binary_hamming_topk(df, q, k=5,
+                                        candidates=100).collect()}
+    assert got == want
+
+
+def test_binary_hamming_shortlist_is_deterministic(spark):
+    """Same input, different partitioning -> identical rows (the
+    shortlist's (hamming, neighbor_id) total order is partition-
+    independent)."""
+    import numpy as np
+
+    from bigdata_event_stream_detection_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    a = sorted(map(tuple, binary_hamming_topk(
+        df, q, k=4, candidates=8).collect()))
+    b = sorted(map(tuple, binary_hamming_topk(
+        df.repartition(13), q, k=4, candidates=8).collect()))
+    assert a == b and len(a) == 12
